@@ -1,0 +1,29 @@
+"""relationalize_spark — a PySpark-native engine with the query and
+data-processing capabilities of tulip/relationalize.
+
+Core surface:
+
+- :func:`relationalize_spark.operators.relationalize.relationalize` —
+  nested DataFrame -> dict of flat DataFrames (structs flattened,
+  arrays split into rid-linked child tables).
+- :class:`relationalize_spark.schema.Schema` — choice-supporting
+  schema: inference, merge, convert, DDL.
+- :mod:`relationalize_spark.operators` — dedup, similarity, text
+  analysis, multimodal plumbing for large-scale data pipelines.
+"""
+
+from .schema import Schema
+from .dialects import DIALECTS, POSTGRES, REDSHIFT, DUCKDB, SPARK_SQL
+from .operators.relationalize import relationalize
+
+__all__ = [
+    "Schema",
+    "relationalize",
+    "DIALECTS",
+    "POSTGRES",
+    "REDSHIFT",
+    "DUCKDB",
+    "SPARK_SQL",
+]
+
+__version__ = "0.1.0"

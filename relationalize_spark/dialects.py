@@ -1,0 +1,102 @@
+"""SQL DDL dialects.
+
+Same role as the reference's dialect layer (reference
+relationalize/sql_dialects.py:12-71): map the type-tag vocabulary to
+warehouse column types and render a CREATE TABLE statement. Kept as
+plain string templating — the generated DDL feeds
+``df.write.jdbc(createTableColumnTypes=...)`` or a pre-create step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import types as T
+
+_COLUMN_JOINER = "\n    , "
+
+
+@dataclass
+class SQLDialect:
+    """A DDL dialect: a tag->SQL-type mapping plus quoting rules."""
+
+    name: str
+    type_map: dict[str, str]
+    create_template: str = (
+        'CREATE TABLE IF NOT EXISTS "{schema}"."{table}" (\n    {columns}\n);'
+    )
+    quote: str = '"'
+
+    def column_def(self, column: str, tag: str) -> str:
+        sql_type = self.type_map[tag]
+        q = self.quote
+        escaped = column.replace(q, q * 2)
+        return f"{q}{escaped}{q} {sql_type}"
+
+    def create_table(self, schema: str, table: str, column_defs: list[str]) -> str:
+        return self.create_template.format(
+            schema=schema, table=table, columns=_COLUMN_JOINER.join(column_defs)
+        )
+
+
+POSTGRES = SQLDialect(
+    name="postgres",
+    type_map={
+        T.INT: "BIGINT",
+        T.FLOAT: "FLOAT",
+        T.STR: "VARCHAR(65535)",
+        T.BOOL: "BOOLEAN",
+        T.DATETIME: "TIMESTAMP",
+        T.DATE: "DATE",
+        T.BINARY: "BYTEA",
+        # A column observed only as null has no information; the
+        # reference maps it to BOOLEAN (smallest type).
+        T.NONE: "BOOLEAN",
+    },
+)
+
+REDSHIFT = SQLDialect(
+    name="redshift",
+    type_map={
+        T.INT: "BIGINT",
+        T.FLOAT: "DOUBLE PRECISION",
+        T.STR: "VARCHAR(65535)",
+        T.BOOL: "BOOLEAN",
+        T.DATETIME: "TIMESTAMP",
+        T.DATE: "DATE",
+        T.BINARY: "VARBYTE",
+        T.NONE: "BOOLEAN",
+    },
+)
+
+DUCKDB = SQLDialect(
+    name="duckdb",
+    type_map={
+        T.INT: "BIGINT",
+        T.FLOAT: "DOUBLE",
+        T.STR: "VARCHAR",
+        T.BOOL: "BOOLEAN",
+        T.DATETIME: "TIMESTAMP",
+        T.DATE: "DATE",
+        T.BINARY: "BLOB",
+        T.NONE: "BOOLEAN",
+    },
+)
+
+SPARK_SQL = SQLDialect(
+    name="spark",
+    type_map={
+        T.INT: "BIGINT",
+        T.FLOAT: "DOUBLE",
+        T.STR: "STRING",
+        T.BOOL: "BOOLEAN",
+        T.DATETIME: "TIMESTAMP",
+        T.DATE: "DATE",
+        T.BINARY: "BINARY",
+        T.NONE: "BOOLEAN",
+    },
+    quote="`",
+)
+
+DIALECTS = {d.name: d for d in (POSTGRES, REDSHIFT, DUCKDB, SPARK_SQL)}
+DEFAULT_DIALECT = POSTGRES

@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[N]``; on a real cluster the same
+settings hold except parallelism knobs, which AQE re-plans at runtime
+(coalescing small shuffle partitions, splitting skewed ones), so the
+static ``shuffle.partitions`` value only sets the *upper bound* of
+initial tasks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "relationalize-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        # Runtime re-planning: partition coalescing, skew-join splitting,
+        # dynamic broadcast conversion — essential at 100 TB where static
+        # estimates are wrong.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        # Arrow for any pandas UDF boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Dimension tables (region/nation/supplier/part at any SF that
+        # fits) should broadcast rather than shuffle.
+        .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
