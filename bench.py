@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop datasource (no
+driver-side collect overhead, no output I/O) so the measured time is
+plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_unshipped_orders",
+    "q05_local_supplier_volume",
+    "q06_revenue_delta",
+    "q09_running_revenue",
+    "q13_customers_without_orders",
+    "q17_events_hourly",
+    "q18_sessionization",
+    "q20_relationalize_explode",
+    "q22_relationalize_linkage",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from relationalize_spark.plans.session import get_spark
+    from relationalize_spark.queries import REGISTRY
+
+    spark = get_spark(
+        app="relationalize-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM / parquet-footer warmup (excluded from timings).
+    from relationalize_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in REGISTRY]
+    for name in names:
+        fn, _ = REGISTRY[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,658 @@
+"""Query registry: the engine's query surface, with DuckDB oracles.
+
+Each entry couples a Spark DataFrame program with the ANSI-SQL oracle
+the driver runs on DuckDB over the same parquet tables. Conventions
+that make the value-hash comparison exact:
+
+- Money aggregates are computed in DECIMAL (exact in both engines) —
+  float sums depend on accumulation order and would differ in the
+  last bits between Spark and DuckDB.
+- Averages are ``CAST(exact-decimal-sum AS DOUBLE) / COUNT`` so both
+  engines do one identical float division.
+- Time arithmetic uses integer epoch microseconds.
+- Every computed column is aliased identically in both programs, and
+  top-k queries carry a deterministic tiebreak key.
+
+Scale notes are in each query's docstring: dimension joins broadcast
+(region/nation/supplier/part are small at every SF); fact-fact joins
+shuffle on their keys; AQE handles skew/coalescing at runtime.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.relationalize import relationalize
+from .sources.tables import load_table
+
+D2 = "decimal(18,2)"
+
+
+def _dec(c) -> "F.Column":
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(D2)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational queries
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate. One shuffle on the two
+    low-cardinality group keys; partial aggregation makes the shuffle
+    tiny regardless of input size."""
+    l = load_table(spark, sf, "lineitem")
+    disc = _dec(F.lit(1) - F.col("l_discount"))
+    tax = _dec(F.lit(1) + F.col("l_tax"))
+    disc_price = (_dec("l_extendedprice") * disc).cast("decimal(18,4)")
+    charge = (disc_price * tax).cast("decimal(18,6)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + top-k. customer filter
+    prunes before the join; orders-lineitem join shuffles on orderkey;
+    top-k is a tiny final sort after partial aggregation."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    disc_price = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q05_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through region/nation (broadcast) with
+    the c_nationkey = s_nationkey co-location condition."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf, "lineitem")
+    disc_price = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+Q05_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q06_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate; predicates push
+    to the parquet scan (no shuffle at all beyond the final reduce)."""
+    l = load_table(spark, sf, "lineitem")
+    revenue = (_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+Q06_SQL = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+def q04_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join, then count by priority."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q07_global_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Global aggregate incl. COUNT(DISTINCT): partial+final aggregation."""
+    o = load_table(spark, sf, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_value"),
+    )
+
+
+Q07_SQL = """
+SELECT COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM orders
+"""
+
+
+def q08_segment_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Window rank partitioned by segment; single shuffle on the
+    partition key, rank evaluated streaming within partitions."""
+    c = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rk")
+    )
+
+
+Q08_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+    RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+) WHERE rk <= 3
+"""
+
+
+def q09_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative window sum per customer in exact DECIMAL (float window
+    sums would depend on the engine's accumulation strategy)."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_total"),
+    )
+
+
+Q09_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+FROM orders
+"""
+
+
+def q10_status_priority_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets (hierarchical subtotals + grand total)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_value"),
+        )
+    )
+
+
+Q10_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q11_flag_status_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets over lineitem flags."""
+    l = load_table(spark, sf, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+    )
+
+
+Q11_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q12_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT/INTERSECT distinct semantics: 1996 high-value customers
+    also active in 1997, minus any with an open ('O') order."""
+    o = load_table(spark, sf, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_totalprice") > 150000)
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_totalprice") > 150000)
+    ).select("o_custkey")
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return y96.intersect(y97).subtract(open_orders)
+
+
+Q12_SQL = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND o_totalprice > 150000
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND o_totalprice > 150000
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q13_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join (customers with no URGENT order)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+Q13_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def q14_suppliers_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """IN-subquery -> left-semi join against a broadcastable key set."""
+    s = load_table(spark, sf, "supplier")
+    c = load_table(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+    return s.join(
+        c.select("c_nationkey"), s.s_nationkey == F.col("c_nationkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+Q14_SQL = """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
+def q15_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar expression battery: string/math/conditional functions,
+    all whole-stage-codegen built-ins."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.length(F.col("p_name")).cast("int").alias("name_len"),
+        F.substring(F.col("p_brand"), 1, 5).alias("brand5"),
+        F.concat_ws("#", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_diff"),
+        F.when(F.col("p_size") > 25, "L")
+        .when(F.col("p_size") > 10, "M")
+        .otherwise("S")
+        .alias("size_class"),
+    )
+
+
+Q15_SQL = """
+SELECT p_partkey,
+  UPPER(p_name) AS name_upper,
+  CAST(LENGTH(p_name) AS INT) AS name_len,
+  SUBSTRING(p_brand, 1, 5) AS brand5,
+  CONCAT_WS('#', p_brand, p_type) AS brand_type,
+  ABS(p_retailprice - 1000.0) AS price_diff,
+  CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class
+FROM part
+"""
+
+
+def q16_date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time extraction and truncation."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+    )
+
+
+Q16_SQL = """
+SELECT o_orderkey,
+  CAST(YEAR(o_orderdate) AS INT) AS order_year,
+  CAST(MONTH(o_orderdate) AS INT) AS order_month,
+  CAST(DAY(o_orderdate) AS INT) AS order_day,
+  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  CAST(QUARTER(o_orderdate) AS INT) AS order_quarter
+FROM orders
+"""
+
+
+def q17_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-bucketed aggregation over the event stream table (the batch
+    equivalent of the streaming windowed count)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("decimal(38,2)").alias("sum_value"),
+            (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+"""
+
+
+def q18_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + conditional
+    sum per user, all in integer epoch-microseconds."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+
+
+Q18_SQL = """
+SELECT user_id, SUM(new_session) AS n_sessions FROM (
+  SELECT user_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000
+         OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q19_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured path extraction from the JSON props column."""
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            (F.sum(F.col("k").cast("bigint")).cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / COUNT(k) AS avg_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Relationalize-based queries (the engine's signature transform, checked
+# against a pure-SQL oracle; generated rids are excluded — they are
+# surrogate keys whose *linkage*, not value, is the contract).
+# --------------------------------------------------------------------------
+
+_LINEITEM_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+
+
+def q20_relationalize_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-trip: nest lineitems per order into an array, relationalize
+    back out, return the child table. Verifies array split-out, element
+    flattening and 0-based __index_ against a window-function oracle.
+    The per-order sort uses the full column tuple so index assignment
+    is multiset-stable even for duplicate rows."""
+    l = load_table(spark, sf, "lineitem")
+    nested = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct(*_LINEITEM_COLS))).alias("lineitems")
+    )
+    tables = relationalize(nested, "orders", key_cols=["l_orderkey"])
+    child = tables["orders_lineitems"]
+    return child.select(
+        *[f"lineitems_{c}" for c in _LINEITEM_COLS], "lineitems__index_"
+    )
+
+
+Q20_SQL = """
+SELECT
+  l_orderkey AS lineitems_l_orderkey,
+  l_partkey AS lineitems_l_partkey,
+  l_suppkey AS lineitems_l_suppkey,
+  l_linenumber AS lineitems_l_linenumber,
+  l_quantity AS lineitems_l_quantity,
+  l_extendedprice AS lineitems_l_extendedprice,
+  l_discount AS lineitems_l_discount,
+  l_tax AS lineitems_l_tax,
+  l_returnflag AS lineitems_l_returnflag,
+  l_linestatus AS lineitems_l_linestatus,
+  l_shipdate AS lineitems_l_shipdate,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY l_orderkey
+    ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+             l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  ) - 1 AS INT) AS lineitems__index_
+FROM lineitem
+"""
+
+
+def q21_relationalize_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """Struct flatten: nest customer attributes into a struct, flatten
+    back to ``{parent}_{child}`` columns."""
+    c = load_table(spark, sf, "customer")
+    nested = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.struct("c_name", "c_acctbal", "c_mktsegment").alias("profile"),
+    )
+    tables = relationalize(nested, "customer", key_cols=["c_custkey"])
+    return tables["customer"]
+
+
+Q21_SQL = """
+SELECT c_custkey, c_nationkey,
+  c_name AS profile_c_name,
+  c_acctbal AS profile_c_acctbal,
+  c_mktsegment AS profile_c_mktsegment
+FROM customer
+"""
+
+
+def q22_relationalize_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential integrity of generated rids, checked structurally:
+    join the child table back to the parent on the rid and count
+    children per order — must equal the plain GROUP BY count."""
+    l = load_table(spark, sf, "lineitem")
+    nested = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct(*_LINEITEM_COLS))).alias("lineitems")
+    )
+    tables = relationalize(nested, "orders", key_cols=["l_orderkey"])
+    parent, child = tables["orders"], tables["orders_lineitems"]
+    return (
+        parent.join(child, parent.lineitems == child.lineitems__rid_)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q22_SQL = """
+SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark query, duckdb oracle SQL or None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
+    "q04_order_priority": (q04_order_priority, Q04_SQL),
+    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
+    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
+    "q07_global_stats": (q07_global_stats, Q07_SQL),
+    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
+    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
+    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
+    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
+    "q12_setops": (q12_setops, Q12_SQL),
+    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
+    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
+    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
+    "q16_date_functions": (q16_date_functions, Q16_SQL),
+    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
+    "q18_sessionization": (q18_sessionization, Q18_SQL),
+    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
+    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
+    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
+    "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql.strip() for name, (_, sql) in REGISTRY.items() if sql}
