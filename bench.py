@@ -30,6 +30,9 @@ HEADLINE = [
     "q18_sessionization",
     "q20_relationalize_explode",
     "q22_relationalize_linkage",
+    "q23_text_stats",
+    "q29_minhash_lsh_pairs",
+    "q31_ann_topk",
 ]
 
 

@@ -1,0 +1,39 @@
+"""Vector math over ``array<float|double>`` columns, JVM-side.
+
+Everything here compiles to Catalyst higher-order functions
+(``zip_with`` / ``aggregate``) — no Python UDFs, so it runs inside
+whole-stage codegen and scales with the executors. The fold is
+sequential left-to-right over the array, which matches how DuckDB's
+list functions accumulate — important for bit-exact oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))

@@ -1,0 +1,302 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Five families, all shaped for distributed execution:
+
+- **exact**: hash-groupBy. One shuffle on the content hash.
+- **n-gram Jaccard**: inverted-index self-join on shingles — the
+  standard scalable formulation (never materializes the O(N^2) pair
+  space; only documents sharing at least one shingle meet).
+- **MinHash + LSH**: per-document signatures (k seeded xxhash64 mins,
+  computed JVM-side with higher-order functions), banded into buckets;
+  only same-bucket documents become candidate pairs, then candidates
+  are verified with exact Jaccard. Tunable (num_hashes, bands) for the
+  recall/cost trade-off at 100 TB.
+- **SimHash**: 64-bit signature per document; Hamming-ball candidate
+  generation via band buckets (pigeonhole: pairs within distance d
+  share at least one of d+1 bands), verified with bit_count(xor).
+- **embedding cosine**: see :mod:`.similarity`; `embedding_dup_pairs`
+  wraps it with a threshold.
+
+Everything is built-in Catalyst expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+from .text import WS, tokens
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, subset: list[str] | None = None, tiebreak: str | None = None
+) -> DataFrame:
+    """Keep one row per distinct value of ``subset`` (default: all
+    columns). ``tiebreak`` picks the survivor deterministically (min);
+    without it the first row Spark sees wins (cheaper: no sort)."""
+    cols = subset or df.columns
+    if tiebreak is None:
+        return df.dropDuplicates(cols)
+    w = Window.partitionBy(*cols).orderBy(F.asc(tiebreak))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by content hash: (fingerprint, survivor id, size)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# -- shingles / Jaccard -----------------------------------------------------
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles; shorter documents fall back to one
+    whole-document shingle."""
+    toks = tokens(text)
+    n_sh = F.size(toks) - (n - 1)
+    windows = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(n_sh >= 1, windows).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) with per-document distinct shingles — the inverted
+    index input."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold, via
+    inverted-index join. Scale note: hot shingles (stop-phrases) skew
+    the join; for 100 TB add a document-frequency cap on shingles
+    before the self-join (drop shingles appearing in >X% of docs —
+    they cannot discriminate near-duplicates anyway)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("i") == F.col("sa.id"))
+        .join(sb, F.col("j") == F.col("sb.id"))
+        .select("i", "j", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def _seeded_hash(i: int):
+    # NB: must be a one-arg lambda — a `lambda s, i=i` would have arity
+    # 2 and PySpark would silently bind the second parameter to the
+    # (element, index) form of transform(), making the array position
+    # override the seed.
+    return lambda s: F.xxhash64(s, F.lit(i))
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` minima of seeded xxhash64 over the
+    shingle set — a (1/num_hashes)-resolution Jaccard sketch."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_arr, _seeded_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact verification.
+
+    With r = num_hashes/bands rows per band, a pair with Jaccard j is
+    caught with probability 1 - (1 - j^r)^bands; the defaults catch
+    j >= 0.8 with P > 0.9999. Candidates are verified exactly, so
+    precision is 1.0 and only recall depends on the banding.
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, n)).alias("sh"),
+    )
+    sig = docs.select("id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    band_entries = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .distinct()
+    )
+    da = docs.alias("da")
+    db = docs.alias("db")
+    n_common = F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
+    jac = n_common.cast("double") / (
+        F.size(F.col("da.sh")) + F.size(F.col("db.sh")) - n_common
+    )
+    return (
+        candidates.join(da, F.col("i") == F.col("da.id"))
+        .join(db, F.col("j") == F.col("db.id"))
+        .select("i", "j", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash_expr(text_col: str, bits: int = 64) -> Column:
+    """Classic unweighted SimHash over distinct tokens: bit j of the
+    signature is the sign of the sum of (+-1) votes from token-hash
+    bit j. Written as a SQL expression because the Python column DSL
+    cannot express a shift by a column amount (`x >> j` can)."""
+    q = "`" + text_col.replace("`", "``") + "`"
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {bits - 1}),
+            j -> CASE WHEN aggregate(
+                   transform(array_distinct(split({q}, '{WS}')), t -> xxhash64(t)),
+                   0L, (acc, x) -> acc + CAST((x >> j) & 1 AS BIGINT) * 2 - 1) > 0
+                 THEN shiftleft(1L, j) ELSE 0L END),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs within a Hamming ball via band buckets: a pair at distance
+    <= max_hamming must agree on at least one of max_hamming+1 disjoint
+    bit bands (pigeonhole), so bands >= max_hamming+1 gives recall 1."""
+    assert bands >= max_hamming + 1, "pigeonhole requires bands > max_hamming"
+    band_bits = 64 // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash_expr(text_col).alias("sig")
+    )
+    entries = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned("sig", b * band_bits) % (2**band_bits)).alias(f"b{b}")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = entries.alias("a")
+    b = entries.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- embedding --------------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs of near-identical embeddings by cosine. Exact self-join —
+    quadratic, correct at any SF where it fits; at 100 TB use the LSH
+    bucketing in :mod:`.similarity` to restrict the pair space first."""
+    e = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    score = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            F.round(score, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+
+- **Brute-force cosine top-k** — exact. The query set is broadcast,
+  the corpus streams through one scan, per-query heaps come from a
+  partial top-k before the final window. Right answer whenever the
+  query set is small enough to broadcast (the common batch-ANN shape:
+  thousands of queries x billions of corpus rows).
+- **Random-hyperplane LSH top-k** — approximate. Deterministic seeded
+  hyperplanes, bucket join on the signature prefix, exact re-rank
+  inside buckets. The scale path when the query set itself is huge:
+  turns O(Q x N) into a bucket-colocated join.
+
+Vector math is Catalyst higher-order functions (see
+functions/vectors.py) — no Python UDF, Arrow, or collect in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int | None = 6,
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Returns (query_id, neighbor_id, score), scores rounded for stable
+    cross-engine comparison; ranking ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    score = cosine(F.col("qv"), F.col("cv"))
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def signature_expr(vec, planes: list[list[float]]):
+    """Bit-signature of a vector: sign pattern against each hyperplane,
+    packed into a long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, plane_col) > 0, 1).otherwise(0).cast("long")
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    round_scores: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing an LSH
+    bucket with the query in any of ``n_tables`` independent tables,
+    re-ranked exactly by cosine. Recall grows with n_tables and falls
+    with n_planes (bucket granularity)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c_buckets = []
+    q_buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        c_buckets.append(signature_expr(F.col("cv"), planes))
+        q_buckets.append(signature_expr(F.col("qv"), planes))
+    c_tab = c.select(
+        "neighbor_id", "cv", F.posexplode(F.array(*c_buckets)).alias("tbl", "bucket")
+    )
+    q_tab = q.select(
+        "query_id", "qv", F.posexplode(F.array(*q_buckets)).alias("tbl", "bucket")
+    )
+    score = cosine(F.col("qv"), F.col("cv"))
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    candidates = (
+        F.broadcast(q_tab)
+        .join(
+            c_tab,
+            (q_tab.tbl == c_tab.tbl) & (q_tab.bucket == c_tab.bucket),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )

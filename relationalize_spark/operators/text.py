@@ -1,0 +1,141 @@
+"""Text analysis for large-scale document pipelines.
+
+All operators are pure Catalyst expressions (split / regexp /
+higher-order functions) — no Python in the hot path, so they run at
+scan speed over any number of documents. Each has a matching ANSI-SQL
+oracle in :mod:`relationalize_spark.queries`.
+
+Operators: tokenization + counts, quality scoring (stopword/digit/
+length signals), n-gram-heuristic language ID, and document
+fingerprinting (normalized md5 + winnowing-style rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+
+#: Tiny per-language stopword profiles for the heuristic language ID.
+#: Checked in a fixed priority order (ties go to the earlier entry).
+LANG_PROFILES: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "and", "of", "to", "is", "in", "that", "it")),
+    ("es", ("el", "la", "de", "que", "y", "en", "los", "se")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "zu")),
+    ("fr", ("le", "la", "les", "et", "des", "est", "une", "dans")),
+    ("zh", ("的", "是", "不", "了", "在", "人", "有", "我")),
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(_c(text), WS)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text))
+
+
+def avg_word_length(text: Column | str) -> Column:
+    squeezed = F.length(F.regexp_replace(_c(text), WS, ""))
+    return squeezed.cast("double") / token_count(text)
+
+
+def digit_ratio(text: Column | str) -> Column:
+    digits = F.size(F.regexp_extract_all(_c(text), F.lit(r"[0-9]"), 0))
+    return digits.cast("double") / char_count(text)
+
+
+def punctuation_ratio(text: Column | str) -> Column:
+    puncts = F.size(F.regexp_extract_all(_c(text), F.lit(r"[^\w\s]"), 0))
+    return puncts.cast("double") / char_count(text)
+
+
+def stopword_ratio(
+    text: Column | str, stopwords: tuple[str, ...] = LANG_PROFILES[0][1]
+) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.size(toks)
+
+
+def lang_hits(text: Column | str, words: tuple[str, ...]) -> Column:
+    """Count of word-boundary stopword hits for one language profile."""
+    pattern = r"\b(?:" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(_c(text), F.lit(pattern), 0))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    fixed priority order on ties (first profile wins)."""
+    hits = [(lang, lang_hits(text, words)) for lang, words in LANG_PROFILES]
+    expr = F.lit(LANG_PROFILES[-1][0])
+    # Build the CASE chain back-to-front so earlier languages win ties.
+    for i in range(len(hits) - 2, -1, -1):
+        lang, h = hits[i]
+        later = [other for _, other in hits[i + 1:]]
+        cond = h >= F.greatest(*later) if len(later) > 1 else h >= later[0]
+        expr = F.when(cond, lang).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality signal in [0, 1]: more stopwords and
+    less digit noise and reasonable length score higher."""
+    length_signal = F.least(F.lit(1.0), token_count(text).cast("double") / 100.0)
+    return (
+        0.4 * stopword_ratio(text)
+        + 0.3 * (F.lit(1.0) - digit_ratio(text))
+        + 0.3 * length_signal
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-squeezed text. Equal fingerprints == exact dup modulo
+    whitespace/case."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(_c(text), WS, " "))))
+
+
+def winnow_fingerprint(
+    text: Column | str, k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing-style robust fingerprint: hash all character k-grams,
+    take the min hash of each sliding window, fingerprint = md5 over
+    the distinct sorted window-minima. Local edits only perturb nearby
+    windows, so near-identical documents mostly collide."""
+    t = F.lower(F.trim(F.regexp_replace(_c(text), WS, " ")))
+    n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(t.substr(i, F.lit(k)))
+    )
+    n_windows = F.greatest(F.size(grams) - window + 1, F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    return F.md5(F.to_json(F.array_sort(F.array_distinct(minima))))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard per-document text statistics."""
+    return df.withColumns(
+        {
+            "n_chars_": char_count(text_col).cast("int"),
+            "n_tokens_": token_count(text_col).cast("int"),
+            "avg_word_len_": avg_word_length(text_col),
+            "digit_ratio_": digit_ratio(text_col),
+            "stopword_ratio_": stopword_ratio(text_col),
+            "quality_score_": quality_score(text_col),
+            "lang_id_": lang_id(text_col),
+            "fingerprint_": fingerprint(text_col),
+        }
+    )

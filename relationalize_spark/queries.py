@@ -619,6 +619,241 @@ SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
 
 
 # --------------------------------------------------------------------------
+# Text analysis (operators/text.py)
+# --------------------------------------------------------------------------
+
+def q23_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token/char statistics — pure scan-side expressions."""
+    from .operators import text as TX
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.char_count("text").cast("int").alias("n_chars_out"),
+        TX.token_count("text").cast("int").alias("n_tokens"),
+        TX.avg_word_length("text").alias("avg_word_len"),
+        TX.digit_ratio("text").alias("digit_ratio"),
+    )
+
+
+Q23_SQL = r"""
+SELECT doc_id,
+  CAST(LENGTH(text) AS INT) AS n_chars_out,
+  CAST(LEN(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens,
+  CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+    / LEN(regexp_split_to_array(text, '\s+')) AS avg_word_len,
+  CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) AS digit_ratio
+FROM documents
+"""
+
+
+def q24_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic n-gram language ID (stopword-profile argmax)."""
+    from .operators import text as TX
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", TX.lang_id("text").alias("lang_guess"))
+
+
+def _lang_pattern(words) -> str:
+    return r"\b(?:" + "|".join(words) + r")\b"
+
+
+def _q24_sql() -> str:
+    from .operators.text import LANG_PROFILES
+
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{_lang_pattern(w)}')) AS c_{lang}"
+        for lang, w in LANG_PROFILES
+    )
+    langs = [lang for lang, _ in LANG_PROFILES]
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        later = [f"c_{x}" for x in langs[i + 1:]]
+        guard = f"GREATEST({', '.join(later)})" if len(later) > 1 else later[0]
+        cases.append(f"WHEN c_{lang} >= {guard} THEN '{lang}'")
+    case_chain = "\n    ".join(cases)
+    return f"""
+WITH c AS (SELECT doc_id,
+  {counts}
+FROM documents)
+SELECT doc_id,
+  CASE {case_chain}
+    ELSE '{langs[-1]}' END AS lang_guess
+FROM c
+"""
+
+
+def q25_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality scoring from stopword/digit/length signals."""
+    from .operators import text as TX
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.digit_ratio("text").alias("digit_ratio"),
+        TX.quality_score("text").alias("quality_score"),
+    )
+
+
+def _q25_sql() -> str:
+    from .operators.text import LANG_PROFILES
+
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[0][1])
+    return rf"""
+SELECT doc_id, swr AS stopword_ratio, dr AS digit_ratio,
+  0.4 * swr + 0.3 * (1.0 - dr) + 0.3 * len_sig AS quality_score
+FROM (SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        t -> list_contains([{words}], t))) AS DOUBLE)
+    / len(regexp_split_to_array(text, '\s+')) AS swr,
+  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) AS dr,
+  LEAST(1.0, CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 100.0) AS len_sig
+FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication (operators/dedup.py)
+# --------------------------------------------------------------------------
+
+def q26_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per distinct text."""
+    from .operators.dedup import exact_dedup
+
+    d = load_table(spark, sf, "documents")
+    return exact_dedup(d, subset=["text"], tiebreak="doc_id")
+
+
+Q26_SQL = """
+SELECT d.* FROM documents d
+JOIN (SELECT text AS t2, MIN(doc_id) AS m FROM documents GROUP BY 1) g
+  ON d.text = g.t2 AND d.doc_id = g.m
+"""
+
+
+def q27_fingerprint_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-hash duplicate groups (fingerprint, survivor, size)."""
+    from .operators import text as TX
+
+    d = load_table(spark, sf, "documents")
+    return d.groupBy(TX.fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+Q27_SQL = r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+_JACCARD_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+  ) GROUP BY doc_id, shingle
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i, j, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM common JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
+"""
+
+
+def q28_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate pairs by 3-gram shingle Jaccard >= 0.5 via
+    inverted-index self-join."""
+    from .operators.dedup import jaccard_pairs
+
+    d = load_table(spark, sf, "documents")
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q29_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate pairs by MinHash banding (32 hashes x 16 bands,
+    recall > 0.9999 at j=0.8) with exact Jaccard verification — must
+    reproduce the brute-force oracle exactly."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.8
+    )
+
+
+def q30_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup candidates (hamming <= 3). No SQL oracle: the
+    64-bit signature is built on xxhash64, which DuckDB lacks; checked
+    rows-only by the driver plus unit tests on known near-dups."""
+    from .operators.dedup import simhash_pairs
+
+    d = load_table(spark, sf, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (operators/similarity.py)
+# --------------------------------------------------------------------------
+
+def q31_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id < 10."""
+    from .operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf, "embeddings")
+    return brute_force_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, round_scores=6
+    )
+
+
+Q31_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id,
+    ROUND(list_cosine_similarity(qv, cv), 6) AS score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, neighbor_id ASC) AS rn
+  FROM q JOIN c ON query_id != neighbor_id
+) WHERE rn <= 5
+"""
+
+
+def q32_embedding_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs by cosine >= 0.45 (exact self-join)."""
+    from .operators.dedup import embedding_dup_pairs
+
+    e = load_table(spark, sf, "embeddings")
+    return embedding_dup_pairs(e, threshold=0.45)
+
+
+Q32_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS i, b.vec_id AS j,
+  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+"""
+
+
+def q33_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints. xxhash64-based — no SQL
+    oracle (rows-only check); robustness is unit-tested."""
+    from .operators import text as TX
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", TX.winnow_fingerprint("text").alias("winnow_fp"))
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -647,7 +882,23 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
     "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
     "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
+    "q23_text_stats": (q23_text_stats, Q23_SQL),
+    "q24_lang_id": (q24_lang_id, None),  # SQL generated below
+    "q25_quality_score": (q25_quality_score, None),  # SQL generated below
+    "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
+    "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),
+    "q28_jaccard_pairs": (q28_jaccard_pairs, _JACCARD_ORACLE.format(threshold=0.5)),
+    "q29_minhash_lsh_pairs": (q29_minhash_lsh_pairs, _JACCARD_ORACLE.format(threshold=0.8)),
+    "q30_simhash_pairs": (q30_simhash_pairs, None),  # xxhash64: rows-only
+    "q31_ann_topk": (q31_ann_topk, Q31_SQL),
+    "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
+    "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
 }
+
+# Generated oracles (built from the same profile constants the Spark
+# side uses, so the two can never drift apart).
+REGISTRY["q24_lang_id"] = (q24_lang_id, _q24_sql())
+REGISTRY["q25_quality_score"] = (q25_quality_score, _q25_sql())
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,108 @@
+"""Behavioral tests for the LLM-pipeline operators (text / dedup /
+similarity) on small constructed inputs with known answers."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from relationalize_spark.operators import text as TX
+from relationalize_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_expr,
+    simhash_pairs,
+)
+from relationalize_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"),
+        (4, "completely different content about spark distributed query engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_text_stats(spark, docs):
+    r = docs.select(
+        TX.token_count("text").alias("n"),
+        TX.char_count("text").alias("c"),
+        TX.lang_id("text").alias("lang"),
+    ).collect()
+    assert r[0].n == 14
+    assert r[0].lang == "en"
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = exact_dedup(docs, subset=["text"], tiebreak="doc_id").collect()
+    ids = sorted(r.doc_id for r in kept)
+    assert ids == [1, 3, 4]
+
+
+def test_jaccard_finds_near_dups(docs):
+    pairs = {(r.i, r.j): r.jaccard for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_matches_bruteforce(docs):
+    brute = {(r.i, r.j) for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.i, r.j) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert lsh == brute
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sigs = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", simhash_expr("text").alias("s")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    # one-word difference: small hamming distance
+    assert bin(sigs[1] ^ sigs[3]).count("1") <= 16
+    pairs = {(r.i, r.j) for r in simhash_pairs(docs, max_hamming=0).collect()}
+    assert (1, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((50, 16)).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    res = brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=3)
+    rows = res.collect()
+    assert len(rows) == 3
+    assert rows[0].neighbor_id == 1  # the planted near-duplicate
+    assert rows[0].score > 0.99
+
+
+def test_lsh_topk_finds_planted_neighbor(vectors):
+    res = lsh_topk(
+        vectors,
+        vectors.filter(F.col("vec_id") == 0),
+        k=3,
+        dim=16,
+        n_planes=8,
+        n_tables=4,
+    )
+    rows = res.collect()
+    assert rows and rows[0].neighbor_id == 1
+
+
+def test_winnow_fingerprint_robust_to_case_and_ws(spark):
+    df = spark.createDataFrame(
+        [(1, "The Quick   Brown Fox"), (2, "the quick brown fox")],
+        "id long, text string",
+    )
+    fps = [r.fp for r in df.select(TX.winnow_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
