@@ -853,6 +853,35 @@ def q33_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", TX.winnow_fingerprint("text").alias("winnow_fp"))
 
 
+def q34_relationalize_json_choice(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end dynamic JSON pipeline: build JSONL whose ``mixed``
+    key alternates int/string per row, ingest via VARIANT, infer the
+    c-int-str choice, convert to split columns — the reference's
+    relationalize -> Schema -> convert flow in one plan."""
+    from .sources.jsonl import relationalize_json
+
+    e = load_table(spark, sf, "events")
+    line = F.concat(
+        F.lit('{"event_id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "mixed": '),
+        F.when(
+            F.col("event_id") % 2 == 0, F.get_json_object("props", "$.k")
+        ).otherwise(F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))),
+        F.lit("}"),
+    )
+    vdf = e.select(F.parse_json(line).alias("v"))
+    return relationalize_json(vdf, "events_json")["events_json"]
+
+
+Q34_SQL = """
+SELECT event_id,
+  CASE WHEN event_id % 2 = 0 THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS mixed_int,
+  CASE WHEN event_id % 2 != 0 THEN event_type END AS mixed_str
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -893,6 +922,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q31_ann_topk": (q31_ann_topk, Q31_SQL),
     "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
     "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
+    "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -1,0 +1,203 @@
+"""Type-faithful JSONL ingestion via Spark VARIANT.
+
+The reference streams raw JSON objects and distinguishes int/float/
+bool/str per *row* (reference schema.py:304-319). ``spark.read.json``
+would unify mixed-type keys to string and lose that, so this module
+reads lines as text, parses them to VARIANT (JVM-side, type-
+preserving), computes the merged structural schema in one pass with
+``schema_of_variant_agg``, and casts to a concrete struct in which
+conflicted or all-null leaves stay VARIANT. The existing
+:func:`relationalize` then splits out tables, and
+:func:`infer_and_convert` resolves the VARIANT leaves into choice
+columns — the full reference pipeline (relationalize -> Schema ->
+convert, reference README.md:50-95) as three Spark jobs and zero
+per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.infer import infer_and_convert
+from ..operators.relationalize import relationalize
+from ..schema import Schema
+
+
+def read_jsonl_variant(
+    spark: SparkSession, path: str, column: str = "v"
+) -> DataFrame:
+    """One VARIANT column per JSONL line; blank lines dropped."""
+    return (
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
+        .select(F.parse_json("value").alias(column))
+    )
+
+
+# -- merged-schema string parser --------------------------------------------
+# schema_of_variant_agg returns e.g.
+#   OBJECT<a: VARIANT, `a b`: BIGINT, arr: ARRAY<OBJECT<k: DOUBLE>>>
+# Leaves are Spark DDL type names (plus OBJECT/VARIANT extensions).
+
+
+@dataclass
+class VNode:
+    kind: str  # "object" | "array" | "leaf"
+    leaf_type: str = ""
+    fields: dict[str, "VNode"] = field(default_factory=dict)
+    element: "VNode | None" = None
+
+
+def parse_variant_schema(s: str) -> VNode:
+    pos = 0
+
+    def parse_type() -> VNode:
+        nonlocal pos
+        if s.startswith("OBJECT<", pos):
+            pos += len("OBJECT<")
+            node = VNode("object")
+            while s[pos] != ">":
+                name = parse_name()
+                assert s.startswith(": ", pos), f"expected ': ' at {pos} in {s!r}"
+                pos += 2
+                node.fields[name] = parse_type()
+                if s.startswith(", ", pos):
+                    pos += 2
+            pos += 1
+            return node
+        if s.startswith("ARRAY<", pos):
+            pos += len("ARRAY<")
+            node = VNode("array", element=parse_type())
+            assert s[pos] == ">", f"expected '>' at {pos} in {s!r}"
+            pos += 1
+            return node
+        # leaf: runs to the next top-level ',' or '>'; may itself
+        # contain angle-free parens like DECIMAL(21,1).
+        start = pos
+        depth = 0
+        while pos < len(s):
+            ch = s[pos]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in ",>":
+                break
+            pos += 1
+        return VNode("leaf", leaf_type=s[start:pos].strip())
+
+    def parse_name() -> str:
+        nonlocal pos
+        if s[pos] == "`":
+            end = pos + 1
+            out = []
+            while True:
+                if s[end] == "`":
+                    if end + 1 < len(s) and s[end + 1] == "`":
+                        out.append("`")
+                        end += 2
+                        continue
+                    break
+                out.append(s[end])
+                end += 1
+            name = "".join(out)
+            pos = end + 1
+            return name
+        end = s.index(":", pos)
+        name = s[pos:end]
+        pos = end
+        return name
+
+    node = parse_type()
+    assert pos == len(s), f"trailing content at {pos} in {s!r}"
+    return node
+
+
+def _cast_ddl(node: VNode) -> str:
+    """DDL for the variant->struct cast: conflicted (VARIANT) and
+    all-null (VOID) leaves stay VARIANT; numeric leaves widen to the
+    reference 'float' (DOUBLE); everything else keeps its type."""
+    if node.kind == "object":
+        parts = []
+        for name, child in node.fields.items():
+            quoted = "`" + name.replace("`", "``") + "`"
+            parts.append(f"{quoted}: {_cast_ddl(child)}")
+        return "struct<" + ", ".join(parts) + ">"
+    if node.kind == "array":
+        return f"array<{_cast_ddl(node.element)}>"
+    t = node.leaf_type.upper()
+    if t in ("VARIANT", "VOID"):
+        return "variant"
+    if t.startswith("DECIMAL") or t == "FLOAT":
+        return "double"
+    return node.leaf_type.lower()
+
+
+def merged_variant_schema(df: DataFrame, column: str = "v") -> VNode:
+    merged = df.agg(F.schema_of_variant_agg(column).alias("s")).collect()[0].s
+    return parse_variant_schema(merged)
+
+
+@dataclass
+class RelationalizedJson:
+    """Output of the end-to-end dynamic pipeline: one flat, converted
+    DataFrame per discovered table plus its choice Schema."""
+
+    tables: dict[str, DataFrame]
+    schemas: dict[str, Schema]
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    def __iter__(self):
+        return iter(self.tables)
+
+
+def relationalize_json(
+    source: DataFrame | str,
+    name: str,
+    *,
+    spark: SparkSession | None = None,
+    key_cols: list[str] | None = None,
+    convert: bool = True,
+) -> RelationalizedJson:
+    """Full dynamic pipeline: JSONL path (or variant DataFrame) ->
+    rid-linked flat tables with choice columns resolved.
+
+    Jobs: 1 scan for the merged schema, then per-table 1 scan for the
+    observed choice tags (skipped when a table has no conflicted
+    leaves and ``convert`` handling is trivial). All per-row work is
+    JVM-side variant casts and projections.
+    """
+    if isinstance(source, str):
+        if spark is None:
+            raise ValueError("pass spark= when source is a path")
+        vdf = read_jsonl_variant(spark, source)
+    else:
+        vdf = source
+
+    [vcol] = vdf.columns
+    tree = merged_variant_schema(vdf, vcol)
+    if tree.kind != "object":
+        raise ValueError(
+            f"top-level JSON must be objects, got {tree.kind} ({tree.leaf_type})"
+        )
+
+    typed = vdf.select(
+        F.try_variant_get(F.col(vcol), "$", _cast_ddl(tree)).alias("__r__")
+    ).select("__r__.*")
+
+    raw_tables = relationalize(typed, name, key_cols=key_cols)
+    tables: dict[str, DataFrame] = {}
+    schemas: dict[str, Schema] = {}
+    for tname, tdf in raw_tables.items():
+        if convert:
+            tables[tname], schemas[tname] = infer_and_convert(tdf)
+        else:
+            from ..operators.infer import schema_of_dataframe
+
+            tables[tname], schemas[tname] = tdf, schema_of_dataframe(tdf)
+    return RelationalizedJson(tables, schemas)

@@ -1,0 +1,199 @@
+"""End-to-end dynamic JSON pipeline: type-faithful ingestion, choice
+inference, conversion — mirroring the reference's README/mock-LMS
+scenarios (FIXTURES.md §B/§C)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from relationalize_spark.operators.infer import (
+    infer_and_convert,
+    schema_of_dataframe,
+)
+from relationalize_spark.sources.jsonl import (
+    parse_variant_schema,
+    relationalize_json,
+)
+
+
+def vdf(spark, objs):
+    return spark.createDataFrame(
+        [(json.dumps(o),) for o in objs], "value string"
+    ).select(F.parse_json("value").alias("v"))
+
+
+def rows(df):
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+# -- parser ------------------------------------------------------------------
+
+def test_parse_variant_schema_roundtrip():
+    t = parse_variant_schema(
+        "OBJECT<a: VARIANT, `a b`: BIGINT, arr: ARRAY<OBJECT<k: DECIMAL(21,1)>>, z: STRING>"
+    )
+    assert t.kind == "object"
+    assert set(t.fields) == {"a", "a b", "arr", "z"}
+    assert t.fields["a"].leaf_type == "VARIANT"
+    assert t.fields["arr"].element.fields["k"].leaf_type == "DECIMAL(21,1)"
+
+
+# -- choice semantics through the full pipeline ------------------------------
+
+def test_choice_split_mixed_types(spark):
+    out = relationalize_json(
+        vdf(
+            spark,
+            [
+                {"1": 1, "2": "foobar", "3": False, "4": 1.2},
+                {"1": "foobar", "2": 9.9, "3": True, "4": 9.5},
+            ],
+        ),
+        "root",
+    )
+    schema = out.schemas["root"]
+    # Schema keeps the reference semantics: original names, choice tags
+    assert schema.columns == {
+        "1": "c-int-str",
+        "2": "c-float-str",
+        "3": "bool",
+        "4": "float",
+    }
+    assert schema.output_columns() == ["1_int", "1_str", "2_float", "2_str", "3", "4"]
+    got = sorted(rows(out["root"]), key=lambda r: str(r))
+    assert {"1_int": 1, "1_str": None, "2_float": None, "2_str": "foobar", "3": False, "4": 1.2} in got
+    assert {"1_int": None, "1_str": "foobar", "2_float": 9.9, "2_str": None, "3": True, "4": 9.5} in got
+
+
+def test_inferred_choice_schema_tags(spark):
+    df = vdf(
+        spark,
+        [
+            {"1": 1, "2": "foobar", "3": False, "4": 1.2},
+            {"1": "foobar", "2": 9.9, "3": True, "4": 9.5},
+        ],
+    )
+    out = relationalize_json(df, "root", convert=False)
+    # Raw (unconverted) table keeps variant columns; run inference
+    converted, schema = infer_and_convert(out["root"])
+    assert schema.columns["1"] == "c-int-str"
+    assert schema.columns["2"] == "c-float-str"
+    assert schema.columns["3"] == "bool"
+    assert schema.columns["4"] == "float"
+
+
+def test_none_lattice_through_pipeline(spark):
+    out = relationalize_json(
+        vdf(spark, [{"a": None, "b": None}, {"a": 1, "b": None}]), "root"
+    )
+    schema = out.schemas["root"]
+    assert schema.columns["a"] == "int"
+    assert schema.columns["b"] == "none"
+    vals = sorted(rows(out["root"]), key=str)
+    assert [r["a"] for r in vals] in ([None, 1], [1, None])
+    assert all(r["b"] is None for r in vals)
+
+
+def test_readme_users_scenario(spark):
+    """README.md users: created_at int epoch OR str ISO -> c-int-str;
+    nested contact struct flattens; connections scalar array."""
+    users = [
+        {
+            "username": "ada",
+            "created_at": 1596751499,
+            "contact": {"email_address": "a@x.com", "phone_number": 5551234},
+            "connections": ["bob"],
+        },
+        {
+            "username": "bob",
+            "created_at": "2020-08-06T21:04:58",
+            "contact": {
+                "email_address": "b@x.com",
+                "phone_number": 5559876,
+                "address": {"city": "Springfield"},
+            },
+            "connections": [],
+        },
+    ]
+    out = relationalize_json(vdf(spark, users), "users", key_cols=None)
+    assert set(out.tables) == {"users", "users_connections"}
+    s = out.schemas["users"].columns
+    assert s["created_at"] == "c-int-str"
+    assert s["contact_email_address"] == "str"
+    assert s["contact_address_city"] == "str"
+    parents = {r["username"]: r for r in rows(out["users"])}
+    assert parents["ada"]["created_at_int"] == 1596751499
+    assert parents["bob"]["created_at_str"] == "2020-08-06T21:04:58"
+    # empty array still got a rid; only ada has a child row
+    assert parents["bob"]["connections"] is not None
+    children = rows(out["users_connections"])
+    assert len(children) == 1
+    assert children[0]["connections__val_"] == "bob"
+    assert children[0]["connections__rid_"] == parents["ada"]["connections"]
+
+
+def test_nested_array_of_arrays_json(spark):
+    out = relationalize_json(vdf(spark, [{"1": [[1], [2, "x"]]}]), "root")
+    assert set(out.tables) == {"root", "root_1", "root_1__val_"}
+    leaves = rows(out["root_1__val_"])
+    # mixed int/str element -> choice on the grandchild value column
+    s = out.schemas["root_1__val_"].columns
+    assert s["1__val___val_"] == "c-int-str"
+    got = {(r["1__val___val__int"], r["1__val___val__str"]) for r in leaves}
+    assert got == {(1, None), (2, None), (None, "x")}
+
+
+def test_mock_lms_shape(spark, tmp_path):
+    """mock LMS users fixture shape written as real JSONL on disk."""
+    lines = [
+        {
+            "user_id": "u1",
+            "created_at": 1600000000,
+            "name": "A",
+            "email": "a@x.com",
+            "enrollments": [
+                {"course_id": "c1", "timestamp": 1600000001},
+                {"course_id": "c2", "timestamp": 1600000002},
+            ],
+        },
+        {
+            "user_id": "u2",
+            "created_at": 1600000003,
+            "name": "B",
+            "email": "b@x.com",
+            "enrollments": [],
+        },
+    ]
+    p = tmp_path / "users.jsonl"
+    p.write_text("\n".join(json.dumps(x) for x in lines))
+    out = relationalize_json(str(p), "users", spark=spark, key_cols=["user_id"])
+    assert set(out.tables) == {"users", "users_enrollments"}
+    assert out.schemas["users"].columns == {
+        "user_id": "str",
+        "created_at": "int",
+        "name": "str",
+        "email": "str",
+        "enrollments": "str",
+    }
+    assert out.schemas["users_enrollments"].columns == {
+        "enrollments_course_id": "str",
+        "enrollments_timestamp": "int",
+        "enrollments__rid_": "str",
+        "enrollments__index_": "int",
+    }
+    children = sorted(rows(out["users_enrollments"]), key=lambda r: r["enrollments__index_"])
+    assert [c["enrollments_course_id"] for c in children] == ["c1", "c2"]
+    ddl = out.schemas["users"].generate_ddl("users")
+    assert '"created_at" BIGINT' in ddl
+
+
+def test_static_schema_of_dataframe(spark):
+    df = spark.range(3).select(
+        F.col("id"),
+        F.lit("x").alias("s"),
+        F.lit(1.5).alias("f"),
+        F.current_timestamp().alias("ts"),
+    )
+    s = schema_of_dataframe(df)
+    assert s.columns == {"id": "int", "s": "str", "f": "float", "ts": "datetime"}
