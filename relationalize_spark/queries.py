@@ -882,6 +882,29 @@ FROM events
 """
 
 
+def q35_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: text payloads as opaque binary through the
+    Arrow-batched mapInPandas feature extractor (decode stubbed
+    deterministically; see operators/multimodal.py). The oracle checks
+    the SQL-derivable outputs (sizes and stub geometry)."""
+    from .operators.multimodal import image_features
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    feats = image_features(d, binary_col="content", id_cols=("doc_id",))
+    return feats.select("doc_id", "n_bytes", "width", "height")
+
+
+Q35_SQL = """
+SELECT doc_id,
+  CAST(strlen(text) AS INT) AS n_bytes,
+  CAST(strlen(text) % 512 + 16 AS INT) AS width,
+  CAST((strlen(text) * 31) % 512 + 16 AS INT) AS height
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -923,6 +946,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
     "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
     "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
+    "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

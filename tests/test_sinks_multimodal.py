@@ -1,0 +1,119 @@
+"""Sinks (jsonl/csv/parquet/jdbc-DDL) and multimodal plumbing tests."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from relationalize_spark.operators.multimodal import (
+    audio_features,
+    image_features,
+    sample_frames,
+)
+from relationalize_spark.schema import Schema
+from relationalize_spark.sinks.jdbc import (
+    jdbc_column_types,
+    postgres_load_plan,
+    redshift_copy_sql,
+    write_jdbc,
+)
+from relationalize_spark.sinks.writers import (
+    write_csv_sorted,
+    write_jsonl,
+    write_parquet,
+    write_tables,
+)
+
+
+@pytest.fixture()
+def small(spark):
+    return spark.createDataFrame(
+        [(2, "b", 2.5), (1, "a", 1.5)], "zid long, alpha string, m double"
+    )
+
+
+def test_jsonl_roundtrip(spark, small, tmp_path):
+    p = str(tmp_path / "j")
+    write_jsonl(small, p)
+    back = spark.read.json(p)
+    assert back.count() == 2
+
+
+def test_csv_sorted_header(spark, small, tmp_path):
+    p = str(tmp_path / "c")
+    write_csv_sorted(small.repartition(1), p)
+    [f] = glob.glob(f"{p}/part-*.csv")
+    header = open(f).readline().strip()
+    assert header == "alpha,m,zid"
+
+
+def test_csv_with_choice_schema(spark, tmp_path):
+    s = Schema({"a": "c-int-str", "b": "bool"})
+    df = spark.createDataFrame(
+        [(1, None, True)], "a_int long, a_str string, b boolean"
+    )
+    p = str(tmp_path / "cc")
+    write_csv_sorted(df.repartition(1), p, schema=s)
+    [f] = glob.glob(f"{p}/part-*.csv")
+    assert open(f).readline().strip() == "a_int,a_str,b"
+    with pytest.raises(ValueError):
+        write_csv_sorted(df.drop("a_str"), str(tmp_path / "bad"), schema=s)
+
+
+def test_write_tables(spark, small, tmp_path):
+    write_tables({"t1": small, "t2": small}, str(tmp_path / "tabs"))
+    assert spark.read.parquet(str(tmp_path / "tabs" / "t1")).count() == 2
+    assert spark.read.parquet(str(tmp_path / "tabs" / "t2")).count() == 2
+
+
+def test_jdbc_plan(small):
+    s = Schema({"a": "c-int-str", "b": "bool", "z": "none"})
+    assert (
+        jdbc_column_types(s)
+        == '"a_int" BIGINT, "a_str" VARCHAR(65535), "b" BOOLEAN, "z" BOOLEAN'
+    )
+    w = write_jdbc(small, "jdbc:postgresql://h/db", "t", s)
+    assert w is not None  # plan assembles without a driver
+    plan = postgres_load_plan(s, "users")
+    assert plan[0] == 'DROP TABLE IF EXISTS "public"."users";'
+    assert "CREATE TABLE IF NOT EXISTS" in plan[1]
+    sql = redshift_copy_sql("t", "s3://b/k", "arn:aws:iam::1:role/r")
+    assert sql.startswith("COPY t FROM 's3://b/k'") and "GZIP" in sql
+
+
+@pytest.fixture()
+def binary_docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "abcdefgh" * 20), (3, None)],
+        "doc_id long, text string",
+    ).select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"),
+    )
+
+
+def test_image_features_deterministic(binary_docs):
+    rows = {r.doc_id: r for r in image_features(binary_docs).collect()}
+    r1 = rows[1]
+    n = len(b"hello world")
+    assert r1.n_bytes == n
+    assert r1.width == n % 512 + 16
+    assert r1.height == (n * 31) % 512 + 16
+    assert abs(r1.mean_byte - sum(b"hello world") / n) < 1e-9
+    assert len(r1.features) == 8
+    assert abs(sum(r1.features) - 1.0) < 1e-6
+
+
+def test_sample_frames(binary_docs):
+    frames = sample_frames(binary_docs, n_frames=4).collect()
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f)
+    assert len(by_doc[2]) == 4
+    assert sorted(f.frame_idx for f in by_doc[2]) == [0, 1, 2, 3]
+    assert all(f.frame_bytes == 40 for f in by_doc[2])
+
+
+def test_audio_features_stub(binary_docs):
+    with pytest.raises(NotImplementedError):
+        audio_features(binary_docs)

@@ -1,0 +1,111 @@
+"""Structured Streaming tests: file-source micro-batches through the
+relationalize demux, watermarked windows, session windows."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from relationalize_spark.streaming.relationalize_stream import (
+    parquet_table_sink,
+    relationalize_stream,
+    sessionize_stream,
+    windowed_counts,
+)
+
+USERS_SCHEMA = (
+    "user_id string, enrollments array<struct<course_id: string, ts: long>>"
+)
+
+
+@pytest.fixture()
+def users_stream(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"user_id": "u1", "enrollments": [{"course_id": "c1", "ts": 1}, {"course_id": "c2", "ts": 2}]},
+        {"user_id": "u2", "enrollments": []},
+    ]
+    (src / "part-0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    return spark.readStream.schema(USERS_SCHEMA).json(str(src))
+
+
+def test_relationalize_stream_demux(spark, users_stream, tmp_path):
+    out = tmp_path / "out"
+    q = (
+        relationalize_stream(
+            users_stream, "users", parquet_table_sink(str(out)), key_cols=["user_id"]
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    users = spark.read.parquet(str(out / "users"))
+    children = spark.read.parquet(str(out / "users_enrollments"))
+    assert users.count() == 2
+    assert children.count() == 2
+    parent = {r.user_id: r.enrollments for r in users.collect()}
+    assert all(
+        c.enrollments__rid_ == parent["u1"] for c in children.collect()
+    )
+    assert sorted(c.enrollments_course_id for c in children.collect()) == ["c1", "c2"]
+
+
+def test_windowed_counts(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:10:00", "event_type": "a"},
+        {"ts": "2024-01-01 00:50:00", "event_type": "a"},
+        {"ts": "2024-01-01 01:10:00", "event_type": "b"},
+    ]
+    (src / "p.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts string, event_type string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = windowed_counts(stream, "ts", "1 hour", "2 hours", ["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert res[("2024-01-01 00:00:00", "a")] == 2
+    assert res[("2024-01-01 01:00:00", "b")] == 1
+
+
+def test_sessionize_stream(spark, tmp_path):
+    src = tmp_path / "sess"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:00:00", "user_id": "u1"},
+        {"ts": "2024-01-01 00:10:00", "user_id": "u1"},  # same session
+        {"ts": "2024-01-01 02:00:00", "user_id": "u1"},  # new session
+    ]
+    (src / "p.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts string, user_id string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        sessionize_stream(stream, "ts", "user_id", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_out = spark.sql("select * from sessions").collect()
+    assert len(rows_out) == 2
+    assert sorted(r.n_events for r in rows_out) == [1, 2]
