@@ -15,10 +15,15 @@ Core surface:
 from .schema import Schema
 from .dialects import DIALECTS, POSTGRES, REDSHIFT, DUCKDB, SPARK_SQL
 from .operators.relationalize import relationalize
+from .operators.infer import infer_and_convert, schema_of_dataframe
+from .sources.jsonl import relationalize_json
 
 __all__ = [
     "Schema",
     "relationalize",
+    "relationalize_json",
+    "infer_and_convert",
+    "schema_of_dataframe",
     "DIALECTS",
     "POSTGRES",
     "REDSHIFT",

@@ -100,7 +100,9 @@ def jaccard_pairs(
     the join; for 100 TB add a document-frequency cap on shingles
     before the self-join (drop shingles appearing in >X% of docs —
     they cannot discriminate near-duplicates anyway)."""
-    sh = shingle_table(df, id_col, text_col, n)
+    # sh feeds both sides of the self-join plus the size aggregation;
+    # persist to avoid three shingle recomputations.
+    sh = shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -124,22 +126,29 @@ def jaccard_pairs(
 
 # -- MinHash + LSH ----------------------------------------------------------
 
-def _seeded_hash(i: int):
-    # NB: must be a one-arg lambda — a `lambda s, i=i` would have arity
-    # 2 and PySpark would silently bind the second parameter to the
-    # (element, index) form of transform(), making the array position
-    # override the seed.
-    return lambda s: F.xxhash64(s, F.lit(i))
-
-
 def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
-    """Array of ``num_hashes`` minima of seeded xxhash64 over the
-    shingle set — a (1/num_hashes)-resolution Jaccard sketch."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_arr, _seeded_hash(i)))
-            for i in range(num_hashes)
-        ]
+    """Array of ``num_hashes`` minima of a double-hashing family over
+    the shingle set — a (1/num_hashes)-resolution Jaccard sketch.
+
+    Each shingle is string-hashed exactly twice (xxhash64 with two
+    seeds); hash function i is the standard double-hashing combination
+    ``h1 + i*h2``, so widening the signature costs integer math, not
+    extra string hashing. Both hashes are masked to 31 bits so the
+    combination never overflows a long (Spark 4 runs ANSI mode and
+    would throw, not wrap). NB: the inner lambdas must stay one-arg —
+    a two-parameter lambda binds transform's (element, index) overload
+    and the index silently shadows the captured variable."""
+    m = F.lit(2**31)
+    h1 = F.transform(shingle_arr, lambda s: F.pmod(F.xxhash64(s), m))
+    h2 = F.transform(shingle_arr, lambda s: F.pmod(F.xxhash64(s, F.lit(1)), m))
+    # The outer pmod is essential: without the modular wrap, i*h2
+    # dominates the sum for i >= 2 and every "hash function" would
+    # select the same min-h2 shingle, degenerating the whole family.
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.zip_with(h1, h2, lambda a, b: F.pmod(a + i * b, m))
+        ),
     )
 
 
@@ -166,7 +175,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(text_col, n)).alias("sh"),
     )
-    sig = docs.select("id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    # The signature frame feeds both sides of the band self-join AND
+    # the exact-verification joins; persist it once instead of
+    # recomputing shingles + signatures four times.
+    sig = docs.select(
+        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    ).persist()
     band_entries = sig.select(
         "id",
         F.posexplode(
@@ -195,8 +209,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
         .distinct()
     )
-    da = docs.alias("da")
-    db = docs.alias("db")
+    da = sig.select("id", "sh").alias("da")
+    db = sig.select("id", "sh").alias("db")
     n_common = F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
     jac = n_common.cast("double") / (
         F.size(F.col("da.sh")) + F.size(F.col("db.sh")) - n_common

@@ -905,6 +905,29 @@ FROM documents
 """
 
 
+Q36_SQL = """
+SELECT n_name,
+  CAST(YEAR(o_orderdate) AS INT) AS order_year,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderstatus <> 'F'
+GROUP BY n_name, YEAR(o_orderdate)
+"""
+
+
+def q36_sql_api(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL surface: the same dialect-neutral ANSI string runs
+    verbatim through spark.sql over registered views AND through DuckDB
+    as its own oracle."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf, ("orders", "customer", "nation"))
+    return spark.sql(Q36_SQL)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -947,6 +970,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
     "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
     "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
+    "q36_sql_api": (q36_sql_api, Q36_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
