@@ -929,6 +929,246 @@ def q36_sql_api(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# As-of / range / pivot / extended TPC-H coverage
+# --------------------------------------------------------------------------
+
+def q37_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time join: annotate every event with the user's most
+    recent purchase at-or-before its timestamp. Spark lacks a native
+    as-of join; operators/asof.py implements the union-sort-window
+    formulation (one shuffle+sort per key). DuckDB's native ASOF JOIN
+    is the oracle."""
+    from .operators.asof import asof_join
+
+    e = load_table(spark, sf, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(left, right, on="user_id", ts="ts", right_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_asof").alias("last_purchase_ts"),
+        F.col("value").alias("last_purchase_value"),
+    )
+
+
+Q37_SQL = """
+WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+  r.ts AS last_purchase_ts, r.value AS last_purchase_value
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q38_range_bucket_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-containment join against a broadcast bucket dimension."""
+    from .operators.asof import range_bucket_join
+
+    e = load_table(spark, sf, "events")
+    buckets = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1000.0, "high")],
+        "lo double, hi double, label string",
+    )
+    return (
+        range_bucket_join(e, buckets, "value")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("decimal(38,2)").alias("sum_value"),
+        )
+    )
+
+
+Q38_SQL = """
+SELECT label, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+FROM events
+LEFT JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1000.0, 'high'))
+  b(lo, hi, label) ON value >= lo AND value < hi
+GROUP BY label
+"""
+
+
+def q39_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: order counts per nation x order-status as columns."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+Q39_SQL = """
+SELECT n_name,
+  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q40_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share of PROMO parts."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part")
+    disc_price = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).cast("decimal(38,4)").alias("promo_revenue"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("total_revenue"),
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+Q40_SQL = """
+WITH t AS (
+  SELECT CASE WHEN p_type LIKE 'PROMO%'
+              THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
+              ELSE CAST(0 AS DECIMAL(18,4)) END AS promo,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS dp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01')
+SELECT CAST(SUM(promo) AS DECIMAL(38,4)) AS promo_revenue,
+  CAST(SUM(dp) AS DECIMAL(38,4)) AS total_revenue,
+  100.0 * CAST(SUM(promo) AS DOUBLE) / CAST(SUM(dp) AS DOUBLE) AS promo_pct
+FROM t
+"""
+
+
+def q41_disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs selective predicates across the
+    join — Catalyst pushes the common parts below the join."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    disc_price = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return j.filter(clause).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(disc_price).cast("decimal(38,4)").alias("revenue"),
+    )
+
+
+Q41_SQL = """
+SELECT COUNT(*) AS n_items,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def q42_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less
+    customers, then a histogram of orders-per-customer."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q42_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q43_above_average_idle(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average balance)
+    feeding a filter, plus NOT EXISTS, grouped by nation. The scalar
+    aggregate joins in declaratively (broadcast of a 1-row frame), not
+    via driver collect."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("decimal(38,2)").alias("total_bal"),
+        )
+    )
+
+
+Q43_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -971,6 +1211,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
     "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
     "q36_sql_api": (q36_sql_api, Q36_SQL),
+    "q37_asof_join": (q37_asof_join, Q37_SQL),
+    "q38_range_bucket_join": (q38_range_bucket_join, Q38_SQL),
+    "q39_pivot_status": (q39_pivot_status, Q39_SQL),
+    "q40_promo_revenue": (q40_promo_revenue, Q40_SQL),
+    "q41_disjunctive_predicates": (q41_disjunctive_predicates, Q41_SQL),
+    "q42_customer_distribution": (q42_customer_distribution, Q42_SQL),
+    "q43_above_average_idle": (q43_above_average_idle, Q43_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -1,0 +1,84 @@
+"""As-of and range join operator semantics."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from relationalize_spark.operators.asof import asof_join, range_bucket_join
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def make(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", ts("2024-01-01 10:00:00")),
+            (2, "u1", ts("2024-01-01 12:00:00")),
+            (3, "u1", ts("2024-01-01 09:00:00")),  # before any right row
+            (4, "u2", ts("2024-01-01 10:30:00")),
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01 10:00:00"), 100.0),  # exact tie with event 1
+            ("u1", ts("2024-01-01 11:00:00"), 200.0),
+            ("u2", ts("2024-01-01 08:00:00"), 50.0),
+        ],
+        "user_id string, ts timestamp, price double",
+    )
+    return left, right
+
+
+def test_asof_backward_with_ties(spark):
+    left, right = make(spark)
+    out = {
+        r.event_id: (r.price, r.ts_asof)
+        for r in asof_join(left, right, on="user_id", ts="ts").collect()
+    }
+    assert out[1] == (100.0, ts("2024-01-01 10:00:00"))  # <= includes ties
+    assert out[2] == (200.0, ts("2024-01-01 11:00:00"))  # latest wins
+    assert out[3] == (None, None)  # nothing at-or-before
+    assert out[4] == (50.0, ts("2024-01-01 08:00:00"))
+
+
+def test_asof_tolerance(spark):
+    left, right = make(spark)
+    out = {
+        r.event_id: r.price
+        for r in asof_join(
+            left,
+            right,
+            on="user_id",
+            ts="ts",
+            tolerance=F.expr("INTERVAL 90 MINUTES"),
+        ).collect()
+    }
+    assert out[1] == 100.0  # 0 min old
+    assert out[2] == 200.0  # 60 min old
+    assert out[4] is None  # 150 min old: outside tolerance
+
+
+def test_asof_name_collision_suffix(spark):
+    left, right = make(spark)
+    left2 = left.withColumn("price", F.lit(-1.0))
+    row = (
+        asof_join(left2, right, on="user_id", ts="ts")
+        .filter(F.col("event_id") == 2)
+        .collect()[0]
+    )
+    assert row.price == -1.0  # left column untouched
+    assert row.price_asof == 200.0
+
+
+def test_range_bucket_join(spark):
+    fact = spark.createDataFrame(
+        [(1, 10.0), (2, 75.0), (3, 999.0)], "id long, value double"
+    )
+    buckets = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 100.0, "mid")], "lo double, hi double, label string"
+    )
+    out = {r.id: r.label for r in range_bucket_join(fact, buckets, "value").collect()}
+    assert out == {1: "low", 2: "mid", 3: None}
