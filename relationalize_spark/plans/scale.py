@@ -1,0 +1,88 @@
+"""Scale utilities: skew mitigation and shuffle-free co-located joins.
+
+AQE handles most skew at runtime (splitting oversized partitions in
+sort-merge joins); these helpers cover the cases it can't:
+
+- ``salted_count_distinct``: COUNT(DISTINCT v) per key shuffles every
+  (key, v) pair to one reducer per key — a single hot key melts one
+  task. Salting by hash(value) splits each key across N reducers and
+  a cheap second phase sums the per-bucket distinct counts (correct
+  because a value's bucket is a function of the value: no double
+  counting across buckets).
+- ``replicated_skew_join``: broadcast is impossible when the build
+  side is large AND a probe key is hot. Replicate the build side N
+  ways and route each probe row to a deterministic replica, so the
+  hot key's rows spread over N tasks.
+- ``write_bucketed`` / co-located joins: pre-shuffle both tables into
+  the same bucket layout once at write time; every subsequent join or
+  aggregation on the bucket key runs with NO exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt__"
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    key: str,
+    value: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof COUNT(DISTINCT value) GROUP BY key, two-phase."""
+    salted = df.withColumn(_SALT, F.pmod(F.xxhash64(F.col(value)), F.lit(buckets)))
+    partial = salted.groupBy(key, _SALT).agg(
+        F.countDistinct(value).alias("__partial__")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__partial__").alias(f"n_distinct_{value}")
+    )
+
+
+def replicated_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    replicas: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the right side replicated ``replicas`` ways.
+
+    Each left row picks one replica deterministically (hash of its
+    full content), so rows of a hot key land on ``replicas`` different
+    reducers instead of one. Output equals the plain join; cost is a
+    ``replicas``-times larger right shuffle — use when the right side
+    is small-ish but above broadcast size and the left is skewed.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    row_hash = F.xxhash64(*[F.col(c) for c in left.columns])
+    l = left.withColumn(_SALT, F.pmod(row_hash, F.lit(replicas)))
+    r = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(replicas).select(
+                F.col("id").cast("int").alias(_SALT)
+            )
+        )
+    )
+    joined = l.join(r, keys + [_SALT], how)
+    return joined.drop(_SALT)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist with a fixed bucket layout (hash-partitioned files +
+    metastore metadata). Joins/aggregations between tables bucketed on
+    the same key and count read with zero exchange."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

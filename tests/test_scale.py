@@ -1,0 +1,70 @@
+"""Scale utilities: salted aggregates/joins match their plain
+equivalents; bucketed joins run without a shuffle exchange."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from relationalize_spark.plans.scale import (
+    replicated_skew_join,
+    salted_count_distinct,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90%) + long tail
+    hot = spark.range(900).select(
+        F.lit("hot").alias("k"), (F.col("id") % 100).alias("v")
+    )
+    tail = spark.range(100).select(
+        F.concat(F.lit("t"), F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    return hot.union(tail)
+
+
+def test_salted_count_distinct_matches_exact(spark, skewed):
+    exact = {
+        r.k: r.n
+        for r in skewed.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    salted = {
+        r.k: r.n_distinct_v for r in salted_count_distinct(skewed, "k", "v").collect()
+    }
+    assert salted == exact
+
+
+def test_replicated_skew_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("t1", "T1"), ("t3", "T3")], "k string, label string"
+    )
+    plain = sorted(
+        (r.k, r.v, r.label) for r in skewed.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.label)
+        for r in replicated_skew_join(skewed, dim, "k", replicas=4).collect()
+    )
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("x")
+        )
+        b = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("y")
+        )
+        write_bucketed(a, "bkt_a", ["k"], num_buckets=8, sort_cols=["k"])
+        write_bucketed(b, "bkt_b", ["k"], num_buckets=8, sort_cols=["k"])
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "128m")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

@@ -1,0 +1,85 @@
+"""Cross-batch stateful operators: dedup state must survive between
+micro-batches and across query restarts on the same checkpoint."""
+
+import json
+
+from relationalize_spark.streaming.stateful import (
+    running_counter,
+    streaming_exact_dedup,
+)
+
+SCHEMA = "fp string, doc_id long"
+
+
+def _run_batch(spark, src, ckpt, out):
+    # File sink (not memory): memory sinks cannot recover from a
+    # checkpoint, and the whole point here is restart recovery.
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        streaming_exact_dedup(stream, "fp")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_dedup_across_batches_and_restarts(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    (src / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"fp": "a", "doc_id": 1},
+                {"fp": "a", "doc_id": 2},  # duplicate within batch
+                {"fp": "b", "doc_id": 3},
+            ]
+        )
+    )
+    _run_batch(spark, src, ckpt, out)
+    first = {(r.fp, r.doc_id) for r in spark.read.parquet(str(out)).collect()}
+    assert {fp for fp, _ in first} == {"a", "b"}
+    assert len(first) == 2
+
+    # Second file, new query on the SAME checkpoint: 'a' and 'b' must
+    # stay deduplicated via restored state; only 'c' survives.
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"fp": "a", "doc_id": 9},
+                {"fp": "c", "doc_id": 10},
+                {"fp": "b", "doc_id": 11},
+            ]
+        )
+    )
+    _run_batch(spark, src, ckpt, out)
+    after = {(r.fp, r.doc_id) for r in spark.read.parquet(str(out)).collect()}
+    assert after == first | {("c", 10)}
+
+
+def test_running_counter(spark, tmp_path):
+    src = tmp_path / "cin"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(json.dumps({"fp": k, "doc_id": i}) for i, k in enumerate("aab"))
+    )
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        running_counter(stream, "fp")
+        .writeStream.format("memory")
+        .queryName("counts_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = {r.key: r.total for r in spark.sql("select * from counts_out").collect()}
+    assert res == {"a": 2, "b": 1}
