@@ -33,6 +33,8 @@ HEADLINE = [
     "q23_text_stats",
     "q29_minhash_lsh_pairs",
     "q31_ann_topk",
+    "q37_asof_join",
+    "q34_relationalize_json_choice",
 ]
 
 

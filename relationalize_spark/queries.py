@@ -1168,6 +1168,50 @@ GROUP BY c_nationkey
 """
 
 
+def q44_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``, both linear interpolation over the
+    sorted exact values). Scale note: exact percentiles require a
+    per-group sort; at 100 TB switch to approx_percentile and drop
+    the oracle to a tolerance check."""
+    l = load_table(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("qty_p90"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("price_p25"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q44_SQL = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS qty_p50,
+  quantile_cont(l_quantity, 0.9) AS qty_p90,
+  quantile_cont(l_extendedprice, 0.25) AS price_p25,
+  COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q45_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """String-distance function battery (levenshtein is the classic
+    DP, identical definition in both engines)."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_brand"), F.substring(F.col("p_type"), 1, 8)).cast("int").alias("lev_brand_type"),
+        F.levenshtein(F.col("p_name"), F.reverse(F.col("p_name"))).cast("int").alias("lev_palindrome"),
+    )
+
+
+Q45_SQL = """
+SELECT p_partkey,
+  CAST(levenshtein(p_brand, SUBSTRING(p_type, 1, 8)) AS INT) AS lev_brand_type,
+  CAST(levenshtein(p_name, REVERSE(p_name)) AS INT) AS lev_palindrome
+FROM part
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1218,6 +1262,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q41_disjunctive_predicates": (q41_disjunctive_predicates, Q41_SQL),
     "q42_customer_distribution": (q42_customer_distribution, Q42_SQL),
     "q43_above_average_idle": (q43_above_average_idle, Q43_SQL),
+    "q44_percentiles": (q44_percentiles, Q44_SQL),
+    "q45_edit_distance": (q45_edit_distance, Q45_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

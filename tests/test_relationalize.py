@@ -202,3 +202,23 @@ def test_uuid_mode(spark):
     children = rows(out["root_xs"])
     assert all(c["xs__rid_"] == parent["xs"] for c in children)
     assert RID_RE.match(parent["xs"])
+
+
+def test_weird_column_names(spark):
+    """JSON keys with dots, spaces, and backticks must survive the
+    schema-driven flatten/explode planning."""
+    out = relationalize(
+        df_from_json(
+            spark,
+            [{"a.b": 1, "c d": {"e`f": 2}, "list col": [{"x.y": 3}]}],
+        ),
+        "root",
+    )
+    assert set(out) == {"root", "root_list col"}
+    [parent] = rows(out["root"])
+    assert parent["a.b"] == 1
+    assert parent["c d_e`f"] == 2
+    assert RID_RE.match(parent["list col"])
+    [child] = rows(out["root_list col"])
+    assert child["list col_x.y"] == 3
+    assert child["list col__rid_"] == parent["list col"]
