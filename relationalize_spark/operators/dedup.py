@@ -77,14 +77,64 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """62-bit hashes of word n-gram shingles WITHOUT building shingle
+    strings: each token is xxhash64'd once, then a shingle hash is the
+    modular polynomial combination of its n consecutive token hashes.
+    ~n times less string hashing than hashing shingle strings, and no
+    3-token string materialization at all. Collision probability per
+    document is ~(shingles^2)/2^62 — negligible for Jaccard purposes.
+    Short documents fall back to one whole-document shingle, matching
+    :func:`shingles`."""
+    toks = tokens(text)
+    # Two independent 31-bit polynomial lanes combined into one 62-bit
+    # value: every intermediate stays under 2^52, so ANSI-mode long
+    # arithmetic cannot overflow, while the effective hash space keeps
+    # collisions negligible.
+    #
+    # Implementation is array-at-a-time (slice + zip_with over shifted
+    # copies), NOT per-window element_at indexing: repeated element_at
+    # references re-evaluate the token-hash array per window (Catalyst
+    # does not CSE inside higher-order functions), which turns the
+    # whole thing quadratic in document length.
+    m = F.lit(2**31)
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), m))
+    n_sh = F.size(toks) - (n - 1)
+
+    def lane(mult: int) -> Column:
+        acc = F.slice(th, 1, n_sh)
+        for k in range(1, n):
+            shifted = F.slice(th, 1 + k, n_sh)
+            acc = F.zip_with(
+                acc, shifted, lambda a, b: F.pmod(a * F.lit(mult) + b, m)
+            )
+        return acc
+
+    windows = F.zip_with(
+        lane(1_000_003), lane(998_917), lambda a, b: a * m + b
+    )
+
+    def whole_lane(mult: int) -> Column:
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: F.pmod(acc * F.lit(mult) + h, m),
+        )
+
+    whole = F.array(whole_lane(1_000_003) * m + whole_lane(998_917))
+    return F.when(n_sh >= 1, windows).otherwise(whole)
+
+
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) with per-document distinct shingles — the inverted
-    index input."""
+    """(id, shingle-hash) with per-document distinct shingles — the
+    inverted index input. Uses hashed shingles (see shingle_hashes);
+    Jaccard over hash sets equals Jaccard over string sets up to a
+    ~2^-62 collision probability."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+        F.explode(F.array_distinct(shingle_hashes(text_col, n))).alias("shingle"),
     )
 
 
@@ -173,7 +223,7 @@ def minhash_lsh_pairs(
 
     docs = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, n)).alias("sh"),
+        F.array_distinct(shingle_hashes(text_col, n)).alias("sh"),
     )
     # The signature frame feeds both sides of the band self-join AND
     # the exact-verification joins; persist it once instead of
