@@ -80,6 +80,104 @@ def signature_expr(vec, planes: list[list[float]]):
     return sig
 
 
+def _kmeans_centroids(
+    sample: list[list[float]], n_clusters: int, iters: int = 8, seed: int = 42
+) -> list[list[float]]:
+    """Tiny driver-side k-means on a bounded sample (deterministic)."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype="float64")
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids.tolist()
+
+
+def _nearest_clusters_expr(vec, centroids: list[list[float]], n: int):
+    """Array of the n cluster ids with highest dot product, computed
+    with Catalyst array ops (scores -> sort by (-score, id) -> ids)."""
+    scores = F.array(
+        *[
+            F.struct(
+                (-dot(vec, F.array(*[F.lit(float(v)) for v in c]))).alias("neg"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.array_sort(scores)
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    round_scores: int | None = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a bounded sample trains
+    k-means centroids on the driver; every corpus vector lands in one
+    cluster (its argmax-dot centroid), queries probe their ``n_probe``
+    nearest clusters, and candidates re-rank exactly. The cluster
+    assignment is a pure Catalyst projection, the candidate join is an
+    equi-join on cluster id — O(N * probe/clusters) scored pairs
+    instead of O(Q x N)."""
+    sample = [
+        [float(x) for x in r[0]]
+        for r in corpus.select(vec_col).limit(sample_size).collect()
+    ]
+    centroids = _kmeans_centroids(sample, n_clusters, seed=seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c_tab = c.select(
+        "neighbor_id",
+        "cv",
+        _nearest_clusters_expr(F.col("cv"), centroids, 1)[0].alias("cluster"),
+    )
+    q_tab = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            _nearest_clusters_expr(F.col("qv"), centroids, n_probe)
+        ).alias("cluster"),
+    )
+    score = cosine(F.col("qv"), F.col("cv"))
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    candidates = (
+        F.broadcast(q_tab)
+        .join(c_tab, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

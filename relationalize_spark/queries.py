@@ -1212,6 +1212,40 @@ FROM part
 """
 
 
+def q46_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """The Arrow-vectorized UDF path, validated against the same SQL
+    oracle as the pure-Catalyst token counter."""
+    from .functions.udfs import pandas_token_count
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", pandas_token_count(F.col("text")).alias("n_tokens"))
+
+
+Q46_SQL = r"""
+SELECT doc_id, CAST(LEN(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens
+FROM documents
+"""
+
+
+def q47_grouped_demean(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-event-type mean-centering. The
+    Python-side mean uses math.fsum (correctly-rounded exact sum), so
+    it is bit-identical to CAST(exact DECIMAL SUM AS DOUBLE)/COUNT in
+    the oracle."""
+    from .functions.udfs import grouped_demean
+
+    e = load_table(spark, sf, "events")
+    return grouped_demean(e, "event_type", "value")
+
+
+Q47_SQL = """
+SELECT event_type, value,
+  value - (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY event_type)) AS demeaned
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1264,6 +1298,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q43_above_average_idle": (q43_above_average_idle, Q43_SQL),
     "q44_percentiles": (q44_percentiles, Q44_SQL),
     "q45_edit_distance": (q45_edit_distance, Q45_SQL),
+    "q46_pandas_udf": (q46_pandas_udf, Q46_SQL),
+    "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -106,3 +106,18 @@ def test_winnow_fingerprint_robust_to_case_and_ws(spark):
     )
     fps = [r.fp for r in df.select(TX.winnow_fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_ivf_topk_finds_planted_neighbor(vectors):
+    from relationalize_spark.operators.similarity import ivf_topk
+
+    res = ivf_topk(
+        vectors,
+        vectors.filter(F.col("vec_id") == 0),
+        k=3,
+        n_clusters=4,
+        n_probe=2,
+    )
+    rows = res.collect()
+    assert rows and rows[0].neighbor_id == 1
+    assert rows[0].score > 0.99
