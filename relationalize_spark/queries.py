@@ -1246,6 +1246,137 @@ FROM events
 """
 
 
+def q48_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average as a self-join
+    against the aggregated side (exact decimal mean -> one identical
+    float comparison per row)."""
+    l = load_table(spark, sf, "lineitem")
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        l.join(per_part, l.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("total_price"),
+        )
+    )
+
+
+Q48_SQL = """
+WITH pp AS (
+  SELECT l_partkey AS pk,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+FROM lineitem JOIN pp ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q49_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on an aggregate, joined back to the
+    customer dimension."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+Q49_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q50_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    disc_price = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q50_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q51_signup_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Event funnel: per user, did a purchase follow the first signup?
+    Conditional min-timestamps per user, then a flag comparison."""
+    e = load_table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    converted = (
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_signup"))
+    )
+    return per_user.select(
+        "user_id", "first_signup", "first_purchase", "n_events",
+        converted.alias("converted"),
+    )
+
+
+Q51_SQL = """
+SELECT user_id,
+  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+  COUNT(*) AS n_events,
+  COALESCE(MIN(CASE WHEN event_type = 'purchase' THEN ts END) >
+           MIN(CASE WHEN event_type = 'signup' THEN ts END), FALSE) AS converted
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1300,6 +1431,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q45_edit_distance": (q45_edit_distance, Q45_SQL),
     "q46_pandas_udf": (q46_pandas_udf, Q46_SQL),
     "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
+    "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
+    "q49_large_orders": (q49_large_orders, Q49_SQL),
+    "q50_returned_revenue": (q50_returned_revenue, Q50_SQL),
+    "q51_signup_purchase_funnel": (q51_signup_purchase_funnel, Q51_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
