@@ -186,18 +186,30 @@ def relationalize_json(
             f"top-level JSON must be objects, got {tree.kind} ({tree.leaf_type})"
         )
 
-    typed = vdf.select(
-        F.try_variant_get(F.col(vcol), "$", _cast_ddl(tree)).alias("__r__")
-    ).select("__r__.*")
+    # JSON keys are case-sensitive (the reference's Python dicts treat
+    # "col" and "Col" as distinct; its drop_duplicate_columns exists
+    # precisely to clean such pairs *later*). Spark resolves column
+    # names case-insensitively by default and would throw
+    # AMBIGUOUS_REFERENCE while we build the plans, so flip the session
+    # to case-sensitive for the (eager) analysis phase and restore.
+    session = vdf.sparkSession
+    prev_case = session.conf.get("spark.sql.caseSensitive")
+    session.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        typed = vdf.select(
+            F.try_variant_get(F.col(vcol), "$", _cast_ddl(tree)).alias("__r__")
+        ).select("__r__.*")
 
-    raw_tables = relationalize(typed, name, key_cols=key_cols)
-    tables: dict[str, DataFrame] = {}
-    schemas: dict[str, Schema] = {}
-    for tname, tdf in raw_tables.items():
-        if convert:
-            tables[tname], schemas[tname] = infer_and_convert(tdf)
-        else:
-            from ..operators.infer import schema_of_dataframe
+        raw_tables = relationalize(typed, name, key_cols=key_cols)
+        tables: dict[str, DataFrame] = {}
+        schemas: dict[str, Schema] = {}
+        for tname, tdf in raw_tables.items():
+            if convert:
+                tables[tname], schemas[tname] = infer_and_convert(tdf)
+            else:
+                from ..operators.infer import schema_of_dataframe
 
-            tables[tname], schemas[tname] = tdf, schema_of_dataframe(tdf)
+                tables[tname], schemas[tname] = tdf, schema_of_dataframe(tdf)
+    finally:
+        session.conf.set("spark.sql.caseSensitive", prev_case)
     return RelationalizedJson(tables, schemas)

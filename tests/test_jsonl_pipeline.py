@@ -197,3 +197,18 @@ def test_static_schema_of_dataframe(spark):
     )
     s = schema_of_dataframe(df)
     assert s.columns == {"id": "int", "s": "str", "f": "float", "ts": "datetime"}
+
+
+def test_case_sensitive_keys(spark):
+    """JSON keys differing only in case are distinct columns (the
+    reference's dicts are case-sensitive; Spark's default resolver is
+    not — the pipeline scopes case-sensitive analysis internally)."""
+    out = relationalize_json(
+        vdf(spark, [{"col": 1, "Col": 2, "COL": 3}]), "root"
+    )
+    [row] = rows(out["root"])
+    assert row == {"col": 1, "Col": 2, "COL": 3}
+    s = out.schemas["root"]
+    assert s.drop_duplicate_columns() == 2  # hygiene op cleans them
+    # and the surrounding session's resolver setting is untouched
+    assert spark.conf.get("spark.sql.caseSensitive") == "false"
