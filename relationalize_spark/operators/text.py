@@ -40,6 +40,23 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2 flavored, lookahead-free so it
+#: behaves identically under Java regex and RE2): contraction
+#: suffixes, letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Subword-style pre-tokens via the BPE-ish regex — the unit a
+    byte-pair tokenizer would merge from; counting them approximates
+    LLM token counts far better than whitespace words."""
+    return F.regexp_extract_all(_c(text), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def char_count(text: Column | str) -> Column:
     return F.length(_c(text))
 

@@ -1377,6 +1377,27 @@ FROM events GROUP BY user_id
 """
 
 
+def q52_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish subword token accounting (whitespace words vs regex
+    pre-tokens), the unit cost estimate for LLM training data."""
+    from .operators import text as TX
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").cast("int").alias("n_words"),
+        TX.bpe_token_count("text").cast("int").alias("n_bpe_tokens"),
+    )
+
+
+Q52_SQL = r"""
+SELECT doc_id,
+  CAST(LEN(regexp_split_to_array(text, '\s+')) AS INT) AS n_words,
+  CAST(LEN(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1435,6 +1456,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q49_large_orders": (q49_large_orders, Q49_SQL),
     "q50_returned_revenue": (q50_returned_revenue, Q50_SQL),
     "q51_signup_purchase_funnel": (q51_signup_purchase_funnel, Q51_SQL),
+    "q52_bpe_token_count": (q52_bpe_token_count, Q52_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -117,3 +117,13 @@ def test_sample_frames(binary_docs):
 def test_audio_features_stub(binary_docs):
     with pytest.raises(NotImplementedError):
         audio_features(binary_docs)
+
+
+def test_csv_reader_roundtrip(spark, small, tmp_path):
+    from relationalize_spark.sources.readers import read_csv
+
+    p = str(tmp_path / "csvsrc")
+    write_csv_sorted(small.repartition(1), p)
+    back = read_csv(spark, p, schema="alpha string, m double, zid long")
+    assert back.count() == 2
+    assert {r.alpha for r in back.collect()} == {"a", "b"}
