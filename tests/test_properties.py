@@ -1,0 +1,72 @@
+"""Property-based tests for the choice-type algebra.
+
+The distributed inference (operators/infer.py) is only correct if the
+union is a true commutative/associative/idempotent semilattice —
+Spark may combine partial aggregates in any grouping and order. These
+properties are exactly what hypothesis checks here.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# Wall-clock deadlines are meaningless next to JVM/GC pauses in this
+# suite; keep hypothesis about logic, not latency.
+settings.register_profile("no-deadline", deadline=None)
+settings.load_profile("no-deadline")
+
+from relationalize_spark import types as T
+from relationalize_spark.schema import Schema
+
+base_tags = st.sampled_from(["bool", "int", "float", "str", "none", "datetime", "date"])
+tag_sets = st.lists(base_tags, min_size=1, max_size=6)
+
+
+def tag_of(tags):
+    return T.normalize(tags)
+
+
+@given(tag_sets, tag_sets)
+def test_unify_commutative(a, b):
+    assert T.unify(tag_of(a), tag_of(b)) == T.unify(tag_of(b), tag_of(a))
+
+
+@given(tag_sets, tag_sets, tag_sets)
+def test_unify_associative(a, b, c):
+    x, y, z = tag_of(a), tag_of(b), tag_of(c)
+    assert T.unify(T.unify(x, y), z) == T.unify(x, T.unify(y, z))
+
+
+@given(tag_sets)
+def test_unify_idempotent(a):
+    x = tag_of(a)
+    assert T.unify(x, x) == x
+
+
+@given(tag_sets)
+def test_normalize_equals_fold(a):
+    """Normalizing a set at once == folding unify pairwise — the
+    guarantee that collect_set + driver-fold matches row-by-row
+    observation."""
+    folded = a[0]
+    for t in a[1:]:
+        folded = T.unify(folded, t)
+    assert folded == tag_of(a)
+
+
+@settings(max_examples=50)
+@given(st.lists(st.dictionaries(st.sampled_from("abcd"), st.one_of(
+    st.none(), st.booleans(), st.integers(-5, 5),
+    st.floats(allow_nan=False, allow_infinity=False, width=16), st.text(max_size=3),
+), max_size=4), min_size=1, max_size=6))
+def test_observe_sequence_equals_merge_of_singletons(records):
+    """Sequential observation == merging per-record schemas — the
+    map-reduce equivalence the reference asserts for one split
+    (reference test/schema.test.py:85-98), generalized."""
+    sequential = Schema()
+    singletons = []
+    for r in records:
+        sequential.observe(r)
+        s = Schema()
+        s.observe(r)
+        singletons.append(s)
+    assert Schema.merge(*singletons) == sequential
