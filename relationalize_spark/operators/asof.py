@@ -47,51 +47,49 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in {*keys, ts}]
 
     carried = {c: c + suffix if c in left.columns else c for c in right_cols}
+    # The whole matched right row travels as ONE struct so the output
+    # never mixes values from different right rows: last(ignorenulls)
+    # over independent columns would back-fill a NULL value column
+    # from an older right row (DuckDB ASOF carries the row atomically).
+    payload = "__asof_payload__"
     r = right.select(
         *keys,
         F.col(ts).alias(ts),
-        F.col(ts).alias(f"{ts}{suffix}"),
-        *[F.col(c).alias(carried[c]) for c in right_cols],
+        F.struct(
+            F.col(ts).alias("__ts__"),
+            *[F.col(c).alias(carried[c]) for c in right_cols],
+        ).alias(payload),
         F.lit(1).alias(_SIDE),
     )
     l = left.select(
         "*",
-        F.lit(None).cast(r.schema[f"{ts}{suffix}"].dataType).alias(f"{ts}{suffix}"),
-        *[
-            F.lit(None).cast(r.schema[carried[c]].dataType).alias(carried[c])
-            for c in right_cols
-        ],
+        F.lit(None).cast(r.schema[payload].dataType).alias(payload),
         F.lit(0).alias(_SIDE),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     # Right rows sort before left rows at equal ts so ties match
-    # (<= semantics). One running last-non-null per carried column.
+    # (<= semantics). One running last-non-null struct per key.
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.asc(ts), F.desc(_SIDE))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(carried[c], ignorenulls=True).over(w).alias(f"__f_{carried[c]}")
-            for c in right_cols
-        ],
-        F.last(f"{ts}{suffix}", ignorenulls=True).over(w).alias(f"__f_{ts}{suffix}"),
+        "*", F.last(payload, ignorenulls=True).over(w).alias("__f__")
     )
     out = filled.filter(F.col(_SIDE) == 0)
 
     in_tolerance = F.lit(True)
     if tolerance is not None:
-        in_tolerance = F.col(f"__f_{ts}{suffix}") >= (F.col(ts) - tolerance)
+        in_tolerance = F.col("__f__.__ts__") >= (F.col(ts) - tolerance)
     result_cols = [F.col(c) for c in left.columns]
     result_cols.append(
-        F.when(in_tolerance, F.col(f"__f_{ts}{suffix}")).alias(f"{ts}{suffix}")
+        F.when(in_tolerance, F.col("__f__.__ts__")).alias(f"{ts}{suffix}")
     )
     for c in right_cols:
         result_cols.append(
-            F.when(in_tolerance, F.col(f"__f_{carried[c]}")).alias(carried[c])
+            F.when(in_tolerance, F.col(f"__f__.{carried[c]}")).alias(carried[c])
         )
     return out.select(*result_cols)
 

@@ -73,6 +73,27 @@ def test_asof_name_collision_suffix(spark):
     assert row.price_asof == 200.0
 
 
+def test_asof_null_value_column_is_row_atomic(spark):
+    """The matched right row is carried atomically: a NULL value
+    column on the matching row must NOT be back-filled from an older
+    right row (the exact scenario from round-1 ADVICE)."""
+    left = spark.createDataFrame(
+        [(1, "u1", ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01 08:00:00"), 100.0, "old"),
+            ("u1", ts("2024-01-01 09:00:00"), None, "new"),
+        ],
+        "user_id string, ts timestamp, price double, src string",
+    )
+    row = asof_join(left, right, on="user_id", ts="ts").collect()[0]
+    assert row.ts_asof == ts("2024-01-01 09:00:00")
+    assert row.src == "new"
+    assert row.price is None  # from the matched row, not back-filled
+
+
 def test_range_bucket_join(spark):
     fact = spark.createDataFrame(
         [(1, 10.0), (2, 75.0), (3, 999.0)], "id long, value double"
