@@ -144,18 +144,40 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold, via
-    inverted-index join. Scale note: hot shingles (stop-phrases) skew
-    the join; for 100 TB add a document-frequency cap on shingles
-    before the self-join (drop shingles appearing in >X% of docs —
-    they cannot discriminate near-duplicates anyway)."""
+    inverted-index join.
+
+    ``max_df`` caps per-shingle document frequency: shingles that
+    appear in more than ``max_df`` documents (stop-phrases) are
+    excluded from the self-join. Without it, one shingle shared by 1%
+    of a 100 TB corpus melts a single reducer; with it, per-shingle
+    join fanout is bounded by max_df**2. Jaccard denominators still
+    count every shingle, so capped scores only UNDERcount the
+    intersection — pairs whose overlap is real near-duplication keep
+    their score, pairs held together only by stop-phrases drop out
+    (they were false positives for dedup anyway). ``None`` = exact.
+    """
     # sh feeds both sides of the self-join plus the size aggregation;
     # persist to avoid three shingle recomputations.
     sh = shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_df is not None:
+        # One extra groupBy on the shingle key (partial-aggregated, so
+        # the shuffle carries one row per distinct shingle, not per
+        # posting). The surviving-shingle list joins back as a
+        # semi-join on the same key the self-join shuffles on.
+        ok = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        joinable = sh.join(ok, "shingle", "left_semi")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
@@ -259,15 +281,29 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
         .distinct()
     )
-    da = sig.select("id", "sh").alias("da")
-    db = sig.select("id", "sh").alias("db")
-    n_common = F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
-    jac = n_common.cast("double") / (
-        F.size(F.col("da.sh")) + F.size(F.col("db.sh")) - n_common
+    # Exact verification via the inverted index: count common shingles
+    # by joining candidate pairs to the exploded posting table twice.
+    # Only (id, shingle) longs ride the shuffles — the per-document
+    # shingle ARRAYS never leave their partition, unlike an
+    # array_intersect join which ships whole sets per candidate pair.
+    sh_tab = sig.select("id", F.explode("sh").alias("shingle"))
+    sizes = sig.select("id", F.size("sh").alias("n_sh"))
+    common = (
+        candidates.join(
+            sh_tab.select(F.col("id").alias("i"), "shingle"), "i"
+        )
+        .join(sh_tab.select(F.col("id").alias("j"), "shingle"), ["j", "shingle"])
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("i"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("j"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        candidates.join(da, F.col("i") == F.col("da.id"))
-        .join(db, F.col("j") == F.col("db.id"))
+        common.join(sa, "i")
+        .join(sb, "j")
         .select("i", "j", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -348,19 +384,49 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
-    """Pairs of near-identical embeddings by cosine. Exact self-join —
-    quadratic, correct at any SF where it fits; at 100 TB use the LSH
-    bucketing in :mod:`.similarity` to restrict the pair space first."""
+    """Pairs of near-identical embeddings by cosine, via banded
+    random-hyperplane LSH candidates + exact verification — an
+    equi-join on (table, bucket), never a corpus x corpus cross join.
+
+    A pair at angle theta agrees with one hyperplane with probability
+    p = 1 - theta/pi, lands in the same bucket of one table with
+    p**n_planes, and is caught by any of n_tables independent tables
+    with recall = 1 - (1 - p**n_planes)**n_tables. Candidates are
+    re-scored exactly, so precision is 1.0. The defaults target the
+    real near-dup regime (threshold >= 0.9, p >= 0.85: recall > 0.99
+    while cutting the pair space by ~2**n_planes per table). For
+    low thresholds raise n_tables / lower n_planes and check the
+    formula — at theta near 60 deg LSH prunes little by nature.
+    """
+    from .similarity import _hyperplanes, signature_expr
+
     e = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-    a, b = e.alias("a"), e.alias("b")
-    score = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("i"),
-            F.col("b.id").alias("j"),
-            F.round(score, 6).alias("cos_sim"),
+    sigs = [
+        signature_expr(F.col("v"), _hyperplanes(dim, n_planes, seed + 1000 * t))
+        for t in range(n_tables)
+    ]
+    tab = e.select("id", F.posexplode(F.array(*sigs)).alias("tbl", "bucket"))
+    a, b = tab.alias("a"), tab.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .distinct()
+    )
+    va, vb = e.alias("va"), e.alias("vb")
+    score = cosine(F.col("va.v"), F.col("vb.v"))
+    return (
+        candidates.join(va, F.col("i") == F.col("va.id"))
+        .join(vb, F.col("j") == F.col("vb.id"))
+        .select("i", "j", F.round(score, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

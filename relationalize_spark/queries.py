@@ -771,11 +771,13 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
 
 def q28_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate pairs by 3-gram shingle Jaccard >= 0.5 via
-    inverted-index self-join."""
+    inverted-index self-join with a hot-shingle document-frequency
+    cap (1000 is far above this corpus's max df of 25, so the result
+    is exact here while the skew guard stays in the executed plan)."""
     from .operators.dedup import jaccard_pairs
 
     d = load_table(spark, sf, "documents")
-    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_df=1000)
 
 
 def q29_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -828,11 +830,15 @@ SELECT query_id, neighbor_id, score FROM (
 
 
 def q32_embedding_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup pairs by cosine >= 0.45 (exact self-join)."""
+    """Embedding near-dup pairs by cosine >= 0.45, via banded
+    hyperplane LSH + exact verify (equi-join candidates — the oracle
+    is the exact cross join, so this also pins LSH recall). 0.45 is a
+    ~63-degree angle, so recall needs many narrow tables here; at the
+    production threshold (>=0.9) the defaults prune far harder."""
     from .operators.dedup import embedding_dup_pairs
 
     e = load_table(spark, sf, "embeddings")
-    return embedding_dup_pairs(e, threshold=0.45)
+    return embedding_dup_pairs(e, threshold=0.45, n_planes=4, n_tables=48)
 
 
 Q32_SQL = """

@@ -49,6 +49,23 @@ def test_jaccard_finds_near_dups(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_jaccard_max_df_bounds_stop_phrase_fanout(spark):
+    """A stop-phrase shared by every document must not hold pairs
+    together once its shingles exceed the document-frequency cap,
+    while true near-duplicate pairs (df below the cap) survive."""
+    stop = "call now to subscribe to our newsletter today dear friends"
+    rows = [(i, f"unique content {i} alpha beta gamma {stop}") for i in range(6)]
+    rows += [
+        (10, "the quick brown fox jumps over the lazy dog near the river"),
+        (11, "the quick brown fox jumps over the lazy dog near the river today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.i, r.j) for r in jaccard_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) in uncapped  # stop-phrase alone fakes near-dup
+    capped = {(r.i, r.j) for r in jaccard_pairs(df, threshold=0.5, max_df=3).collect()}
+    assert capped == {(10, 11)}  # hot shingles excluded, real pair kept
+
+
 def test_minhash_matches_bruteforce(docs):
     brute = {(r.i, r.j) for r in jaccard_pairs(docs, threshold=0.8).collect()}
     lsh = {(r.i, r.j) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
@@ -97,6 +114,20 @@ def test_lsh_topk_finds_planted_neighbor(vectors):
     )
     rows = res.collect()
     assert rows and rows[0].neighbor_id == 1
+
+
+def test_embedding_dup_pairs_lsh_no_cartesian(vectors):
+    from relationalize_spark.operators.dedup import embedding_dup_pairs
+
+    res = embedding_dup_pairs(
+        vectors, threshold=0.95, dim=16, n_planes=6, n_tables=12
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    rows = res.collect()
+    assert [(r.i, r.j) for r in rows] == [(0, 1)]  # the planted near-dup
+    assert rows[0].cos_sim > 0.99
 
 
 def test_winnow_fingerprint_robust_to_case_and_ws(spark):
