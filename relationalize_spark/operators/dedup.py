@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine
+from ..plans.scale import ensure_parallelism
 from .text import WS, tokens
 
 
@@ -132,9 +133,12 @@ def shingle_table(
     inverted index input. Uses hashed shingles (see shingle_hashes);
     Jaccard over hash sets equals Jaccard over string sets up to a
     ~2^-62 collision probability."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingle_hashes(text_col, n))).alias("shingle"),
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    )
+    return base.select(
+        "id",
+        F.explode(F.array_distinct(shingle_hashes("__text__", n))).alias("shingle"),
     )
 
 
@@ -243,9 +247,11 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
 
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingle_hashes(text_col, n)).alias("sh"),
+    docs = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    ).select(
+        "id",
+        F.array_distinct(shingle_hashes("__text__", n)).alias("sh"),
     )
     # The signature frame feeds both sides of the band self-join AND
     # the exact-verification joins; persist it once instead of
@@ -342,9 +348,9 @@ def simhash_pairs(
     bit bands (pigeonhole), so bands >= max_hamming+1 gives recall 1."""
     assert bands >= max_hamming + 1, "pigeonhole requires bands > max_hamming"
     band_bits = 64 // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash_expr(text_col).alias("sig")
-    )
+    sigs = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    ).select("id", simhash_expr("__text__").alias("sig"))
     entries = sigs.select(
         "id",
         "sig",
@@ -405,7 +411,9 @@ def embedding_dup_pairs(
     """
     from .similarity import _hyperplanes, signature_expr
 
-    e = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    e = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    )
     sigs = [
         signature_expr(F.col("v"), _hyperplanes(dim, n_planes, seed + 1000 * t))
         for t in range(n_tables)

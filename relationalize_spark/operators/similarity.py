@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, dot
+from ..plans.scale import ensure_parallelism
 
 
 def brute_force_topk(
@@ -40,8 +41,8 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     )
     score = cosine(F.col("qv"), F.col("cv"))
     if round_scores is not None:
@@ -140,8 +141,8 @@ def ivf_topk(
     ]
     centroids = _kmeans_centroids(sample, n_clusters, seed=seed)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
@@ -194,8 +195,8 @@ def lsh_topk(
     bucket with the query in any of ``n_tables`` independent tables,
     re-ranked exactly by cosine. Recall grows with n_tables and falls
     with n_planes (bucket granularity)."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")

@@ -26,6 +26,22 @@ from pyspark.sql import functions as F
 _SALT = "__salt__"
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to ``min_partitions`` (default: the
+    cluster's default parallelism) ONLY if it currently has fewer
+    partitions. Compute-heavy per-row operators (shingling, MinHash
+    signatures, SimHash, vector math) otherwise inherit the scan's
+    partitioning — and a small parquet file is one row group, i.e. ONE
+    task hogging one core while the rest idle. At real scale inputs
+    already exceed the threshold and this is a no-op (checking
+    partition count is plan metadata, no job)."""
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def salted_count_distinct(
     df: DataFrame,
     key: str,

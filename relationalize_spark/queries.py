@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.relationalize import relationalize
+from .plans.scale import ensure_parallelism
 from .sources.tables import load_table
 
 D2 = "decimal(18,2)"
@@ -542,7 +543,12 @@ def q20_relationalize_explode(spark: SparkSession, sf: str) -> DataFrame:
     The per-order sort uses the full column tuple so index assignment
     is multiset-stable even for duplicate rows."""
     l = load_table(spark, sf, "lineitem")
-    nested = l.groupBy("l_orderkey").agg(
+    # Hash-partition by the group key BEFORE the collect_list: the
+    # single-row-group parquet scan is one task, and shipping raw rows
+    # through one exchange then aggregating on all cores beats partial
+    # collect_list aggregation on the lone scan task (collect_list has
+    # no map-side reduction to exploit anyway).
+    nested = l.repartition("l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(F.struct(*_LINEITEM_COLS))).alias("lineitems")
     )
     tables = relationalize(nested, "orders", key_cols=["l_orderkey"])
@@ -601,7 +607,12 @@ def q22_relationalize_linkage(spark: SparkSession, sf: str) -> DataFrame:
     join the child table back to the parent on the rid and count
     children per order — must equal the plain GROUP BY count."""
     l = load_table(spark, sf, "lineitem")
-    nested = l.groupBy("l_orderkey").agg(
+    # Hash-partition by the group key BEFORE the collect_list: the
+    # single-row-group parquet scan is one task, and shipping raw rows
+    # through one exchange then aggregating on all cores beats partial
+    # collect_list aggregation on the lone scan task (collect_list has
+    # no map-side reduction to exploit anyway).
+    nested = l.repartition("l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(F.struct(*_LINEITEM_COLS))).alias("lineitems")
     )
     tables = relationalize(nested, "orders", key_cols=["l_orderkey"])
@@ -876,7 +887,9 @@ def q34_relationalize_json_choice(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))),
         F.lit("}"),
     )
-    vdf = e.select(F.parse_json(line).alias("v"))
+    # Two passes (schema inference + conversion) over parse_json output;
+    # spread them across cores — the single-row-group scan is one task.
+    vdf = ensure_parallelism(e.select(F.parse_json(line).alias("v")))
     return relationalize_json(vdf, "events_json")["events_json"]
 
 
