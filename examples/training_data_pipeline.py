@@ -2,8 +2,15 @@
 
 Chains the LLM-pipeline operators end to end: language ID + quality
 scoring -> quality filter -> exact dedup -> MinHash near-dedup ->
-token accounting — the shape of a 100 TB curation job, runnable here
-on the sf test data.
+token accounting -> BUCKETED output — the shape of a 100 TB curation
+job, runnable here on the sf test data.
+
+The bucketed write is the load-for-downstream-joins step: curated
+documents and their embeddings land hash-bucketed on doc_id, so every
+later join or per-document aggregation (training-shard assembly,
+embedding lookups, incremental re-curation) runs with ZERO shuffle
+exchange — the layout is the reference's rid-linkage story expressed
+as Spark bucketing (ref README.md:107-119).
 
     python examples/training_data_pipeline.py [sf_dir]
 """
@@ -16,6 +23,7 @@ import pyspark.sql.functions as F
 
 from relationalize_spark.operators import text as TX
 from relationalize_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from relationalize_spark.plans.scale import write_bucketed
 from relationalize_spark.plans.session import get_spark
 from relationalize_spark.sources.tables import load_table
 
@@ -48,6 +56,24 @@ def main() -> None:
     print(f"after near dedup: {after_near}")
     print(f"tokens kept:      {tokens_total}")
     kept.groupBy("lang_id_").count().show()
+
+    # Load for downstream joins: curated docs + their embeddings,
+    # co-bucketed on doc_id. The verification join below must run
+    # with no Exchange in the executed plan.
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    write_bucketed(kept, "curated_docs", ["doc_id"], num_buckets=16,
+                   sort_cols=["doc_id"])
+    write_bucketed(emb, "curated_doc_embeddings", ["doc_id"], num_buckets=16,
+                   sort_cols=["doc_id"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    joined = spark.table("curated_docs").join(
+        spark.table("curated_doc_embeddings"), "doc_id"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    print(f"curated+embeddings rows: {joined.count()}")
+    print(f"shuffle-free co-located join: {'Exchange' not in plan}")
 
 
 if __name__ == "__main__":

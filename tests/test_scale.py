@@ -48,6 +48,36 @@ def test_replicated_skew_join_matches_plain(spark, skewed):
     assert salted == plain
 
 
+def test_documents_bucketed_pipeline_join_no_exchange(spark):
+    """The training-data pipeline's final layout: curated documents and
+    embeddings co-bucketed on doc_id join with zero shuffle exchange."""
+    import pyspark.sql.functions as F
+
+    from relationalize_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumnRenamed(
+            "vec_id", "doc_id"
+        )
+        write_bucketed(docs, "t_curated", ["doc_id"], num_buckets=8, sort_cols=["doc_id"])
+        write_bucketed(emb, "t_emb", ["doc_id"], num_buckets=8, sort_cols=["doc_id"])
+        joined = spark.table("t_curated").join(spark.table("t_emb"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and a per-document aggregation over the bucket key is also
+        # exchange-free
+        agg = spark.table("t_curated").groupBy("doc_id").agg(F.count(F.lit(1)))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, agg_plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "128m")
+        spark.sql("DROP TABLE IF EXISTS t_curated")
+        spark.sql("DROP TABLE IF EXISTS t_emb")
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
