@@ -134,7 +134,15 @@ def ivf_topk(
     nearest clusters, and candidates re-rank exactly. The cluster
     assignment is a pure Catalyst projection, the candidate join is an
     equi-join on cluster id — O(N * probe/clusters) scored pairs
-    instead of O(Q x N)."""
+    instead of O(Q x N).
+
+    Recall contract: >= 0.9 top-k recall on clustered corpora (pinned
+    by test_ivf_recall_on_clustered_data). On isotropic/uniform
+    vectors recall drops (~0.76 measured at these defaults) because
+    centroid cells carve arbitrary boundaries through a structureless
+    cloud — inherent to IVF; raise ``n_probe`` (every +1 adds
+    ~1/n_clusters of the corpus to the candidate set) or use
+    :func:`lsh_topk` for such data."""
     sample = [
         [float(x) for x in r[0]]
         for r in corpus.select(vec_col).limit(sample_size).collect()

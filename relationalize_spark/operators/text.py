@@ -84,10 +84,22 @@ def stopword_ratio(
     return hits.cast("double") / F.size(toks)
 
 
+def profile_pattern(words: tuple[str, ...]) -> str:
+    """Regex for one language profile. Latin-script profiles anchor on
+    \\b word boundaries; CJK profiles use plain substring alternation —
+    \\b only fires at [A-Za-z0-9_] transitions in both Java regex and
+    RE2, so a boundary-anchored Han character can never match (and CJK
+    text has no spaces to bound anyway). Shared by the Spark operator
+    and the generated DuckDB oracle so both engines stay in lockstep."""
+    cjk = any(ord(ch) > 0x2E7F for w in words for ch in w)
+    if cjk:
+        return "(?:" + "|".join(words) + ")"
+    return r"\b(?:" + "|".join(words) + r")\b"
+
+
 def lang_hits(text: Column | str, words: tuple[str, ...]) -> Column:
-    """Count of word-boundary stopword hits for one language profile."""
-    pattern = r"\b(?:" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(_c(text), F.lit(pattern), 0))
+    """Count of stopword hits for one language profile."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(profile_pattern(words)), 0))
 
 
 def lang_id(text: Column | str) -> Column:

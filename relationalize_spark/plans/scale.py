@@ -72,7 +72,19 @@ def replicated_skew_join(
     reducers instead of one. Output equals the plain join; cost is a
     ``replicas``-times larger right shuffle — use when the right side
     is small-ish but above broadcast size and the left is skewed.
+
+    Only left-preserving joins are allowed: with the right side
+    replicated, an unmatched right row would be emitted once per
+    replica under right/full outer semantics.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"replicated_skew_join supports {sorted(allowed)}, got {how!r}: "
+            "right/full outer would duplicate unmatched right rows "
+            "once per replica"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     row_hash = F.xxhash64(*[F.col(c) for c in left.columns])
     l = left.withColumn(_SALT, F.pmod(row_hash, F.lit(replicas)))

@@ -666,15 +666,11 @@ def q24_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", TX.lang_id("text").alias("lang_guess"))
 
 
-def _lang_pattern(words) -> str:
-    return r"\b(?:" + "|".join(words) + r")\b"
-
-
 def _q24_sql() -> str:
-    from .operators.text import LANG_PROFILES
+    from .operators.text import LANG_PROFILES, profile_pattern
 
     counts = ",\n  ".join(
-        f"len(regexp_extract_all(text, '{_lang_pattern(w)}')) AS c_{lang}"
+        f"len(regexp_extract_all(text, '{profile_pattern(w)}')) AS c_{lang}"
         for lang, w in LANG_PROFILES
     )
     langs = [lang for lang, _ in LANG_PROFILES]

@@ -118,8 +118,18 @@ def parse_variant_schema(s: str) -> VNode:
 
 def _cast_ddl(node: VNode) -> str:
     """DDL for the variant->struct cast: conflicted (VARIANT) and
-    all-null (VOID) leaves stay VARIANT; numeric leaves widen to the
-    reference 'float' (DOUBLE); everything else keeps its type."""
+    all-null (VOID) leaves stay VARIANT; everything else keeps its
+    type.
+
+    Fractional-numeric leaves (DECIMAL/DOUBLE/FLOAT) ALSO stay
+    VARIANT: ``schema_of_variant_agg`` numerically merges BIGINT with
+    DECIMAL (values 1 and 2.5 -> DECIMAL(21,1)), so a typed cast here
+    would silently coerce mixed int/float keys to DOUBLE and the
+    reference's c-float-int choice column could never arise. Keeping
+    them VARIANT routes them through the per-row tag aggregation in
+    operators/infer.py, which emits the choice split for genuinely
+    mixed keys and a plain DOUBLE column for all-float keys — exactly
+    the reference's behavior (ref schema.py:194-257)."""
     if node.kind == "object":
         parts = []
         for name, child in node.fields.items():
@@ -129,10 +139,8 @@ def _cast_ddl(node: VNode) -> str:
     if node.kind == "array":
         return f"array<{_cast_ddl(node.element)}>"
     t = node.leaf_type.upper()
-    if t in ("VARIANT", "VOID"):
+    if t in ("VARIANT", "VOID") or t.startswith("DECIMAL") or t in ("DOUBLE", "FLOAT"):
         return "variant"
-    if t.startswith("DECIMAL") or t == "FLOAT":
-        return "double"
     return node.leaf_type.lower()
 
 

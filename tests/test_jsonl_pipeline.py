@@ -66,6 +66,22 @@ def test_choice_split_mixed_types(spark):
     assert {"1_int": None, "1_str": "foobar", "2_float": 9.9, "2_str": None, "3": True, "4": 9.5} in got
 
 
+def test_mixed_int_float_produces_choice(spark):
+    """Round-1 ADVICE regression: schema_of_variant_agg numerically
+    merges BIGINT+DECIMAL (1 and 2.5 -> DECIMAL(21,1)); the pipeline
+    must still emit the reference's c-float-int choice, not a silent
+    DOUBLE coercion that turns 1 into 1.0."""
+    out = relationalize_json(
+        vdf(spark, [{"m": 1, "p": 2.5}, {"m": 2.5, "p": 3.25}]), "root"
+    )
+    schema = out.schemas["root"]
+    assert schema.columns == {"m": "c-float-int", "p": "float"}
+    assert schema.output_columns() == ["m_float", "m_int", "p"]
+    got = sorted(rows(out["root"]), key=lambda r: str(r))
+    assert {"m_int": 1, "m_float": None, "p": 2.5} in got
+    assert {"m_int": None, "m_float": 2.5, "p": 3.25} in got
+
+
 def test_inferred_choice_schema_tags(spark):
     df = vdf(
         spark,

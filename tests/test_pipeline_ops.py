@@ -36,6 +36,19 @@ def test_text_stats(spark, docs):
     assert r[0].lang == "en"
 
 
+def test_lang_id_cjk_and_latin(spark):
+    rows = [
+        (1, "的 确 是 不 了 在 人 有 我 的 是"),          # spaced zh
+        (2, "这是一个没有空格的中文句子我们在人有了"),        # unspaced zh
+        (3, "el que la de y en los se hablan"),
+        (4, "just some plain english text about the thing and it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", TX.lang_id("text").alias("lang")).collect()}
+    assert out == {1: "zh", 2: "zh", 3: "es", 4: "en"}
+
+
 def test_exact_dedup_keeps_min_id(docs):
     kept = exact_dedup(docs, subset=["text"], tiebreak="doc_id").collect()
     ids = sorted(r.doc_id for r in kept)
@@ -137,6 +150,34 @@ def test_winnow_fingerprint_robust_to_case_and_ws(spark):
     )
     fps = [r.fp for r in df.select(TX.winnow_fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """Pin the IVF recall contract in its design regime (clustered
+    corpora): top-5 recall vs brute force must stay >= 0.9. On
+    uniform-random vectors recall is lower (~0.76 measured at the
+    defaults) because argmax-centroid partitions carve arbitrary
+    boundaries through an isotropic cloud — that is inherent to IVF,
+    not a bug; raise n_probe for such data."""
+    import numpy as np
+
+    from relationalize_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((50, 16)) * 0.5 for c in centers]
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)  # 10 queries
+
+    brute = brute_force_topk(corpus, queries, k=5)
+    ivf = ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=2)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.9, f"IVF recall {recall} below contract"
 
 
 def test_ivf_topk_finds_planted_neighbor(vectors):

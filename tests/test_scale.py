@@ -48,6 +48,15 @@ def test_replicated_skew_join_matches_plain(spark, skewed):
     assert salted == plain
 
 
+def test_replicated_skew_join_rejects_right_outer(spark, skewed):
+    dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+    with pytest.raises(ValueError, match="right/full outer"):
+        replicated_skew_join(skewed, dim, "k", replicas=4, how="right")
+    # left-preserving flavors still work
+    n = replicated_skew_join(skewed, dim, "k", replicas=4, how="left_semi").count()
+    assert n == 900
+
+
 def test_documents_bucketed_pipeline_join_no_exchange(spark):
     """The training-data pipeline's final layout: curated documents and
     embeddings co-bucketed on doc_id join with zero shuffle exchange."""
