@@ -1413,6 +1413,72 @@ FROM documents
 """
 
 
+def q53_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-5 by random-hyperplane LSH bucketing + exact
+    re-rank, checked against the exact brute-force oracle. On this
+    uniform corpus neighbor cosines sit near 0.4 (per-plane agreement
+    ~0.63), so recall needs wide tables: 3 planes x 48 tables gives
+    per-pair miss probability (1 - 0.63^3)^48 ~ 1e-5. At production
+    similarity levels the same recall costs far fewer tables."""
+    from .operators.similarity import lsh_topk
+
+    e = load_table(spark, sf, "embeddings")
+    return lsh_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        k=5,
+        n_planes=3,
+        n_tables=48,
+        dim=64,
+        round_scores=6,
+    )
+
+
+Q53_SQL = Q31_SQL  # exact oracle: LSH must reproduce brute force here
+
+
+def q54_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming driven to completion: watermarked tumbling
+    1-hour windows over the events file stream, Trigger.AvailableNow,
+    results via a complete-mode memory sink. Deterministic against the
+    batch oracle because complete mode emits every window and the
+    final watermark only evicts state after the last batch."""
+    from .streaming.relationalize_stream import windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    # File streams take a directory; select just the events file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_counts(
+        stream, ts_col="ts", window="1 hour", watermark="2 hours",
+        group_cols=["event_type"],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q54_windowed")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q54_windowed")
+
+
+Q54_SQL = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+  CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+  event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1472,6 +1538,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q50_returned_revenue": (q50_returned_revenue, Q50_SQL),
     "q51_signup_purchase_funnel": (q51_signup_purchase_funnel, Q51_SQL),
     "q52_bpe_token_count": (q52_bpe_token_count, Q52_SQL),
+    "q53_ann_lsh_topk": (q53_ann_lsh_topk, Q53_SQL),
+    "q54_streaming_windowed_counts": (q54_streaming_windowed_counts, Q54_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
