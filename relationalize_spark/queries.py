@@ -1479,6 +1479,60 @@ GROUP BY 1, 2, 3
 """
 
 
+def q55_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming gap-based sessionization via native session_window
+    state, driven to completion (AvailableNow + complete-mode memory
+    sink) and checked against a SQL islands oracle: a session is a
+    maximal run of same-user events with gaps <= 30 min; its end is
+    last_event + gap."""
+    from .streaming.relationalize_stream import sessionize_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = sessionize_stream(
+        stream, ts_col="ts", user_col="user_id", gap="30 minutes",
+        watermark="2 hours",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q55_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q55_sessions")
+
+
+Q55_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+y AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM y GROUP BY user_id, sid
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1540,6 +1594,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q52_bpe_token_count": (q52_bpe_token_count, Q52_SQL),
     "q53_ann_lsh_topk": (q53_ann_lsh_topk, Q53_SQL),
     "q54_streaming_windowed_counts": (q54_streaming_windowed_counts, Q54_SQL),
+    "q55_streaming_sessionize": (q55_streaming_sessionize, Q55_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -114,9 +114,51 @@ def test_sample_frames(binary_docs):
     assert all(f.frame_bytes == 40 for f in by_doc[2])
 
 
-def test_audio_features_stub(binary_docs):
-    with pytest.raises(NotImplementedError):
-        audio_features(binary_docs)
+def _wav_bytes(freq_hz, rate=8000, seconds=0.25, amplitude=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    samples = [
+        int(amplitude * 32767 * math.sin(2 * math.pi * freq_hz * i / rate))
+        for i in range(n)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def test_audio_features_decodes_real_wav(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(440))),
+            (2, bytearray(_wav_bytes(880))),
+            (3, bytearray(b"not audio at all")),
+            (4, None),
+        ],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in audio_features(df).collect()}
+    r1 = rows[1]
+    assert r1.sample_rate == 8000 and r1.n_channels == 1
+    assert r1.n_samples == 2000
+    assert abs(r1.duration_s - 0.25) < 1e-9
+    # sine RMS = amplitude/sqrt(2)
+    assert abs(r1.rms - 0.5 / math.sqrt(2)) < 0.01
+    # zero crossings of a sine ~ 2 * freq / rate
+    assert abs(r1.zero_crossing_rate - 2 * 440 / 8000) < 0.01
+    assert abs(rows[2].zero_crossing_rate - 2 * 880 / 8000) < 0.01
+    # non-WAV payloads yield NULL features, not a failed job
+    assert rows[3].sample_rate is None and rows[3].n_bytes == 16
+    assert rows[4].n_bytes is None
 
 
 def test_csv_reader_roundtrip(spark, small, tmp_path):
