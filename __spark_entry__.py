@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(revenue).cast("decimal(38,4)").alias("revenue"),
+            F.sum(revenue).cast("double").alias("revenue"),
         )
     )
 

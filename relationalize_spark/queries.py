@@ -1533,6 +1533,122 @@ FROM y GROUP BY user_id, sid
 """
 
 
+def q56_sole_supplier_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to available columns): per supplier,
+    the number of finished orders where it was the ONLY supplier.
+    The NOT-EXISTS-other-supplier predicate runs as one aggregation
+    (count distinct suppliers per order == 1) instead of a correlated
+    self-join probe per row — same result, one shuffle on orderkey,
+    and the supplier dimension broadcasts."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf, "supplier")
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+             F.min("l_suppkey").alias("the_supp"))
+        .filter(F.col("n_supp") == 1)
+    )
+    return (
+        per_order.join(F.broadcast(s), per_order.the_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_solo_orders"))
+        .orderBy(F.desc("n_solo_orders"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+Q56_SQL = """
+SELECT s_name, COUNT(*) AS n_solo_orders
+FROM (
+  SELECT l_orderkey, MIN(l_suppkey) AS the_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) = 1
+) solo JOIN supplier ON the_supp = s_suppkey
+GROUP BY s_name
+ORDER BY n_solo_orders DESC, s_name ASC
+LIMIT 10
+"""
+
+
+def q57_cheapest_part_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: parts matching the per-group minimum price
+    (correlated MIN subquery). The per-type minimum is a tiny
+    aggregate broadcast back against the part scan — no correlated
+    per-row probe, no shuffle of the fact side."""
+    p = load_table(spark, sf, "part")
+    mins = p.groupBy(F.col("p_type").alias("t")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_type == mins.t) & (p.p_retailprice == mins.min_price),
+        )
+        .select("p_type", "p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+Q57_SQL = """
+SELECT p_type, p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+ORDER BY p_type, p_partkey
+"""
+
+
+def q58_rich_idle_customers_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no RECENT orders (none since 2000-01-01), rolled up by
+    nation. The global average is an exact decimal aggregate (one
+    row, broadcast into the filter); lapsed customers come from a
+    left-anti join against the date-pruned orders scan — the date
+    predicate pushes to the parquet reader, so the anti-join's right
+    side is already a fraction of the fact table."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab")
+        )
+    )
+    idle = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+Q58_SQL = """
+WITH ab AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS n_cust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1595,6 +1711,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q53_ann_lsh_topk": (q53_ann_lsh_topk, Q53_SQL),
     "q54_streaming_windowed_counts": (q54_streaming_windowed_counts, Q54_SQL),
     "q55_streaming_sessionize": (q55_streaming_sessionize, Q55_SQL),
+    "q56_sole_supplier_orders": (q56_sole_supplier_orders, Q56_SQL),
+    "q57_cheapest_part_per_type": (q57_cheapest_part_per_type, Q57_SQL),
+    "q58_rich_idle_customers_by_nation": (q58_rich_idle_customers_by_nation, Q58_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
