@@ -156,12 +156,20 @@ class RelationalizedJson:
 
     tables: dict[str, DataFrame]
     schemas: dict[str, Schema]
+    _cached_input: DataFrame | None = None
 
     def __getitem__(self, name: str) -> DataFrame:
         return self.tables[name]
 
     def __iter__(self):
         return iter(self.tables)
+
+    def unpersist(self) -> None:
+        """Release the cached parsed-variant input (call after the
+        output tables have been written; further reads of them would
+        re-parse the JSON)."""
+        if self._cached_input is not None:
+            self._cached_input.unpersist()
 
 
 def relationalize_json(
@@ -171,6 +179,7 @@ def relationalize_json(
     spark: SparkSession | None = None,
     key_cols: list[str] | None = None,
     convert: bool = True,
+    persist: bool = True,
 ) -> RelationalizedJson:
     """Full dynamic pipeline: JSONL path (or variant DataFrame) ->
     rid-linked flat tables with choice columns resolved.
@@ -179,6 +188,17 @@ def relationalize_json(
     observed choice tags (skipped when a table has no conflicted
     leaves and ``convert`` handling is trivial). All per-row work is
     JVM-side variant casts and projections.
+
+    The pipeline is inherently multi-pass (schema union needs every
+    row before the typed cast exists — same reason the reference
+    iterates the file twice, ref README.md:60-77), so by default the
+    parsed-variant input is persisted MEMORY_AND_DISK for the
+    analysis passes and left cached for the caller's materialization:
+    the JSON parse is paid once, not once per pass. Call
+    ``.unpersist()`` on the result after writing the tables, or pass
+    ``persist=False`` to trade repeated parsing for zero cache
+    footprint (the right call when the cluster is memory-tight and
+    the source is a cheap columnar scan).
     """
     if isinstance(source, str):
         if spark is None:
@@ -186,6 +206,13 @@ def relationalize_json(
         vdf = read_jsonl_variant(spark, source)
     else:
         vdf = source
+
+    cached = None
+    if persist:
+        from pyspark import StorageLevel
+
+        vdf = vdf.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = vdf
 
     [vcol] = vdf.columns
     tree = merged_variant_schema(vdf, vcol)
@@ -220,4 +247,4 @@ def relationalize_json(
                 tables[tname], schemas[tname] = tdf, schema_of_dataframe(tdf)
     finally:
         session.conf.set("spark.sql.caseSensitive", prev_case)
-    return RelationalizedJson(tables, schemas)
+    return RelationalizedJson(tables, schemas, _cached_input=cached)
