@@ -2,6 +2,7 @@ from .relationalize import relationalize
 from .infer import infer_and_convert, schema_of_dataframe
 from .asof import asof_join, range_bucket_join
 from .dedup import (
+    dedup_clusters,
     exact_dedup,
     embedding_dup_pairs,
     jaccard_pairs,
@@ -16,6 +17,7 @@ __all__ = [
     "schema_of_dataframe",
     "asof_join",
     "range_bucket_join",
+    "dedup_clusters",
     "exact_dedup",
     "embedding_dup_pairs",
     "jaccard_pairs",

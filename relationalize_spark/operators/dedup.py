@@ -438,3 +438,75 @@ def embedding_dup_pairs(
         .select("i", "j", F.round(score, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# -- dedup clusters (connected components) ----------------------------------
+
+def dedup_clusters(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "i",
+    dst_col: str = "j",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: connected components
+    by hash-min label propagation, the step after pair generation in
+    a dedup pipeline (keep one representative per component).
+
+    Every node starts labeled with its own id; each round propagates
+    labels across the symmetrized edge set and keeps the per-node
+    minimum — one shuffle join plus one shuffle aggregation per
+    round, all JVM-side. Near-duplicate graphs are unions of
+    near-cliques with tiny diameters, so 2-4 rounds converge; the
+    ``max_iter`` bound guards pathological chains. Convergence is
+    detected exactly with a left-anti join against the previous
+    labels (type-generic; labels only ever decrease).
+
+    Two things make the loop safe at scale: the per-iteration
+    ``localCheckpoint`` truncates the logical plan (iterative lineage
+    otherwise grows without bound and analysis time explodes), and
+    the symmetrized edge set is persisted once rather than recomputed
+    from the (possibly expensive) pair generator every round. On a
+    real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()`` for fault tolerance; localCheckpoint trades
+    executor-loss recovery for speed, which is the right default in
+    a bounded batch job.
+
+    Returns (id_col, cluster_id) for EVERY node — singletons keep
+    their own id as cluster_id.
+    """
+    from pyspark import StorageLevel
+
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lab")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iter):
+            prop = sym.join(labels, F.col("src") == F.col("node")).select(
+                F.col("dst").alias("node"), F.col("lab")
+            )
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("lab").alias("lab"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(labels, ["node", "lab"], "left_anti").limit(1).count()
+            )
+            old = labels
+            labels = new_labels
+            old.unpersist()
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lab").alias("cluster_id")
+    )

@@ -168,3 +168,75 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint_": fingerprint(text_col),
         }
     )
+
+
+# -- term statistics / relevance ranking ------------------------------------
+
+def term_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(document, term) frequency table: (id, term, tf, dl) where
+    ``tf`` is the term's count in the document and ``dl`` the document
+    length in tokens. One explode + one shuffle on (id, term); the
+    downstream df/idf aggregates are partial-aggregated map-side.
+    Terms are lowercased whitespace tokens — swap ``tokens`` for
+    ``bpe_tokens`` for subword statistics."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+            token_count(text_col).alias("dl"),
+        )
+        .groupBy("id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents against a bag of query terms.
+
+    Shape for scale: the per-term document frequencies and the corpus
+    aggregates (N, avgdl) are tiny one-row/`len(query_terms)`-row
+    frames — both broadcast — while the posting rows for the query
+    terms come out of ONE filtered pass over the term table (the
+    ``term IN (...)`` predicate prunes before any shuffle). Nothing
+    quadratic, no full-corpus scoring: only documents containing at
+    least one query term are scored.
+
+    Returns (id, score) for the top-k by BM25 descending, id
+    ascending for determinism. ``score`` is rounded to 6 decimals so
+    double accumulation order cannot flip equal-score orderings."""
+    ts = term_stats(df, id_col, text_col)
+    qterms = [t.lower() for t in query_terms]
+    postings = ts.filter(F.col("term").isin(qterms))
+
+    corpus = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(text_col).cast("double")).alias("avgdl"),
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(corpus))
+        .groupBy("id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )

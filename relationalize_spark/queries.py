@@ -1649,6 +1649,113 @@ GROUP BY c_nationkey
 """
 
 
+def q59_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate clustering: Jaccard>=0.5 pairs become edges,
+    hash-min label propagation assigns every document the minimum
+    doc_id reachable through duplicate links. The iterative step is
+    O(diameter) shuffle rounds over (id, label) longs with per-round
+    lineage truncation — duplicate clusters are near-cliques, so it
+    converges in 2-3 rounds regardless of corpus size."""
+    from .operators.dedup import dedup_clusters, jaccard_pairs
+
+    d = load_table(spark, sf, "documents")
+    edges = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_df=1000)
+    return dedup_clusters(d, edges, id_col="doc_id", src_col="i", dst_col="j")
+
+
+Q59_SQL = r"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+  ) GROUP BY doc_id, shingle
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT i, j FROM common JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def q60_bm25_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-20 for a 3-term query over the documents
+    corpus. Only postings for the query terms leave the token
+    explode (predicate applied before any shuffle); df/N/avgdl are
+    broadcast scalars, so the whole ranking is one filtered pass
+    plus a per-document aggregation."""
+    from .operators.text import bm25_topk
+
+    d = load_table(spark, sf, "documents")
+    return bm25_topk(d, ["join", "hash", "filter"], k=20, id_col="doc_id")
+
+
+Q60_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array(text, '\s+'))) AS term,
+         len(regexp_split_to_array(text, '\s+')) AS dl
+  FROM documents),
+postings AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf FROM tok
+  WHERE term IN ('join', 'hash', 'filter') GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         AVG(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)) AS avgdl
+  FROM documents)
+SELECT doc_id AS id, ROUND(SUM(
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+  ), 6) AS score
+FROM postings JOIN dfreq USING (term) CROSS JOIN corpus
+GROUP BY doc_id
+ORDER BY score DESC, id ASC
+LIMIT 20
+"""
+
+
+def q61_hash_split_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the documents
+    corpus by multiplicative id hash, profiled per (split, lang).
+    The split label is a pure projection (no shuffle, no RNG state),
+    so the assignment is stable across reruns, repartitions, and
+    appends — the property randomSplit lacks."""
+    from .operators.sampling import hash_split
+
+    d = load_table(spark, sf, "documents")
+    return (
+        hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+Q61_SQL = """
+SELECT CASE
+         WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+         WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+         ELSE 'test'
+       END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1714,6 +1821,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q56_sole_supplier_orders": (q56_sole_supplier_orders, Q56_SQL),
     "q57_cheapest_part_per_type": (q57_cheapest_part_per_type, Q57_SQL),
     "q58_rich_idle_customers_by_nation": (q58_rich_idle_customers_by_nation, Q58_SQL),
+    "q59_dedup_clusters": (q59_dedup_clusters, Q59_SQL),
+    "q60_bm25_rank": (q60_bm25_rank, Q60_SQL),
+    "q61_hash_split_profile": (q61_hash_split_profile, Q61_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -193,3 +193,30 @@ def test_ivf_topk_finds_planted_neighbor(vectors):
     rows = res.collect()
     assert rows and rows[0].neighbor_id == 1
     assert rows[0].score > 0.99
+
+
+def test_dedup_clusters_chain_and_singletons(spark):
+    from relationalize_spark.operators.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    # chain 1-2-3-4 (worst-case diameter), pair 5-6, singleton 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "i long, j long"
+    )
+    out = {
+        r.id: r.cluster_id
+        for r in dedup_clusters(nodes, edges, id_col="id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_string_ids(spark):
+    from relationalize_spark.operators.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    edges = spark.createDataFrame([("c", "b")], "i string, j string")
+    out = {
+        r.id: r.cluster_id
+        for r in dedup_clusters(nodes, edges, id_col="id").collect()
+    }
+    assert out == {"a": "a", "b": "b", "c": "b"}
