@@ -510,3 +510,62 @@ def dedup_clusters(
     return labels.select(
         F.col("node").alias(id_col), F.col("lab").alias("cluster_id")
     )
+
+
+def ngram_overlap_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every (corpus doc, eval doc)
+    pair sharing at least one word n-gram, the fraction of the eval
+    doc's distinct n-grams that the corpus doc also contains.
+
+    Shape for scale: an inverted-index join on hashed n-grams, never
+    corpus x eval all-pairs — postings from both sides meet on the
+    shingle key, so candidates exist only where overlap exists, and
+    the shuffle carries one row per (doc, distinct n-gram). The eval
+    side (a benchmark set) is small; its per-doc n-gram counts join
+    back as a broadcast. ``max_df`` drops corpus-side stop-phrases
+    before the join (document-frequency cap, same rationale as
+    jaccard_pairs): at 100 TB one boilerplate n-gram shared by 1% of
+    the corpus would otherwise melt a single reducer; a capped
+    n-gram can only UNDERcount ``common``, never invent overlap.
+
+    Returns (corpus_id, eval_id, common, overlap) where
+    overlap = common / |eval-doc distinct n-grams| >= min_overlap.
+    """
+    c_sh = shingle_table(corpus, id_col, text_col, n)
+    e_sh = shingle_table(eval_df, id_col, text_col, n).persist()
+    e_sizes = e_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_eval"))
+    if max_df is not None:
+        keep = (
+            c_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        c_sh = c_sh.join(keep, "shingle", "left_semi")
+    common = (
+        c_sh.withColumnRenamed("id", "corpus_id")
+        .join(e_sh.withColumnRenamed("id", "eval_id"), "shingle")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            F.broadcast(e_sizes.withColumnRenamed("id", "eval_id")), "eval_id"
+        )
+        .select(
+            "corpus_id",
+            "eval_id",
+            "common",
+            (F.col("common").cast("double") / F.col("n_eval")).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= F.lit(min_overlap))
+    )
+    return out

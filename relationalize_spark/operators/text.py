@@ -240,3 +240,90 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
+
+
+def word_ngrams(text: Column | str, n: int = 4) -> Column:
+    """Array of space-joined word ``n``-grams in string form — the
+    reporting surface for boilerplate/contamination inspection (the
+    dedup family joins on *hashed* shingles instead; see
+    ``dedup.shingle_hashes``)."""
+    toks = tokens(text)
+    n_grams = F.size(toks) - (n - 1)
+    arr = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # sequence(1, stop) counts DOWN when stop < 1; short documents
+    # must yield an empty array, not [1, 0, ...]-indexed garbage.
+    return F.when(n_grams >= 1, arr).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def phrase_doc_frequency(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 4
+) -> DataFrame:
+    """(phrase, df): how many documents contain each distinct word
+    n-gram. One explode + one partial-aggregated groupBy — the
+    map-side combine collapses each partition to its distinct
+    phrases, so the shuffle carries distinct (phrase, partial-count)
+    rows, not postings."""
+    from ..plans.scale import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    )
+    return (
+        base.select(
+            F.explode(F.array_distinct(word_ngrams("__text__", n))).alias("phrase")
+        )
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def boilerplate_phrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    top_k: int = 20,
+) -> DataFrame:
+    """The ``top_k`` most corpus-frequent word n-grams — boilerplate
+    candidates (headers, disclaimers, navigation chrome) to strip
+    before training. Deterministic order: df desc, phrase asc."""
+    return (
+        phrase_doc_frequency(df, id_col, text_col, n)
+        .orderBy(F.desc("df"), F.asc("phrase"))
+        .limit(top_k)
+    )
+
+
+#: PII patterns, applied in order. Kept lookaround-free and
+#: anchored with \b so Java regex (Spark) and RE2 (DuckDB oracle)
+#: agree byte-for-byte. Counting runs each pattern against the
+#: ORIGINAL text; redaction applies them sequentially.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{2,3}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern kind in the raw text (long)."""
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.size(F.regexp_extract_all(_c(text), F.lit(pat), 0)).cast("long")
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder token.
+
+    Pure Catalyst regexp_replace chain — scan-speed, no Python in
+    the hot path, safe to run over every document of a 100 TB corpus
+    as a projection fused into the scan."""
+    out = _c(text)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

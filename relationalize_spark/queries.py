@@ -1756,6 +1756,131 @@ GROUP BY 1, 2
 """
 
 
+def q62_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination scan: treat every 50th document as the
+    held-out eval set and report corpus documents containing >= 30%
+    of an eval doc's distinct 3-gram shingles. Inverted-index join on
+    hashed n-grams (no corpus x eval cross product), corpus-side
+    stop-phrase df cap in the executed plan."""
+    from .operators.dedup import ngram_overlap_pairs
+
+    d = load_table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    eval_df = d.filter(F.col("doc_id") % 50 == 0)
+    return ngram_overlap_pairs(
+        corpus, eval_df, "doc_id", "text", n=3, min_overlap=0.3, max_df=1000
+    )
+
+
+Q62_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+  ) GROUP BY doc_id, shingle
+),
+ce AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+ee AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+esz AS (SELECT doc_id, COUNT(*) AS n_eval FROM ee GROUP BY 1),
+com AS (
+  SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id, COUNT(*) AS common
+  FROM ce c JOIN ee e ON c.shingle = e.shingle
+  GROUP BY 1, 2)
+SELECT corpus_id, eval_id, common,
+       CAST(common AS DOUBLE) / n_eval AS overlap
+FROM com JOIN esz ON eval_id = esz.doc_id
+WHERE CAST(common AS DOUBLE) / n_eval >= 0.3
+"""
+
+
+def q63_boilerplate_phrases(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 most corpus-frequent word 4-grams — boilerplate
+    candidates to strip before training. Map-side combine collapses
+    each partition to distinct phrases before the single shuffle."""
+    from .operators.text import boilerplate_phrases
+
+    d = load_table(spark, sf, "documents")
+    return boilerplate_phrases(d, "doc_id", "text", n=4, top_k=20)
+
+
+Q63_SQL = r"""
+WITH ph AS (
+  SELECT DISTINCT doc_id, phrase FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+        i -> array_to_string(toks[i:i+3], ' '))) AS phrase
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+  )
+)
+SELECT phrase, COUNT(*) AS df FROM ph GROUP BY 1
+ORDER BY df DESC, phrase ASC LIMIT 20
+"""
+
+
+def q64_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction as a pure scan-fused projection.
+
+    The corpus text carries no PII, so each document gets a
+    deterministic contact line derived from its doc_id (same
+    construction in the oracle); the query then counts and redacts
+    emails / IPv4s / SSNs / phone numbers with the shared
+    ``PII_PATTERNS`` regex chain. Patterns are lookaround-free so
+    Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte."""
+    from .operators.text import pii_count, redact_pii
+
+    d = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    profile = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"), did.cast("string"), F.lit("@example.org"),
+        F.lit(" from 10.0."), (did % 256).cast("string"),
+        F.lit("."), (did % 100).cast("string"),
+        F.lit(" ssn "), F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-45-6789"),
+        F.lit(" tel 55-"), F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-867-5309"),
+    )
+    p = d.select("doc_id", profile.alias("profile"))
+    red = redact_pii(F.col("profile"))
+    return p.select(
+        "doc_id",
+        pii_count("profile", "email").alias("n_email"),
+        pii_count("profile", "ipv4").alias("n_ip"),
+        pii_count("profile", "ssn").alias("n_ssn"),
+        pii_count("profile", "phone").alias("n_phone"),
+        F.md5(red).alias("redacted_fp"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+def _q64_sql() -> str:
+    from .operators.text import PII_PATTERNS
+
+    pats = {k: p for k, p, _ in PII_PATTERNS}
+    red = "profile"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+    text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.org'
+      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-45-6789'
+      || ' tel 55-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-867-5309'
+      AS profile
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(profile, '{pats["email"]}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(profile, '{pats["ipv4"]}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(profile, '{pats["ssn"]}')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(profile, '{pats["phone"]}')) AS BIGINT) AS n_phone,
+  md5({red}) AS redacted_fp,
+  CAST(length({red}) AS BIGINT) AS redacted_len
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1824,12 +1949,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q59_dedup_clusters": (q59_dedup_clusters, Q59_SQL),
     "q60_bm25_rank": (q60_bm25_rank, Q60_SQL),
     "q61_hash_split_profile": (q61_hash_split_profile, Q61_SQL),
+    "q62_contamination": (q62_contamination, Q62_SQL),
+    "q63_boilerplate_phrases": (q63_boilerplate_phrases, Q63_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
 # side uses, so the two can never drift apart).
 REGISTRY["q24_lang_id"] = (q24_lang_id, _q24_sql())
 REGISTRY["q25_quality_score"] = (q25_quality_score, _q25_sql())
+REGISTRY["q64_pii_redaction"] = (q64_pii_redaction, _q64_sql())
 
 
 def queries() -> dict[str, QueryFn]:

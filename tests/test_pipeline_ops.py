@@ -220,3 +220,88 @@ def test_dedup_clusters_string_ids(spark):
         for r in dedup_clusters(nodes, edges, id_col="id").collect()
     }
     assert out == {"a": "a", "b": "b", "c": "b"}
+
+
+def test_ngram_overlap_contamination(spark):
+    """Planted contamination: an eval doc fully contained in a corpus
+    doc scores 1.0; partial containment scores its exact fraction;
+    unrelated corpus docs never pair."""
+    from relationalize_spark.operators.dedup import ngram_overlap_pairs
+
+    eval_rows = [(100, "alpha beta gamma delta epsilon zeta")]
+    corpus_rows = [
+        (1, "prefix words alpha beta gamma delta epsilon zeta suffix words"),
+        (2, "alpha beta gamma unrelated tail of tokens here"),
+        (3, "completely different content with no shared trigrams at all"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        (r.corpus_id, r.eval_id): (r.common, r.overlap)
+        for r in ngram_overlap_pairs(
+            corpus, ev, n=3, min_overlap=0.2
+        ).collect()
+    }
+    # eval doc has 4 distinct trigrams; doc 1 contains all 4, doc 2
+    # contains exactly "alpha beta gamma".
+    assert got[(1, 100)] == (4, 1.0)
+    assert got[(2, 100)] == (1, 0.25)
+    assert (3, 100) not in got
+
+
+def test_ngram_overlap_max_df_cap(spark):
+    """A boilerplate n-gram present in every corpus doc is dropped by
+    the df cap, so it cannot manufacture contamination pairs."""
+    from relationalize_spark.operators.dedup import ngram_overlap_pairs
+
+    boiler = "subscribe to our newsletter"
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i} body {boiler}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"eval question text {boiler}")], "doc_id long, text string"
+    )
+    uncapped = ngram_overlap_pairs(corpus, ev, n=3, min_overlap=0.1).count()
+    capped = ngram_overlap_pairs(
+        corpus, ev, n=3, min_overlap=0.1, max_df=3
+    ).count()
+    assert uncapped == 8 and capped == 0
+
+
+def test_word_ngrams_and_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d"),
+            (3, "x y"),  # shorter than n -> no phrases
+            (4, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    arr = df.select(TX.word_ngrams("text", 4).alias("g")).collect()
+    assert arr[0].g == ["a b c d", "b c d e"]
+    assert arr[2].g == []
+    top = TX.boilerplate_phrases(df, n=4, top_k=2).collect()
+    assert [(r.phrase, r.df) for r in top] == [("a b c d", 3), ("b c d e", 1)]
+
+
+def test_pii_redaction_and_counts(spark):
+    raw = (
+        "reach me at jane.doe+spam@mail.example.co or 10.20.30.40, "
+        "ssn 123-45-6789, office tel 25-989-741-2988 end"
+    )
+    df = spark.createDataFrame([(raw,)], "text string")
+    row = df.select(
+        TX.redact_pii("text").alias("red"),
+        TX.pii_count("text", "email").alias("e"),
+        TX.pii_count("text", "ipv4").alias("i"),
+        TX.pii_count("text", "ssn").alias("s"),
+        TX.pii_count("text", "phone").alias("p"),
+    ).first()
+    assert row.red == (
+        "reach me at <EMAIL> or <IP>, ssn <SSN>, office tel <PHONE> end"
+    )
+    assert (row.e, row.i, row.s, row.p) == (1, 1, 1, 1)
+    clean = df.select(TX.redact_pii(F.lit("no pii here")).alias("r")).first()
+    assert clean.r == "no pii here"
