@@ -1881,6 +1881,84 @@ FROM p
 """
 
 
+def q65_supplier_cnt_by_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp approximated by lineitem's
+    part-supplier pairs): distinct-supplier counts per part attribute
+    group, excluding a NOT-IN supplier blocklist. part and the tiny
+    blocklist both broadcast, so the only shuffle is the final
+    distinct-count aggregation on the group keys."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("SMALL"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q65_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'SMALL%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q66_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 flavor: suppliers shipping > 30% of a part's total
+    quantity, counted per supplier.
+
+    The part total comes from a window sum over the already-grouped
+    (partkey, suppkey) rows rather than a groupBy + self-join — the
+    self-join form shuffles and scans lineitem twice (verified: no
+    exchange reuse fires), while the window form is one scan and one
+    shuffle on l_partkey: the per-pair aggregation, the partition
+    total, and the share filter are all partition-local after it.
+    The supplier dimension broadcasts."""
+    l = load_table(spark, sf, "lineitem").repartition(F.col("l_partkey"))
+    per = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("q")
+    )
+    tq = F.sum("q").over(Window.partitionBy("l_partkey"))
+    s = load_table(spark, sf, "supplier")
+    dominated = per.withColumn("tq", tq).filter(
+        F.col("q").cast("double") > 0.3 * F.col("tq").cast("double")
+    )
+    return (
+        dominated.join(F.broadcast(s), dominated.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("dominated_parts"))
+    )
+
+
+Q66_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT l_partkey, SUM(q) AS tq FROM per GROUP BY 1)
+SELECT s_suppkey, s_name, COUNT(*) AS dominated_parts
+FROM per
+JOIN tot USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE CAST(q AS DOUBLE) > 0.3 * CAST(tq AS DOUBLE)
+GROUP BY s_suppkey, s_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1951,6 +2029,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q61_hash_split_profile": (q61_hash_split_profile, Q61_SQL),
     "q62_contamination": (q62_contamination, Q62_SQL),
     "q63_boilerplate_phrases": (q63_boilerplate_phrases, Q63_SQL),
+    "q65_supplier_cnt_by_part": (q65_supplier_cnt_by_part, Q65_SQL),
+    "q66_dominant_suppliers": (q66_dominant_suppliers, Q66_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
