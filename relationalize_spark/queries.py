@@ -1959,6 +1959,38 @@ GROUP BY s_suppkey, s_name
 """
 
 
+def q67_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """K-means (k=10, 5 Lloyd's iterations, deterministic lowest-id
+    init) over the embeddings table, profiled per cluster: size,
+    majority ground-truth label, and purity (low here — the synthetic
+    embeddings are near-uniform, so geometric clusters don't track
+    labels; the profile reports that honestly). Iterative — no SQL
+    oracle; the driver records a rows-only check (10 rows) and
+    tests/test_clustering.py pins Lloyd's invariants."""
+    from .operators.clustering import kmeans
+
+    e = load_table(spark, sf, "embeddings")
+    assigned = kmeans(e, "embedding", k=10, max_iter=5, id_col="vec_id")
+    cl = assigned.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        cl.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    totals = cl.groupBy("cluster").agg(F.sum("n").alias("n_vecs"))
+    return totals.join(top, "cluster").select(
+        "cluster",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "majority_label",
+        (F.col("n_majority").cast("double") / F.col("n_vecs")).alias("purity"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2031,6 +2063,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q63_boilerplate_phrases": (q63_boilerplate_phrases, Q63_SQL),
     "q65_supplier_cnt_by_part": (q65_supplier_cnt_by_part, Q65_SQL),
     "q66_dominant_suppliers": (q66_dominant_suppliers, Q66_SQL),
+    "q67_kmeans_profile": (q67_kmeans_profile, None),
 }
 
 # Generated oracles (built from the same profile constants the Spark

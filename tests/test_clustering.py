@@ -1,0 +1,88 @@
+"""K-means behavior on constructed 2-D points with known answers and
+on the labeled embeddings testdata."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from relationalize_spark.operators.clustering import (
+    assign_clusters,
+    kmeans,
+    kmeans_fit,
+)
+from relationalize_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [0.5, 0.0]),
+        (3, [0.0, 0.5]),
+        (4, [10.0, 10.0]),
+        (5, [10.5, 10.0]),
+        (6, [10.0, 10.5]),
+    ]
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def test_assign_clusters_deterministic_ties(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, embedding array<double>")
+    # equidistant centroids -> first (lowest index) wins
+    r = assign_clusters(df, [[0.0, 0.0], [2.0, 0.0]], "embedding").first()
+    assert r.cluster == 0
+
+
+def test_kmeans_separates_planted_clusters(points):
+    got = kmeans(points, "embedding", k=2, max_iter=10, id_col="id")
+    by_id = {r.id: r.cluster for r in got.collect()}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[4] == by_id[5] == by_id[6]
+    assert by_id[1] != by_id[4]
+
+
+def test_kmeans_fit_converges_to_means(points):
+    cents = sorted(kmeans_fit(points, "embedding", k=2, max_iter=20, id_col="id"))
+    a = [1.0 / 6, 1.0 / 6]
+    b = [10.0 + 1.0 / 6, 10.0 + 1.0 / 6]
+    assert all(abs(x - y) < 1e-9 for x, y in zip(cents[0], a))
+    assert all(abs(x - y) < 1e-9 for x, y in zip(cents[1], b))
+
+
+def test_kmeans_fit_requires_k_rows(points):
+    with pytest.raises(ValueError):
+        kmeans_fit(points, "embedding", k=7, id_col="id")
+
+
+def _inertia(df, centroids):
+    from relationalize_spark.operators.clustering import _dist2
+    from relationalize_spark.functions.vectors import as_double
+
+    v = as_double("embedding")
+    dists = F.array(*[_dist2(v, c) for c in centroids])
+    return df.select(F.sum(F.array_min(dists))).first()[0]
+
+
+def test_kmeans_on_real_embeddings(spark, sf_dir):
+    """The synthetic embeddings are near-uniform (label centroids sit
+    ~0.16 apart vs ~1.0 intra-label spread), so label purity is not a
+    meaningful target; Lloyd's invariants are: k nonempty clusters
+    covering every row, and inertia strictly improved over the
+    initial (first-k) centroids."""
+    e = load_table(spark, sf_dir, "embeddings").persist()
+    n = e.count()
+    init = [
+        list(r.v)
+        for r in e.orderBy("vec_id")
+        .limit(10)
+        .select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .collect()
+    ]
+    fitted = kmeans_fit(e, "embedding", k=10, max_iter=5, id_col="vec_id")
+    assert _inertia(e, fitted) < 0.9 * _inertia(e, init)
+    got = kmeans(e, "embedding", k=10, max_iter=5, id_col="vec_id")
+    sizes = {r.cluster: r.n for r in got.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(sizes.values()) == n
+    assert len(sizes) == 10 and all(v > 0 for v in sizes.values())
+    e.unpersist()
