@@ -1991,6 +1991,100 @@ def q67_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q68_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data curation funnel in one plan:
+    quality filter -> language filter -> exact dedup (normalized
+    fingerprint, keep lowest id) -> near-dup removal (drop any doc
+    with a smaller-id Jaccard>=0.5 partner among survivors) ->
+    deterministic 80/10/10 hash split, profiled per split.
+
+    Scale shape: the quality/lang filters and the split label are
+    scan-fused projections; exact dedup is one window over the
+    fingerprint hash; near-dup candidates come from the
+    inverted-index jaccard join (df-capped); the funnel never
+    materializes intermediate corpora."""
+    from .operators import text as TX
+    from .operators.dedup import jaccard_pairs
+    from .operators.sampling import hash_split
+
+    d = load_table(spark, sf, "documents")
+    kept = d.filter(TX.quality_score("text") >= 0.45).filter(
+        F.col("lang") == "en"
+    )
+    fp_min = F.min("doc_id").over(
+        Window.partitionBy(TX.fingerprint("text"))
+    )
+    ex = (
+        kept.withColumn("__m", fp_min)
+        .filter(F.col("doc_id") == F.col("__m"))
+        .drop("__m")
+    )
+    pairs = jaccard_pairs(ex, "doc_id", "text", n=3, threshold=0.5, max_df=1000)
+    dropped = pairs.select(F.col("j").alias("doc_id")).distinct()
+    final = ex.join(dropped, "doc_id", "left_anti")
+    return (
+        hash_split(final, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count("text")).cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def _q68_sql() -> str:
+    from .operators.text import LANG_PROFILES
+
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[0][1])
+    return rf"""
+WITH scored AS (
+  SELECT doc_id, text, lang,
+    0.4 * (CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+             t -> list_contains([{words}], t))) AS DOUBLE)
+           / len(regexp_split_to_array(text, '\s+')))
+    + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   / LENGTH(text))
+    + 0.3 * LEAST(1.0, CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+                       / 100.0) AS qs
+  FROM documents),
+kept AS (SELECT doc_id, text FROM scored WHERE qs >= 0.45 AND lang = 'en'),
+ex AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY
+        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS m
+    FROM kept)
+  WHERE doc_id = m),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM ex)
+  ) GROUP BY doc_id, shingle),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+dropped AS (
+  SELECT DISTINCT j AS doc_id
+  FROM common JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+final AS (
+  SELECT doc_id, text FROM ex
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+SELECT split, COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens
+FROM (
+  SELECT CASE
+           WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+           WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split, text
+  FROM final)
+GROUP BY split
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2071,6 +2165,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 REGISTRY["q24_lang_id"] = (q24_lang_id, _q24_sql())
 REGISTRY["q25_quality_score"] = (q25_quality_score, _q25_sql())
 REGISTRY["q64_pii_redaction"] = (q64_pii_redaction, _q64_sql())
+REGISTRY["q68_curation_funnel"] = (q68_curation_funnel, _q68_sql())
 
 
 def queries() -> dict[str, QueryFn]:
