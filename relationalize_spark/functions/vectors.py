@@ -37,3 +37,22 @@ def cosine(a: Column, b: Column) -> Column:
 def l2_distance(a: Column, b: Column) -> Column:
     diff = F.zip_with(a, b, lambda x, y: x - y)
     return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def int8_scale(v: Column) -> Column:
+    """Per-vector symmetric quantization scale: max|x| / 127."""
+    return F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+
+
+def int8_quantize(v: Column, scale: Column) -> Column:
+    """array<double> -> array<tinyint> with round(x / scale); the
+    zero vector (scale 0) quantizes to zeros."""
+    zeros = F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    return F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")),
+    ).otherwise(zeros)
+
+
+def int8_dequantize(q: Column, scale: Column) -> Column:
+    return F.transform(q, lambda x: x.cast("double") * scale)

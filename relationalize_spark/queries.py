@@ -2085,6 +2085,42 @@ GROUP BY split
 """
 
 
+def q69_quantized_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 cosine neighbors against the int8-quantized corpus
+    (asymmetric: float queries, dequantized int8 corpus). The oracle
+    replicates quantize -> dequantize -> cosine in DuckDB list
+    functions, so this pins the quantization arithmetic bit-for-bit,
+    not just the ranking."""
+    from .operators.similarity import quantized_topk
+
+    e = load_table(spark, sf, "embeddings")
+    return quantized_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, round_scores=6
+    )
+
+
+Q69_SQL = """
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cs AS (SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS s
+       FROM c0),
+cq AS (SELECT vec_id AS neighbor_id,
+         CASE WHEN s > 0 THEN list_transform(v, x -> round(x / s) * s)
+              ELSE v END AS cv
+       FROM cs),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id,
+    ROUND(list_cosine_similarity(qv, cv), 6) AS score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+               neighbor_id ASC) AS rn
+  FROM q JOIN cq ON query_id != neighbor_id
+) WHERE rn <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2158,6 +2194,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q65_supplier_cnt_by_part": (q65_supplier_cnt_by_part, Q65_SQL),
     "q66_dominant_suppliers": (q66_dominant_suppliers, Q66_SQL),
     "q67_kmeans_profile": (q67_kmeans_profile, None),
+    "q69_quantized_ann": (q69_quantized_ann, Q69_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

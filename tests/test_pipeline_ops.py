@@ -305,3 +305,49 @@ def test_pii_redaction_and_counts(spark):
     assert (row.e, row.i, row.s, row.p) == (1, 1, 1, 1)
     clean = df.select(TX.redact_pii(F.lit("no pii here")).alias("r")).first()
     assert clean.r == "no pii here"
+
+
+def test_int8_quantization_roundtrip(spark):
+    from relationalize_spark.functions.vectors import (
+        int8_dequantize,
+        int8_quantize,
+        int8_scale,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.27, -1.27, 0.635, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id long, v array<double>",
+    )
+    s = F.col("s")
+    out = {
+        r.id: (r.q, r.d, r.s)
+        for r in df.select(
+            "id", int8_scale(F.col("v")).alias("s"), "v"
+        )
+        .select("id", "s", int8_quantize(F.col("v"), s).alias("q"))
+        .select("id", "s", "q", int8_dequantize(F.col("q"), s).alias("d"))
+        .collect()
+    }
+    q1, d1, s1 = out[1]
+    assert q1 == [127, -127, 64, 0]  # extremes hit +-127 exactly
+    assert abs(s1 - 0.01) < 1e-12
+    assert max(abs(a - b) for a, b in zip(d1, [1.27, -1.27, 0.635, 0.0])) <= s1 / 2 + 1e-12
+    q2, d2, s2 = out[2]
+    assert q2 == [0, 0, 0, 0] and d2 == [0.0, 0.0, 0.0, 0.0] and s2 == 0.0
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    from relationalize_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from relationalize_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, k=5).collect()
+    approx = quantized_topk(e, q, k=5).collect()
+    ex = {(r.query_id, r.neighbor_id) for r in exact}
+    ap = {(r.query_id, r.neighbor_id) for r in approx}
+    # int8 error is ~0.4% of amax per dim; top-5 overlap stays high
+    assert len(ex & ap) / len(ex) >= 0.8
