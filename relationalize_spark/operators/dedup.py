@@ -228,6 +228,29 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def _band_entries(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) rows: each signature sliced into ``bands``
+    groups of ``rows_per_band`` values, each group hashed to one
+    bucket key. Pairs colliding in any (band, bucket) are LSH
+    candidates."""
+    return sig_df.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -259,22 +282,7 @@ def minhash_lsh_pairs(
     sig = docs.select(
         "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
     ).persist()
-    band_entries = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    band_entries = _band_entries(sig, bands, rows_per_band)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
@@ -569,3 +577,80 @@ def ngram_overlap_pairs(
         .filter(F.col("overlap") >= F.lit(min_overlap))
     )
     return out
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs between an INCOMING BATCH and an EXISTING
+    CORPUS — the steady-state dedup operation at 100 TB, where
+    re-pairing the corpus against itself daily is not an option.
+
+    Cost shape: O(|new| signatures + colliding buckets), never
+    corpus x corpus or corpus x new. The corpus-side band/posting
+    tables are derived in-plan here; in production you persist them
+    once (e.g. ``plans.scale.write_bucketed`` on the bucket key) and
+    each batch equi-joins against that layout with zero corpus
+    rescan and zero corpus-side shuffle. Candidates are verified
+    exactly through the inverted index (only (id, shingle) longs
+    ride the shuffles), so precision is 1.0 and recall follows the
+    banding curve (defaults: P > 0.9999 at j >= 0.8).
+
+    Ids are not assumed disjoint across the two frames; a document
+    present in both appears as a (corpus_id == new_id) pair.
+
+    Returns (corpus_id, new_id, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+
+    def sig_frame(df: DataFrame) -> DataFrame:
+        docs = ensure_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+        ).select(
+            "id", F.array_distinct(shingle_hashes("__text__", n)).alias("sh")
+        )
+        return docs.select(
+            "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+        ).persist()
+
+    cs, ns = sig_frame(corpus), sig_frame(new_df)
+    candidates = (
+        _band_entries(cs, bands, rows_per_band)
+        .alias("a")
+        .join(
+            _band_entries(ns, bands, rows_per_band).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.id").alias("corpus_id"), F.col("b.id").alias("new_id")
+        )
+        .distinct()
+    )
+    c_post = cs.select(F.col("id").alias("corpus_id"), F.explode("sh").alias("shingle"))
+    n_post = ns.select(F.col("id").alias("new_id"), F.explode("sh").alias("shingle"))
+    common = (
+        candidates.join(c_post, "corpus_id")
+        .join(n_post, ["new_id", "shingle"])
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cs.select(F.col("id").alias("corpus_id"), F.size("sh").alias("na"))
+    nb = ns.select(F.col("id").alias("new_id"), F.size("sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(ca, "corpus_id")
+        .join(nb, "new_id")
+        .select("corpus_id", "new_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

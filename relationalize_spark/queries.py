@@ -2121,6 +2121,47 @@ SELECT query_id, neighbor_id, score FROM (
 """
 
 
+def q70_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Steady-state dedup: every 10th document arrives as the new
+    batch and is checked against the remaining corpus via MinHash
+    banding + exact inverted-index verification — O(batch + colliding
+    buckets), never corpus x corpus. The oracle is the exact
+    cross-set Jaccard, so this also pins banding recall at the 0.8
+    threshold."""
+    from .operators.dedup import minhash_incremental_pairs
+
+    d = load_table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    return minhash_incremental_pairs(
+        corpus, new, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.8
+    )
+
+
+Q70_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+  ) GROUP BY doc_id, shingle
+),
+cs AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+ns AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+com AS (
+  SELECT c.doc_id AS corpus_id, e.doc_id AS new_id, count(*) AS cnt
+  FROM cs c JOIN ns e ON c.shingle = e.shingle
+  GROUP BY 1, 2)
+SELECT corpus_id, new_id,
+       CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) AS jaccard
+FROM com
+JOIN sizes sa ON corpus_id = sa.doc_id
+JOIN sizes sb ON new_id = sb.doc_id
+WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.8
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2195,6 +2236,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q66_dominant_suppliers": (q66_dominant_suppliers, Q66_SQL),
     "q67_kmeans_profile": (q67_kmeans_profile, None),
     "q69_quantized_ann": (q69_quantized_ann, Q69_SQL),
+    "q70_incremental_dedup": (q70_incremental_dedup, Q70_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

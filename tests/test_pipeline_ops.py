@@ -351,3 +351,30 @@ def test_quantized_topk_recall(spark, sf_dir):
     ap = {(r.query_id, r.neighbor_id) for r in approx}
     # int8 error is ~0.4% of amax per dim; top-5 overlap stays high
     assert len(ex & ap) / len(ex) >= 0.8
+
+
+def test_minhash_incremental_pairs(spark):
+    """Batch-vs-corpus dedup finds cross-set near-dups only — no
+    corpus-internal pairs — and verifies exactly."""
+    from relationalize_spark.operators.dedup import minhash_incremental_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (3, "totally unrelated corpus document about query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (101, "fresh unique incoming document with no duplicates anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.corpus_id, r.new_id): r.jaccard
+        for r in minhash_incremental_pairs(corpus, new, threshold=0.8).collect()
+    }
+    assert got == {(1, 100): 1.0, (2, 100): 1.0}
