@@ -2162,6 +2162,72 @@ WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.8
 """
 
 
+def q71_nation_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer and supplier rollups —
+    nations can be missing from either side, so both join keys
+    coalesce. Both inputs are pre-aggregated (25-ish rows), so the
+    join itself is trivially broadcast; the pattern under test is
+    null-safe full-outer semantics."""
+    c = (
+        load_table(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 6000)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+Q71_SQL = """
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+                 WHERE s_acctbal > 6000 GROUP BY 1) s
+  ON c.c_nationkey = s.s_nationkey
+"""
+
+
+def q72_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS with grouping_id disambiguation via the SQL API
+    — the explicit-sets variant of rollup/cube (q10/q11), exercising
+    Expand + the same single-shuffle aggregation."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+Q72_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2237,6 +2303,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q67_kmeans_profile": (q67_kmeans_profile, None),
     "q69_quantized_ann": (q69_quantized_ann, Q69_SQL),
     "q70_incremental_dedup": (q70_incremental_dedup, Q70_SQL),
+    "q71_nation_full_outer": (q71_nation_full_outer, Q71_SQL),
+    "q72_grouping_sets": (q72_grouping_sets, Q72_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -107,3 +107,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "128m")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_new_ops_plan_shapes(spark):
+    """Scale-shape regression guards for the round-2 operators:
+    contamination and incremental dedup never produce a cartesian or
+    nested-loop pair space over the two document sets; k-means
+    assignment is a scan-fused projection (no shuffle); q66's nested
+    aggregation reads lineitem exactly once."""
+    import pyspark.sql.functions as F
+
+    from relationalize_spark.operators.clustering import assign_clusters
+    from relationalize_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        ngram_overlap_pairs,
+    )
+    from relationalize_spark.queries import REGISTRY
+    from relationalize_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    corpus, ev = d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0")
+
+    for df in (
+        ngram_overlap_pairs(corpus, ev, min_overlap=0.3),
+        minhash_incremental_pairs(corpus, ev, threshold=0.8),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    e = load_table(spark, sf, "embeddings")
+    assigned = assign_clusters(e, [[0.0] * 64, [1.0] * 64], "embedding")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    q66 = REGISTRY["q66_dominant_suppliers"][0](spark, sf)
+    plan = q66._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan
