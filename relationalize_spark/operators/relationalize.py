@@ -26,6 +26,14 @@ tests/test_relationalize.py):
   last-write-wins, matching the reference's dict merge
   (reference relationalize.py:113-117).
 
+Spark-native extension (documented): ``MapType`` columns — the
+dynamic-keys JSON object, which the reference's dict model never
+distinguishes from structs — split out like arrays into a child
+table of ``{p}__rid_``/``{p}__index_``/``{p}__key_``/``{p}__val_``
+rows via ``map_entries``; nested struct/array/map values keep
+recursing. A null map yields a null parent cell and no child rows;
+an empty map keeps its rid with zero child rows.
+
 Deviation (documented): rids are ``R_`` + 32 hex like the reference's
 ``R_<uuid4.hex>`` (reference relationalize.py:125-130), but by default
 they are *deterministic* — ``md5(table, path, row-key)`` — because a
@@ -41,12 +49,13 @@ from typing import Literal, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StructType
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 DELIM = "_"
 RID = f"{DELIM}rid{DELIM}"      # column suffix: {path}__rid_
 VAL = f"{DELIM}val{DELIM}"      # column suffix: {path}__val_
 INDEX = f"{DELIM}index{DELIM}"  # column suffix: {path}__index_
+KEY = f"{DELIM}key{DELIM}"      # column suffix: {path}__key_ (maps)
 
 _ROW_KEY = "__relationalize_row_key__"
 _ELEM = "__relationalize_elem__"
@@ -131,11 +140,22 @@ def _process(
         for f in tdf.schema.fields
         if isinstance(f.dataType, ArrayType) and f.name != _ROW_KEY
     ]
+    # Spark-native extension (the reference's JSON model has no maps):
+    # a MapType column — the dynamic-keys object — splits out exactly
+    # like an array, into a child table of (rid, index, key, value)
+    # rows via map_entries. Nested struct/array/map VALUES keep
+    # recursing through the normal machinery.
+    map_paths = [
+        f.name
+        for f in tdf.schema.fields
+        if isinstance(f.dataType, MapType) and f.name != _ROW_KEY
+    ]
+    link_paths = array_paths + map_paths
 
-    # Materialize one rid column per array path on the working frame so
-    # parent and child plans agree on the value.
-    rid_col = {p: f"__rid{DELIM}{i}__" for i, p in enumerate(array_paths)}
-    for p in array_paths:
+    # Materialize one rid column per array/map path on the working
+    # frame so parent and child plans agree on the value.
+    rid_col = {p: f"__rid{DELIM}{i}__" for i, p in enumerate(link_paths)}
+    for p in link_paths:
         if rid_mode == "hash":
             rid = _hash_rid(table, p)
         else:
@@ -145,7 +165,7 @@ def _process(
         tdf = tdf.withColumn(
             rid_col[p], F.when(F.col(_q(p)).isNotNull(), rid)
         )
-    if rid_mode == "uuid" and array_paths:
+    if rid_mode == "uuid" and link_paths:
         # uuid() is nondeterministic: parent and child are separate
         # actions, so pin the values once.
         tdf = tdf.cache()
@@ -154,7 +174,7 @@ def _process(
     for f in tdf.schema.fields:
         if f.name == _ROW_KEY or f.name in rid_col.values():
             continue
-        if f.name in array_paths:
+        if f.name in rid_col:
             parent_cols.append(F.col(_q(rid_col[f.name])).alias(f.name))
         else:
             parent_cols.append(F.col(_q(f.name)))
@@ -187,6 +207,25 @@ def _process(
             elem_cols = [F.col(_q(_ELEM)).alias(f"{p}{DELIM}{VAL}")]
         child = exploded.select(
             *elem_cols,
+            F.col(_q(rid_name)),
+            F.col(_q(index_name)),
+            child_key.alias(_ROW_KEY),
+        )
+        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1)
+
+    for p in map_paths:
+        rid_name = f"{p}{DELIM}{RID}"
+        index_name = f"{p}{DELIM}{INDEX}"
+        exploded = tdf.where(F.col(_q(p)).isNotNull()).select(
+            F.col(_q(rid_col[p])).alias(rid_name),
+            F.posexplode(F.map_entries(F.col(_q(p)))).alias(index_name, _ELEM),
+        )
+        child_key = F.concat_ws(
+            ":", F.col(_q(rid_name)), F.col(_q(index_name)).cast("string")
+        )
+        child = exploded.select(
+            F.col(f"{_q(_ELEM)}.key").alias(f"{p}{DELIM}{KEY}"),
+            F.col(f"{_q(_ELEM)}.value").alias(f"{p}{DELIM}{VAL}"),
             F.col(_q(rid_name)),
             F.col(_q(index_name)),
             child_key.alias(_ROW_KEY),

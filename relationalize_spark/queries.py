@@ -2228,6 +2228,34 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
 """
 
 
+def q73_relationalize_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic-keys JSON via MapType: events.props parsed as
+    map<string,bigint>, relationalized into a (rid, index, key, val)
+    child table, then profiled per key. Exercises the MapType split —
+    a Spark-native extension the reference's dict model cannot
+    express (it would flatten every dynamic key into its own
+    column)."""
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        F.from_json("props", "map<string,bigint>").alias("props"),
+    )
+    tables = relationalize(e, "events", key_cols=["event_id"])
+    child = tables["events_props"]
+    return child.groupBy(F.col("props__key_").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("props__val_").alias("total"),
+    )
+
+
+Q73_SQL = """
+SELECT k AS key, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+            AS BIGINT) AS total
+FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+GROUP BY k
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2305,6 +2333,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q70_incremental_dedup": (q70_incremental_dedup, Q70_SQL),
     "q71_nation_full_outer": (q71_nation_full_outer, Q71_SQL),
     "q72_grouping_sets": (q72_grouping_sets, Q72_SQL),
+    "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -222,3 +222,44 @@ def test_weird_column_names(spark):
     [child] = rows(out["root_list col"])
     assert child["list col_x.y"] == 3
     assert child["list col__rid_"] == parent["list col"]
+
+
+def test_map_column_splits_into_child_table(spark):
+    from relationalize_spark.operators.relationalize import relationalize
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"c": 3}), (3, None), (4, {})],
+        "id long, props map<string,int>",
+    )
+    tables = relationalize(df, "t", key_cols=["id"])
+    assert set(tables) == {"t", "t_props"}
+    parent = {r.id: r.props for r in tables["t"].collect()}
+    assert parent[3] is None
+    assert parent[4] is not None and parent[4].startswith("R_")
+    child = tables["t_props"].collect()
+    assert sorted(tables["t_props"].columns) == sorted(
+        ["props__key_", "props__val_", "props__rid_", "props__index_"]
+    )
+    # rows link back to the parent cell rid; empty map has no rows
+    by_rid = {}
+    for r in child:
+        by_rid.setdefault(r.props__rid_, []).append((r.props__key_, r.props__val_))
+    assert sorted(by_rid[parent[1]]) == [("a", 1), ("b", 2)]
+    assert sorted(by_rid[parent[2]]) == [("c", 3)]
+    assert parent[4] not in by_rid
+    assert len(child) == 3
+
+
+def test_map_of_struct_values_recurses(spark):
+    from relationalize_spark.operators.relationalize import relationalize
+
+    df = spark.createDataFrame(
+        [(1, {"x": {"u": 5, "tags": ["p", "q"]}})],
+        "id long, m map<string,struct<u:int,tags:array<string>>>",
+    )
+    tables = relationalize(df, "t", key_cols=["id"])
+    assert set(tables) == {"t", "t_m", "t_m__val__tags"}
+    row = tables["t_m"].collect()[0]
+    assert row.m__key_ == "x" and row.m__val__u == 5
+    grand = tables["t_m__val__tags"].collect()
+    assert sorted(r["m__val__tags__val_"] for r in grand) == ["p", "q"]
