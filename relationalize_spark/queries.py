@@ -2256,6 +2256,48 @@ GROUP BY k
 """
 
 
+def q74_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment: the events file stream joins the
+    static customer dimension (broadcast — no stream-side shuffle,
+    no state store needed for static joins), then aggregates value
+    per (segment, event_type). Driven to completion with
+    Trigger.AvailableNow + complete-mode memory sink, so the result
+    is deterministic against the batch oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q74_stream_static")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q74_stream_static")
+
+
+Q74_SQL = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2334,6 +2376,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q71_nation_full_outer": (q71_nation_full_outer, Q71_SQL),
     "q72_grouping_sets": (q72_grouping_sets, Q72_SQL),
     "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
+    "q74_stream_static_join": (q74_stream_static_join, Q74_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
