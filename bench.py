@@ -54,10 +54,37 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM / parquet-footer warmup (excluded from timings).
+    # JVM warmup, excluded from timings: one tiny real-table read
+    # (parquet reader + footer machinery) plus a synthetic
+    # agg/join/window/sort plan over spark.range data — this JIT-compiles
+    # the whole-stage-codegen, hash-agg, broadcast-join and window
+    # codepaths WITHOUT touching any benchmark table or query, so the
+    # timed numbers measure plan execution rather than first-query
+    # class loading (~1.5 s of pure JIT otherwise lands on q01/q03).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from relationalize_spark.sources.tables import load_table
 
     load_table(spark, sf_dir, "region").count()
+    r = spark.range(200_000).select(
+        "id",
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 0.01).cast("decimal(18,2)").alias("d"),
+    )
+    dim = spark.range(7).select(F.col("id").alias("k"), F.lit("x").alias("lab"))
+    w = Window.partitionBy("k").orderBy("id")
+    (
+        r.join(F.broadcast(dim), "k")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("k")
+        .agg(
+            F.sum("d").cast("double").alias("s"),
+            F.avg("id").alias("a"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.desc("s"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in REGISTRY]

@@ -1,15 +1,26 @@
 from .relationalize import relationalize
 from .infer import infer_and_convert, schema_of_dataframe
 from .asof import asof_join, range_bucket_join
+from .clustering import assign_clusters, kmeans, kmeans_fit
 from .dedup import (
     dedup_clusters,
     exact_dedup,
     embedding_dup_pairs,
     jaccard_pairs,
+    minhash_incremental_pairs,
     minhash_lsh_pairs,
+    ngram_overlap_pairs,
     simhash_pairs,
 )
-from .similarity import brute_force_topk, ivf_topk, lsh_topk
+from .sampling import hash_split, stratified_sample
+from .similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    quantize_embeddings,
+    quantized_topk,
+)
+from .text import boilerplate_phrases, bm25_topk, redact_pii
 
 __all__ = [
     "relationalize",
@@ -17,13 +28,25 @@ __all__ = [
     "schema_of_dataframe",
     "asof_join",
     "range_bucket_join",
+    "assign_clusters",
+    "kmeans",
+    "kmeans_fit",
     "dedup_clusters",
     "exact_dedup",
     "embedding_dup_pairs",
     "jaccard_pairs",
+    "minhash_incremental_pairs",
     "minhash_lsh_pairs",
+    "ngram_overlap_pairs",
     "simhash_pairs",
+    "hash_split",
+    "stratified_sample",
     "brute_force_topk",
     "ivf_topk",
     "lsh_topk",
+    "quantize_embeddings",
+    "quantized_topk",
+    "boilerplate_phrases",
+    "bm25_topk",
+    "redact_pii",
 ]
