@@ -1445,16 +1445,7 @@ def q54_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     final watermark only evicts state after the last batch."""
     from .streaming.relationalize_stream import windowed_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    # File streams take a directory; select just the events file.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf)
     agg = windowed_counts(
         stream, ts_col="ts", window="1 hour", watermark="2 hours",
         group_cols=["event_type"],
@@ -1487,15 +1478,7 @@ def q55_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     last_event + gap."""
     from .streaming.relationalize_stream import sessionize_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf)
     agg = sessionize_stream(
         stream, ts_col="ts", user_col="user_id", gap="30 minutes",
         watermark="2 hours",
@@ -2263,13 +2246,7 @@ def q74_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     per (segment, event_type). Driven to completion with
     Trigger.AvailableNow + complete-mode memory sink, so the result
     is deterministic against the batch oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-    )
+    stream = _events_stream(spark, sf)
     cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     agg = (
         stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
@@ -2295,6 +2272,68 @@ SELECT c_mktsegment, event_type, COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
+"""
+
+
+def _events_stream(spark: SparkSession, sf: str):
+    """File stream over events.parquet with the nanos->timestamp fix
+    applied (shared by the streaming gate queries)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def q75_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join: signup events joined to purchase
+    events of the same user within the following 2 hours. Both sides
+    carry watermarks so the state store can evict signups once no
+    qualifying purchase can still arrive — the unbounded-state
+    hazard of stream-stream joins, bounded by the interval condition.
+    Driven to completion (AvailableNow, append-mode memory sink);
+    inner-join output is exactly the set of matching pairs, so the
+    batch oracle is a plain interval self-join."""
+    s = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", "7 days")
+    )
+    p = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "7 days")
+    )
+    j = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(F.col("s_user").alias("user_id"), "signup_ts", "purchase_ts")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("q75_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q75_pairs")
+
+
+Q75_SQL = """
+SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
 """
 
 
@@ -2377,6 +2416,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q72_grouping_sets": (q72_grouping_sets, Q72_SQL),
     "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
     "q74_stream_static_join": (q74_stream_static_join, Q74_SQL),
+    "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
