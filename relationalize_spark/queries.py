@@ -2337,6 +2337,42 @@ FROM events s JOIN events p
 """
 
 
+def q76_setops_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL — bag semantics,
+    unlike q12's distinct variants): per-shipment supplier multiset of
+    1996H1 intersected with 1996H2 (keeping min multiplicity), minus
+    one occurrence per returned H1 shipment."""
+    l = load_table(spark, sf, "lineitem")
+
+    def ships(lo: str, hi: str):
+        return l.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+
+    a = ships("1996-01-01", "1996-07-01").select("l_suppkey")
+    b = ships("1996-07-01", "1997-01-01").select("l_suppkey")
+    r = (
+        ships("1996-01-01", "1996-07-01")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_suppkey")
+    )
+    return a.intersectAll(b).exceptAll(r)
+
+
+Q76_SQL = """
+(SELECT l_suppkey FROM lineitem
+ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+ INTERSECT ALL
+ SELECT l_suppkey FROM lineitem
+ WHERE l_shipdate >= TIMESTAMP '1996-07-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+EXCEPT ALL
+SELECT l_suppkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2417,6 +2453,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
     "q74_stream_static_join": (q74_stream_static_join, Q74_SQL),
     "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
+    "q76_setops_all": (q76_setops_all, Q76_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -145,3 +145,21 @@ def test_new_ops_plan_shapes(spark):
     q66 = REGISTRY["q66_dominant_suppliers"][0](spark, sf)
     plan = q66._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_filter_and_projection_pushdown(spark):
+    """Selective scans must reach the parquet reader: the date filter
+    appears in PushedFilters and the read schema is pruned to the
+    referenced columns only."""
+    from relationalize_spark.queries import REGISTRY
+
+    q06 = REGISTRY["q06_revenue_delta"][0](spark, "/root/testdata/sf0.001")
+    plan = q06._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThan" in plan, plan
+    scan_line = next(l for l in plan.splitlines() if "Scan parquet" in l)
+    # projection pruning: the wide lineitem table is read as a narrow
+    # schema (only the columns q06 touches), not all 11 columns
+    assert "l_comment" not in scan_line
+    for needed in ("l_extendedprice", "l_discount", "l_shipdate"):
+        assert needed in plan, plan
