@@ -12,7 +12,7 @@ fingerprinting (normalized md5 + winnowing-style rolling hash).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WS = r"\s+"
@@ -327,3 +327,82 @@ def redact_pii(text: Column | str) -> Column:
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the unit a training pipeline feeds to a tokenizer. Returns
+    (id, chunk_id, chunk_text, n_tokens).
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the last
+    window is the remainder (>= 1 token, possibly shorter). Pure
+    Catalyst: tokens -> sequence of window starts -> slice/join ->
+    posexplode, so chunking fuses into the scan — no Python, no
+    shuffle, output rows ~ tokens / (chunk_tokens - overlap) per doc.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # window starts: 1, 1+step, ... while start <= max(n - overlap, 1)
+    # (a start past n - overlap would produce a pure-overlap chunk)
+    last_start = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    starts = F.sequence(
+        F.lit(0), F.ceil(last_start.cast("double") / step).cast("long") * step, F.lit(step)
+    )
+    pieces = F.transform(
+        starts, lambda s: F.slice(toks, s + 1, chunk_tokens)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(pieces).alias("chunk_id", "piece"),
+    ).filter(F.size("piece") > 0)
+    return base.select(
+        "id",
+        "chunk_id",
+        F.array_join("piece", " ").alias("chunk_text"),
+        F.size("piece").cast("long").alias("n_tokens"),
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str = "id",
+    order_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+    target_tokens: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign chunks to training shards of ~``target_tokens`` by
+    greedy running-sum packing. Returns the input plus
+    (bucket, shard_id).
+
+    Scale shape: a single global running sum would serialize on one
+    partition, so packing runs inside ``n_buckets`` deterministic
+    hash buckets (shard ids are (bucket, shard_id) pairs) — each
+    bucket's window sorts locally after one hash partition, which is
+    exactly how a 1000-executor packing job should run. Assignment is
+    deterministic: bucket by id hash, order by (id, order_col),
+    shard = floor((cumsum - n) / target).
+    """
+    from .sampling import hash_bucket
+
+    bucket = hash_bucket(id_col, n_buckets)
+    w = Window.partitionBy("bucket").orderBy(
+        F.col(id_col).asc(), F.col(order_col).asc()
+    )
+    csum = F.sum(F.col(tokens_col)).over(w)
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn(
+            "shard_id",
+            F.floor((csum - F.col(tokens_col)) / F.lit(target_tokens)).cast("long"),
+        )
+    )

@@ -2373,6 +2373,60 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-0
 """
 
 
+def q77_chunk_and_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk every document into 16-token windows (4-token overlap)
+    and greedily pack chunks into ~256-token training shards inside 8
+    deterministic hash buckets, profiled per shard. Chunking fuses
+    into the scan; packing is one hash partition + a per-bucket
+    window — the 1000-executor formulation (a single global running
+    sum would serialize on one partition)."""
+    from .operators.text import chunk_documents, pack_shards
+
+    d = load_table(spark, sf, "documents")
+    chunks = chunk_documents(d, "doc_id", "text", chunk_tokens=16, overlap=4)
+    packed = pack_shards(
+        chunks, "id", "chunk_id", "n_tokens", target_tokens=256, n_buckets=8
+    )
+    return packed.groupBy("bucket", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("id").alias("first_doc"),
+        F.max("id").alias("last_doc"),
+    )
+
+
+Q77_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+         len(regexp_split_to_array(text, '\s+')) AS n
+  FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+             CAST(ceil(CAST(GREATEST(n - 16, 0) AS DOUBLE) / 12) AS BIGINT) * 12 + 1,
+             12)) AS start
+  FROM t),
+ch AS (
+  SELECT doc_id AS id, start / 12 AS chunk_id,
+         len(toks[start + 1 : start + 16]) AS n_tokens
+  FROM st
+  WHERE len(toks[start + 1 : start + 16]) > 0),
+packed AS (
+  SELECT id, chunk_id, n_tokens,
+         ((id * 2654435761) % 4294967296) % 8 AS bucket,
+         CAST(floor(CAST(SUM(n_tokens) OVER (
+             PARTITION BY ((id * 2654435761) % 4294967296) % 8
+             ORDER BY id, chunk_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 256)
+           AS BIGINT) AS shard_id
+  FROM ch)
+SELECT bucket, shard_id, COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(id) AS first_doc, MAX(id) AS last_doc
+FROM packed GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2454,6 +2508,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q74_stream_static_join": (q74_stream_static_join, Q74_SQL),
     "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
     "q76_setops_all": (q76_setops_all, Q76_SQL),
+    "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

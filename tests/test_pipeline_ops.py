@@ -378,3 +378,39 @@ def test_minhash_incremental_pairs(spark):
         for r in minhash_incremental_pairs(corpus, new, threshold=0.8).collect()
     }
     assert got == {(1, 100): 1.0, (2, 100): 1.0}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(30))),
+            (2, " ".join(f"x{i}" for i in range(16))),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in TX.chunk_documents(
+            df, "doc_id", "text", chunk_tokens=16, overlap=4
+        ).collect()
+    }
+    # doc 1: 30 tokens, step 12 -> windows [0:16], [12:28], [24:30]
+    assert got[(1, 0)][1] == 16 and got[(1, 0)][0].startswith("w0 ")
+    assert got[(1, 1)][0].startswith("w12 ") and got[(1, 1)][1] == 16
+    assert got[(1, 2)] == ("w24 w25 w26 w27 w28 w29", 6)
+    assert got[(2, 0)][1] == 16 and (2, 1) not in got  # exact fit: one window
+    assert got[(3, 0)] == ("solo", 1)
+    with pytest.raises(ValueError):
+        TX.chunk_documents(df, overlap=64, chunk_tokens=64)
+
+
+def test_pack_shards_greedy_running_sum(spark):
+    rows = [(1, i, 10) for i in range(5)]  # one doc, 5 chunks of 10 tokens
+    df = spark.createDataFrame(rows, "id long, chunk_id long, n_tokens long")
+    got = sorted(
+        (r.chunk_id, r.shard_id)
+        for r in TX.pack_shards(df, target_tokens=25, n_buckets=1).collect()
+    )
+    # cumsum 10,20,30,40,50 -> floor((c-10)/25) = 0,0,0,1,1
+    assert got == [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1)]
