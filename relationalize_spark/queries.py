@@ -2427,6 +2427,46 @@ FROM packed GROUP BY 1, 2
 """
 
 
+def q78_window_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function breadth on one pass: lag/lead, ntile,
+    percent_rank, and first/last over an explicit unbounded ROWS
+    frame (the default RANGE frame would make last_value see only
+    the current row). Partition by customer, deterministic order by
+    (o_orderdate, o_orderkey)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(wfull).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+    )
+
+
+Q78_SQL = """
+SELECT o_custkey, o_orderkey,
+  ROW_NUMBER() OVER w AS rn,
+  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  LAG(o_totalprice) OVER w AS prev_price,
+  LEAD(o_totalprice) OVER w AS next_price,
+  FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+  LAST_VALUE(o_orderkey) OVER wf AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2509,6 +2549,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
     "q76_setops_all": (q76_setops_all, Q76_SQL),
     "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
+    "q78_window_functions": (q78_window_functions, Q78_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
