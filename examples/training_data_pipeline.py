@@ -75,6 +75,22 @@ def main() -> None:
     print(f"curated+embeddings rows: {joined.count()}")
     print(f"shuffle-free co-located join: {'Exchange' not in plan}")
 
+    # Final stage: chunk the curated corpus into token windows and
+    # pack chunks into ~512-token training shards (greedy running sum
+    # inside hash buckets, so packing parallelizes across executors).
+    from relationalize_spark.operators.text import chunk_documents, pack_shards
+
+    chunks = chunk_documents(kept, "doc_id", "text", chunk_tokens=64, overlap=8)
+    packed = pack_shards(chunks, "id", "chunk_id", "n_tokens",
+                         target_tokens=512, n_buckets=16)
+    shards = packed.groupBy("bucket", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    n_shards = shards.count()
+    print(f"training shards: {n_shards} "
+          f"(~{packed.agg(F.sum('n_tokens')).collect()[0][0]} tokens)")
+
 
 if __name__ == "__main__":
     main()

@@ -110,6 +110,19 @@ def write_bucketed(
     """Persist with a fixed bucket layout (hash-partitioned files +
     metastore metadata). Joins/aggregations between tables bucketed on
     the same key and count read with zero exchange."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # saveAsTable(overwrite) still fails with LOCATION_ALREADY_EXISTS
+        # when the warehouse directory survives from a session whose
+        # metastore (in-memory catalog) is gone; drop both explicitly
+        # so re-runs are idempotent.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        location = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        import shutil
+
+        shutil.rmtree(f"{location}/{table.lower()}", ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
