@@ -2467,6 +2467,48 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 """
 
 
+def q79_array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions end to end: per order, the sorted
+    quantity array is transformed, filtered, and folded JVM-side
+    (transform / filter / aggregate == DuckDB list_transform /
+    list_filter / sequential list fold). Arrays are sorted on
+    construction so element order is deterministic in both engines."""
+    l = load_table(spark, sf, "lineitem")
+    per = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("long"))).alias("qs")
+    )
+    doubled = F.transform("qs", lambda x: x * 2)
+    big = F.filter("qs", lambda x: x > 25)
+    folded = F.aggregate(
+        "qs", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return per.select(
+        "l_orderkey",
+        F.size("qs").cast("long").alias("n_items"),
+        F.element_at(doubled, 1).alias("min_doubled"),
+        F.size(big).cast("long").alias("n_big"),
+        folded.alias("total_qty"),
+        F.array_join(F.transform("qs", lambda x: x.cast("string")), ",").alias(
+            "qty_csv"
+        ),
+    )
+
+
+Q79_SQL = """
+WITH per AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+  FROM lineitem GROUP BY 1)
+SELECT l_orderkey,
+  CAST(len(qs) AS BIGINT) AS n_items,
+  list_transform(qs, x -> x * 2)[1] AS min_doubled,
+  CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_big,
+  CAST(list_aggregate(qs, 'sum') AS BIGINT) AS total_qty,
+  array_to_string(list_transform(qs, x -> CAST(x AS VARCHAR)), ',') AS qty_csv
+FROM per
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2550,6 +2592,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q76_setops_all": (q76_setops_all, Q76_SQL),
     "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
     "q78_window_functions": (q78_window_functions, Q78_SQL),
+    "q79_array_functions": (q79_array_functions, Q79_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
