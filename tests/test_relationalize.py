@@ -263,3 +263,102 @@ def test_map_of_struct_values_recurses(spark):
     assert row.m__key_ == "x" and row.m__val__u == 5
     grand = tables["t_m__val__tags"].collect()
     assert sorted(r["m__val__tags__val_"] for r in grand) == ["p", "q"]
+
+
+def test_roundtrip_property_random_nested(spark):
+    """Round-trip property on randomized nested rows: re-nesting every
+    child table by (rid, index) reconstructs the original arrays
+    exactly — checked over a deterministic pseudo-random batch that
+    mixes empty/null arrays, struct elements, maps, and duplicates."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from relationalize_spark.operators.relationalize import relationalize
+
+    rng = random.Random(20260813)
+    rows = []
+    for i in range(200):
+        arr = (
+            None
+            if rng.random() < 0.15
+            else [
+                {"v": rng.randint(-5, 5), "s": rng.choice(["a", "b", None])}
+                for _ in range(rng.randint(0, 4))
+            ]
+        )
+        m = None if rng.random() < 0.2 else {
+            rng.choice("xyz"): rng.randint(0, 9)
+            for _ in range(rng.randint(0, 3))
+        }
+        rows.append((i, arr, m))
+    df = spark.createDataFrame(
+        rows,
+        "id long, items array<struct<v:int,s:string>>, props map<string,int>",
+    )
+    tables = relationalize(df, "r", key_cols=["id"])
+    parent, items, props = tables["r"], tables["r_items"], tables["r_props"]
+
+    renested = (
+        parent.join(
+            items.groupBy("items__rid_").agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "items__index_",
+                            F.struct(
+                                F.col("items_v").alias("v"),
+                                F.col("items_s").alias("s"),
+                            ).alias("e"),
+                        )
+                    )
+                ).alias("pairs")
+            ),
+            parent.items == F.col("items__rid_"),
+            "left",
+        )
+        .select(
+            "id",
+            F.when(
+                F.col("items").isNotNull(),
+                F.coalesce(
+                    F.transform("pairs", lambda p: p.e),
+                    F.array().cast("array<struct<v:int,s:string>>"),
+                ),
+            ).alias("rebuilt"),
+        )
+        .collect()
+    )
+    orig = {r[0]: r[1] for r in rows}
+    for row in renested:
+        want = orig[row.id]
+        got = (
+            None
+            if row.rebuilt is None
+            else [{"v": e.v, "s": e.s} for e in row.rebuilt]
+        )
+        assert got == want, (row.id, got, want)
+
+    # map side: entry multiset per parent row matches the source dict
+    m_renested = {
+        r.id: r.entries
+        for r in parent.join(
+            props.groupBy("props__rid_").agg(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(F.struct("props__key_", "props__val_"))
+                    )
+                ).alias("entries")
+            ),
+            parent.props == F.col("props__rid_"),
+            "left",
+        )
+        .select("id", "entries")
+        .collect()
+    }
+    for i, _, m in rows:
+        got = m_renested.get(i)
+        if m is None:
+            assert got is None
+        else:
+            assert (got or {}) == m, (i, got, m)
