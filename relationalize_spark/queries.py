@@ -82,6 +82,67 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q02_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: 15-minute downsample of
+    the event stream per type, densified so every bucket in each
+    type's active range exists, with the average gauge value carried
+    forward (LOCF) across empty buckets and counters zero-filled.
+
+    Scale: the rollup is one map-side-combined shuffle on
+    (event_type, bucket); the spine explode generates only the
+    *missing* buckets (bounded by retention window / bucket width per
+    key, independent of event volume); LOCF is one window pass over
+    the already-small bucket rows. Entirely codegen'd — no Python.
+    """
+    from .operators.timeseries import gap_fill_locf, rollup_time_buckets
+
+    e = load_table(spark, sf, "events")
+    rolled = rollup_time_buckets(
+        e,
+        ["event_type"],
+        "ts",
+        900,
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        ],
+    )
+    filled = gap_fill_locf(
+        rolled,
+        ["event_type"],
+        "bucket_idx",
+        900,
+        ["avg_value"],
+        counter_cols=["n_events"],
+    )
+    return filled.select(
+        "event_type", "bucket_start", "n_events", "avg_value",
+        "avg_value_locf", "filled",
+    )
+
+
+Q02_SQL = """
+WITH agg AS (
+  SELECT event_type, epoch_us(ts) // 900000000 AS b,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value
+  FROM events GROUP BY 1,2),
+bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM agg GROUP BY 1),
+spine AS (SELECT event_type, UNNEST(generate_series(lo, hi)) AS b FROM bounds)
+SELECT s.event_type,
+  make_timestamp(s.b * 900000000) AS bucket_start,
+  COALESCE(a.n_events, 0) AS n_events,
+  a.avg_value AS avg_value,
+  last_value(a.avg_value IGNORE NULLS) OVER (
+    PARTITION BY s.event_type ORDER BY s.b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf,
+  (a.n_events IS NULL) AS filled
+FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.b = a.b
+"""
+
+
 def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape: selective 3-way join + top-k. customer filter
     prunes before the join; orders-lineitem join shuffles on orderkey;
@@ -2518,6 +2579,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark query, duckdb oracle SQL or None)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_hypertable_rollup": (q02_hypertable_rollup, Q02_SQL),
     "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
     "q04_order_priority": (q04_order_priority, Q04_SQL),
     "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
