@@ -299,6 +299,68 @@ def boilerplate_phrases(
     )
 
 
+def max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in a string array, computed
+    as a run-length pass over the SORTED array with one ``aggregate``
+    higher-order function. Stays inside codegen — no explode, no
+    per-document groupBy shuffle — so repetition scoring runs at scan
+    speed no matter how large the corpus is."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.sort_array(arr), zero, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_unigram_max: float = 0.20,
+    top_bigram_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: the corpus
+    share of the most frequent word and bigram, plus type/token
+    ratio, and a ``repetitious`` flag a curation pipeline filters on
+    (thresholds follow the Gopher paper's most-common-n-gram rules,
+    re-expressed over words).
+
+    Everything is array arithmetic on one row — zero shuffles, unlike
+    the naive explode + double-groupBy formulation whose first shuffle
+    carries every token in the corpus."""
+    w = tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n = F.size(w).cast("long")
+    top_uni = max_multiplicity(w).cast("double") / n
+    top_bi = max_multiplicity(bigrams).cast("double") / (n - 1)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        (F.size(F.array_distinct(w)).cast("double") / n).alias(
+            "distinct_word_ratio"
+        ),
+        top_uni.alias("top_unigram_frac"),
+        top_bi.alias("top_bigram_frac"),
+        ((top_uni > top_unigram_max) | (top_bi > top_bigram_max)).alias(
+            "repetitious"
+        ),
+    )
+
+
 #: PII patterns, applied in order. Kept lookaround-free and
 #: anchored with \b so Java regex (Spark) and RE2 (DuckDB oracle)
 #: agree byte-for-byte. Counting runs each pattern against the

@@ -2570,6 +2570,114 @@ FROM per
 """
 
 
+def q80_repetition_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality filters: most-common word and
+    bigram share plus type/token ratio per document, shuffle-free
+    (sorted-array run-length inside codegen; see
+    operators/text.py:max_multiplicity). The oracle recomputes the
+    same statistics relationally (unnest + two-level GROUP BY)."""
+    from .operators.text import repetition_stats
+
+    d = load_table(spark, sf, "documents")
+    return repetition_stats(d)
+
+
+Q80_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+unic AS (SELECT doc_id, w, COUNT(*) AS c
+         FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2),
+uni AS (SELECT doc_id, MAX(c) AS max_uni, COUNT(*) AS n_distinct
+        FROM unic GROUP BY 1),
+bic AS (SELECT doc_id, bg, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i + 1])) AS bg
+          FROM d) GROUP BY 1, 2),
+bi AS (SELECT doc_id, MAX(c) AS max_bi FROM bic GROUP BY 1)
+SELECT d.doc_id,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  CAST(uni.n_distinct AS DOUBLE) / len(ws) AS distinct_word_ratio,
+  CAST(uni.max_uni AS DOUBLE) / len(ws) AS top_unigram_frac,
+  CAST(bi.max_bi AS DOUBLE) / (len(ws) - 1) AS top_bigram_frac,
+  (CAST(uni.max_uni AS DOUBLE) / len(ws) > 0.20
+   OR CAST(bi.max_bi AS DOUBLE) / (len(ws) - 1) > 0.18) AS repetitious
+FROM d
+JOIN uni USING (doc_id)
+LEFT JOIN bi USING (doc_id)
+"""
+
+
+def q81_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join: each event annotated with the user's NEXT
+    purchase at-or-after its timestamp (union-sort-window with the
+    sort reversed — same one-shuffle cost as backward). Oracle is a
+    correlated LATERAL top-1 in DuckDB."""
+    from .operators.asof import asof_join
+
+    e = load_table(spark, sf, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        left, right, on="user_id", ts="ts", right_cols=["value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_asof").alias("next_purchase_ts"),
+        F.col("value").alias("next_purchase_value"),
+    )
+
+
+Q81_SQL = """
+WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+  rr.ts AS next_purchase_ts, rr.value AS next_purchase_value
+FROM events l LEFT JOIN LATERAL (
+  SELECT ts, value FROM r
+  WHERE r.user_id = l.user_id AND r.ts >= l.ts
+  ORDER BY r.ts LIMIT 1) rr ON true
+"""
+
+
+def q82_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest as-of join with tolerance: the closest purchase within
+    2 hours either side (ties to the earlier row, pandas semantics).
+    Both direction passes share one shuffle; the oracle ranks by
+    absolute distance with the same tiebreak."""
+    from .operators.asof import asof_join
+
+    e = load_table(spark, sf, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        left, right, on="user_id", ts="ts", right_cols=["value"],
+        direction="nearest", tolerance=F.expr("INTERVAL 2 HOURS"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_asof").alias("near_purchase_ts"),
+        F.col("value").alias("near_purchase_value"),
+    )
+
+
+Q82_SQL = """
+WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+  rr.ts AS near_purchase_ts, rr.value AS near_purchase_value
+FROM events l LEFT JOIN LATERAL (
+  SELECT ts, value FROM r
+  WHERE r.user_id = l.user_id
+    AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 7200000000
+  ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)), r.ts LIMIT 1) rr ON true
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2655,6 +2763,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
     "q78_window_functions": (q78_window_functions, Q78_SQL),
     "q79_array_functions": (q79_array_functions, Q79_SQL),
+    "q80_repetition_filters": (q80_repetition_filters, Q80_SQL),
+    "q81_asof_forward": (q81_asof_forward, Q81_SQL),
+    "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
