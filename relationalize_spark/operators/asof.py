@@ -8,14 +8,25 @@ shape as a regular SortMergeJoin, with none of the per-row Python or
 O(N*M) candidate pairs a naive inequality join would create. This is
 the standard distributed design for point-in-time correctness joins
 (feature stores, market data).
+
+Directions mirror pandas ``merge_asof``: backward (last right row at
+or before, DuckDB's ASOF JOIN), forward (first right row at or
+after), nearest (the closer of the two, ties to the backward match).
+Forward reuses the same single window pass with the sort reversed;
+nearest runs both passes over the one union+shuffle.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SIDE = "__asof_side__"
+
+
+def _micros(col: Column, dtype: T.DataType) -> Column:
+    return F.unix_micros(col) if isinstance(dtype, T.TimestampType) else col
 
 
 def asof_join(
@@ -25,12 +36,17 @@ def asof_join(
     ts: str,
     right_cols: list[str] | None = None,
     *,
+    direction: str = "backward",
     tolerance: Column | None = None,
     suffix: str = "_asof",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right.ts <= left.ts`` within the same key group ("backward"
-    as-of semantics, matching DuckDB's ASOF JOIN).
+    """For each left row, attach one right row within the same key
+    group: the greatest ``right.ts <= left.ts`` (``backward``, the
+    default — matches DuckDB's ASOF JOIN), the least
+    ``right.ts >= left.ts`` (``forward``), or whichever of those two
+    is closer in time (``nearest``; ties prefer the backward match,
+    as pandas does). Determinism requires (key, ts) unique on the
+    right — the same precondition every as-of engine imposes.
 
     Parameters
     ----------
@@ -39,9 +55,12 @@ def asof_join(
     right_cols: right-side value columns to carry (default: all except
         key/ts). They appear on the output with ``suffix`` appended if
         the name collides with a left column.
-    tolerance: optional max age, e.g. ``F.expr("INTERVAL 1 HOUR")``;
-        matches older than ``left.ts - tolerance`` become null.
+    tolerance: optional max distance, e.g. ``F.expr("INTERVAL 1
+        HOUR")``; matches farther than that from ``left.ts`` become
+        null.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in {*keys, ts}]
@@ -68,29 +87,57 @@ def asof_join(
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    # Right rows sort before left rows at equal ts so ties match
-    # (<= semantics). One running last-non-null struct per key.
-    w = (
+    # Right rows sort before left rows at equal ts so ties match in
+    # both directions (<= / >= semantics). One running last-non-null
+    # struct per key per direction; nearest shares the single shuffle.
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_back = (
         Window.partitionBy(*keys)
         .orderBy(F.asc(ts), F.desc(_SIDE))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(*frame)
     )
-    filled = unioned.select(
-        "*", F.last(payload, ignorenulls=True).over(w).alias("__f__")
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc(ts), F.desc(_SIDE))
+        .rowsBetween(*frame)
     )
-    out = filled.filter(F.col(_SIDE) == 0)
+    fills: list[Column] = []
+    if direction in ("backward", "nearest"):
+        fills.append(F.last(payload, ignorenulls=True).over(w_back).alias("__b__"))
+    if direction in ("forward", "nearest"):
+        fills.append(F.last(payload, ignorenulls=True).over(w_fwd).alias("__f__"))
+    out = unioned.select("*", *fills).filter(F.col(_SIDE) == 0)
 
-    in_tolerance = F.lit(True)
-    if tolerance is not None:
-        in_tolerance = F.col("__f__.__ts__") >= (F.col(ts) - tolerance)
-    result_cols = [F.col(c) for c in left.columns]
-    result_cols.append(
-        F.when(in_tolerance, F.col("__f__.__ts__")).alias(f"{ts}{suffix}")
-    )
-    for c in right_cols:
-        result_cols.append(
-            F.when(in_tolerance, F.col(f"__f__.{carried[c]}")).alias(carried[c])
+    ts_type = right.schema[ts].dataType
+    lm = _micros(F.col(ts), ts_type)
+
+    def _valid(side: str) -> Column:
+        cand = F.col(f"{side}.__ts__")
+        ok = cand.isNotNull()
+        if tolerance is not None:
+            if side == "__b__":
+                ok = ok & (cand >= (F.col(ts) - tolerance))
+            else:
+                ok = ok & (cand <= (F.col(ts) + tolerance))
+        return ok
+
+    if direction == "backward":
+        chosen = F.when(_valid("__b__"), F.col("__b__"))
+    elif direction == "forward":
+        chosen = F.when(_valid("__f__"), F.col("__f__"))
+    else:
+        b_ok, f_ok = _valid("__b__"), _valid("__f__")
+        d_b = lm - _micros(F.col("__b__.__ts__"), ts_type)
+        d_f = _micros(F.col("__f__.__ts__"), ts_type) - lm
+        chosen = (
+            F.when(b_ok & (~f_ok | (d_b <= d_f)), F.col("__b__"))
+            .when(f_ok, F.col("__f__"))
         )
+
+    result_cols = [F.col(c) for c in left.columns]
+    result_cols.append(chosen["__ts__"].alias(f"{ts}{suffix}"))
+    for c in right_cols:
+        result_cols.append(chosen[carried[c]].alias(carried[c]))
     return out.select(*result_cols)
 
 

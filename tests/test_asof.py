@@ -94,6 +94,68 @@ def test_asof_null_value_column_is_row_atomic(spark):
     assert row.price is None  # from the matched row, not back-filled
 
 
+def test_asof_forward(spark):
+    left, right = make(spark)
+    out = {
+        r.event_id: (r.price, r.ts_asof)
+        for r in asof_join(
+            left, right, on="user_id", ts="ts", direction="forward"
+        ).collect()
+    }
+    assert out[1] == (100.0, ts("2024-01-01 10:00:00"))  # >= includes ties
+    assert out[2] == (None, None)  # nothing at-or-after
+    assert out[3] == (100.0, ts("2024-01-01 10:00:00"))  # first ahead
+    assert out[4] == (None, None)  # u2's only row is behind
+
+
+def test_asof_forward_tolerance(spark):
+    left, right = make(spark)
+    out = {
+        r.event_id: r.price
+        for r in asof_join(
+            left,
+            right,
+            on="user_id",
+            ts="ts",
+            direction="forward",
+            tolerance=F.expr("INTERVAL 30 MINUTES"),
+        ).collect()
+    }
+    assert out[1] == 100.0  # 0 min ahead
+    assert out[3] is None  # 60 min ahead: outside tolerance
+
+
+def test_asof_nearest_prefers_backward_on_tie(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01 09:00:00"), 1.0),  # 60 min before
+            ("u1", ts("2024-01-01 11:00:00"), 2.0),  # 60 min after: tie
+        ],
+        "user_id string, ts timestamp, price double",
+    )
+    row = asof_join(
+        left, right, on="user_id", ts="ts", direction="nearest"
+    ).collect()[0]
+    assert row.price == 1.0  # pandas merge_asof tie rule: backward
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    left, right = make(spark)
+    out = {
+        r.event_id: r.price
+        for r in asof_join(
+            left, right, on="user_id", ts="ts", direction="nearest"
+        ).collect()
+    }
+    assert out[2] == 200.0  # 11:00 behind by 60m beats nothing ahead
+    assert out[3] == 100.0  # 10:00 ahead by 60m beats nothing behind
+    assert out[4] == 50.0
+
+
 def test_range_bucket_join(spark):
     fact = spark.createDataFrame(
         [(1, 10.0), (2, 75.0), (3, 999.0)], "id long, value double"
