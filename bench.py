@@ -86,6 +86,67 @@ def main() -> None:
         .orderBy(F.desc("s"))
     ).write.format("noop").mode("overwrite").save()
 
+    # Second warmup plan: the codepaths the first one cannot reach —
+    # higher-order-function codegen (transform/zip_with/aggregate),
+    # xxhash64, posexplode, md5, sort_array(collect_list) and the
+    # VARIANT parser — all first-use JIT costs that would otherwise
+    # land on q29/q34/q20/q22's timings. Synthetic range data only.
+    m31 = F.lit(2**31)
+    docs = spark.range(20_000).select(
+        "id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(20)),
+                lambda i: F.concat(F.lit("w"), F.pmod(F.col("id") + i, F.lit(97)).cast("string")),
+            ),
+        ).alias("t"),
+    )
+    sh = docs.select(
+        "id",
+        F.array_distinct(
+            F.transform(F.split("t", r"\s+"), lambda s: F.pmod(F.xxhash64(s), m31))
+        ).alias("sh"),
+        F.md5(F.concat_ws("|", "t")).alias("fp"),
+    )
+    sig = sh.select(
+        "id",
+        "fp",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.array_min(F.zip_with("sh", "sh", lambda a, b: F.pmod(a + i * b, m31))),
+        ).alias("sig"),
+        F.aggregate("sh", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("chk"),
+    )
+    (
+        sig.select("id", "chk", F.posexplode("sig"))
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("col").alias("mn"))
+    ).write.format("noop").mode("overwrite").save()
+    (
+        spark.range(10_000)
+        .select(F.pmod(F.col("id"), F.lit(100)).alias("k"), "id")
+        .groupBy("k")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("k").alias("v")))
+            ).alias("xs")
+        )
+        .select("k", F.posexplode("xs"))
+        .select("k", "pos", F.md5(F.concat_ws("|", "col.id", "col.v")).alias("rid"))
+    ).write.format("noop").mode("overwrite").save()
+    vwarm = spark.range(2_000).select(
+        F.parse_json(
+            F.concat(F.lit('{"a": '), F.col("id").cast("string"), F.lit("}"))
+        ).alias("v")
+    )
+    vwarm.groupBy().agg(F.schema_of_variant_agg("v").alias("sch")).collect()
+    (
+        vwarm.select(F.try_variant_get("v", "$.a", "bigint").alias("a"))
+        .groupBy()
+        .agg(F.sum("a").alias("s"))
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in REGISTRY]
     for name in names:
