@@ -2678,6 +2678,68 @@ FROM events l LEFT JOIN LATERAL (
 """
 
 
+def q83_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup: every event arrives twice (the stream is
+    duplicated row-for-row) and ``dropDuplicatesWithinWatermark`` on
+    the event key lets exactly one through, with state evicted as the
+    watermark passes — the bounded-state form of streaming dedup
+    (plain dropDuplicates would hold every key forever). Driven to
+    completion; the oracle is the original (already-unique) table."""
+    stream = _events_stream(spark, sf)
+    doubled = stream.select(
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("__copy__"), "*"
+    ).drop("__copy__")
+    deduped = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("q83_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q83_dedup")
+
+
+Q83_SQL = """
+SELECT event_id, user_id, ts, event_type, value FROM events
+"""
+
+
+def q84_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (melt): wide per-lineitem measures to long
+    (metric, val) rows — a pure projection+explode, no shuffle, so it
+    runs at scan speed at any size. Oracle is DuckDB's UNPIVOT."""
+    l = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "val",
+    )
+
+
+Q84_SQL = """
+SELECT l_orderkey, l_linenumber, metric, val FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS quantity,
+             CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+             CAST(l_discount AS DOUBLE) AS discount
+           FROM lineitem)
+  ON quantity, extendedprice, discount INTO NAME metric VALUE val)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2766,6 +2828,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q80_repetition_filters": (q80_repetition_filters, Q80_SQL),
     "q81_asof_forward": (q81_asof_forward, Q81_SQL),
     "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
+    "q83_streaming_dedup": (q83_streaming_dedup, Q83_SQL),
+    "q84_unpivot": (q84_unpivot, Q84_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
