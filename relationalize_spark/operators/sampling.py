@@ -96,3 +96,55 @@ def deterministic_sample_topk(
     c = F.col(id_col)
     h = F.pmod((c + F.lit(seed)) * F.lit(_KNUTH), F.lit(_M32))
     return df.orderBy(h.asc(), c.asc()).limit(k)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    seed: int = 0,
+    replica_col: str | None = None,
+) -> DataFrame:
+    """Weighted dataset mixing: keep each row with probability
+    ``weights[source]`` (deterministic by id hash), the standard way a
+    training corpus re-balances heterogeneous sources (downsample the
+    crawl, upsample the books). Weights above 1.0 REPLICATE: a row
+    with weight 2.3 appears twice always plus a third time for the
+    30% of ids whose hash falls under the fraction. Replication is a
+    generator expression (``explode(sequence(...))``) — a projection,
+    no shuffle, no RNG state — so the mix is reproducible row-for-row
+    on any cluster shape. Pass ``replica_col`` to expose the 0-based
+    replica index (training loaders use it to vary shuffling salt per
+    epoch-copy of the same document).
+
+    With all weights <= 1.0 the plan is a pure pushed-down filter at
+    scan speed; only weights > 1.0 introduce the row-generating
+    projection (still no shuffle).
+    """
+    bucket = hash_bucket(id_col, 100, seed)
+    reps: Column | None = None
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {name!r}: {w}")
+        whole, frac_pct = int(w), int(round((w - int(w)) * 100))
+        n = F.lit(whole) + (bucket < F.lit(frac_pct)).cast("int")
+        cond = F.col(source_col) == name
+        reps = F.when(cond, n) if reps is None else reps.when(cond, n)
+    d_whole, d_frac = int(default), int(round((default - int(default)) * 100))
+    d_n = F.lit(d_whole) + (bucket < F.lit(d_frac)).cast("int")
+    reps = d_n if reps is None else reps.otherwise(d_n)
+
+    if all(w <= 1.0 for w in weights.values()) and default <= 1.0:
+        return df.filter(reps >= 1)
+    # filter BEFORE explode: sequence(1, 0) would descend ([1, 0]) and
+    # resurrect weight-0 rows.
+    out = df.filter(reps >= 1).withColumn(
+        "__replica__", F.explode(F.sequence(F.lit(1), reps))
+    )
+    if replica_col is not None:
+        return out.withColumn(replica_col, F.col("__replica__") - 1).drop(
+            "__replica__"
+        )
+    return out.drop("__replica__")

@@ -2740,6 +2740,180 @@ SELECT l_orderkey, l_linenumber, metric, val FROM (
 """
 
 
+def q85_rolling_time_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 1-hour per-user aggregate via a RANGE window frame over
+    epoch microseconds — the time-interval frame (as opposed to the
+    row-count frames of q78). One shuffle on user_id, then a per-key
+    sort; the frame slide is streaming within each partition, so
+    memory stays bounded by the widest 1-hour burst, not the key's
+    history. The sum runs in DECIMAL (order-insensitive) and casts to
+    DOUBLE once at the end, per the repo parity convention."""
+    e = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double")
+        .alias("roll_value"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+Q85_SQL = """
+SELECT event_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_value,
+  COUNT(*) OVER w AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q86_argmax_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group argmax/argmin in a single aggregation pass:
+    ``max_by``/``min_by`` with a struct ordering key carries the
+    extreme row's identity through the partial/final aggregate without
+    the sort a window formulation needs — at 100 TB this is one
+    shuffle of 5 tiny structs per partition instead of a full per-group
+    sort. The struct's second field is the deterministic tiebreak.
+    Oracle uses the window formulation (DuckDB's arg_max cannot take a
+    composite ordering key), proving the two shapes agree."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "top_order"
+        ),
+        F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "bottom_order"
+        ),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q86_SQL = """
+SELECT o_orderpriority,
+  MAX(CASE WHEN rn_hi = 1 THEN o_orderkey END) AS top_order,
+  MAX(CASE WHEN rn_lo = 1 THEN o_orderkey END) AS bottom_order,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+  COUNT(*) AS n_orders
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_hi,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_lo
+  FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+def q87_source_mixing(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted source mixing for corpus re-balancing: four named
+    sources keep 100%/50%/25%/10% of their documents, everything else
+    5%, decided per-row by the deterministic id hash (operators/
+    sampling.mix_sources). All weights <= 1 here, so the whole mix is
+    a pushed-down filter — no shuffle, no RNG state, stable under
+    repartitioning. The oracle replays the exact Knuth-hash
+    arithmetic."""
+    from .operators.sampling import mix_sources
+
+    d = load_table(spark, sf, "documents")
+    mixed = mix_sources(
+        d,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default=0.05,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+Q87_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT *, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+  FROM documents)
+WHERE bucket < CASE source
+  WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+  WHEN 'src2' THEN 25 WHEN 'src3' THEN 10 ELSE 5 END
+GROUP BY source
+"""
+
+
+def q88_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing, the semantics ETL needs
+    when joining on optional foreign keys. Spark compiles EqualNullSafe
+    into the same hash-join machinery as a plain equi-join (broadcast
+    here — the dim side is tiny), so the null-safety costs nothing at
+    scale. Region key 2 is nulled on both sides to exercise the
+    NULL-matches-NULL path."""
+    n = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", F.expr("nullif(n_regionkey, 2)").alias("k")
+    )
+    r = load_table(spark, sf, "region").select(
+        "r_name", F.expr("nullif(r_regionkey, 2)").alias("rk")
+    )
+    return (
+        n.join(F.broadcast(r), n["k"].eqNullSafe(r["rk"]))
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+Q88_SQL = """
+SELECT n_nationkey, n_name, r_name
+FROM (SELECT n_nationkey, n_name, NULLIF(n_regionkey, 2) AS k FROM nation) n
+JOIN (SELECT r_name, NULLIF(r_regionkey, 2) AS rk FROM region) r
+  ON n.k IS NOT DISTINCT FROM r.rk
+"""
+
+
+def q89_date_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-function battery: month-end, ISO week start, day of
+    week, calendar-aware month addition (end-of-month clamping),
+    quarter, day of year, day diff. Pure projection at scan speed;
+    parity notes: DuckDB's dayofweek is 0-based (Sunday=0) vs Spark's
+    1-based, and date results are presented as TIMESTAMP on both sides
+    (the repo date convention)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.date_trunc("week", d).alias("week_start"),
+        F.dayofweek(d).alias("dow"),
+        F.add_months(d, 3).cast("timestamp").alias("plus3mo"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+Q89_SQL = """
+SELECT o_orderkey,
+  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+  date_trunc('week', o_orderdate) AS week_start,
+  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3mo,
+  CAST(quarter(o_orderdate) AS INT) AS qtr,
+  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+    AS days_since
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2830,6 +3004,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
     "q83_streaming_dedup": (q83_streaming_dedup, Q83_SQL),
     "q84_unpivot": (q84_unpivot, Q84_SQL),
+    "q85_rolling_time_window": (q85_rolling_time_window, Q85_SQL),
+    "q86_argmax_groups": (q86_argmax_groups, Q86_SQL),
+    "q87_source_mixing": (q87_source_mixing, Q87_SQL),
+    "q88_nullsafe_join": (q88_nullsafe_join, Q88_SQL),
+    "q89_date_battery": (q89_date_battery, Q89_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -414,3 +414,63 @@ def test_pack_shards_greedy_running_sum(spark):
     )
     # cumsum 10,20,30,40,50 -> floor((c-10)/25) = 0,0,0,1,1
     assert got == [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1)]
+
+
+# -- mix_sources ----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mix_corpus(spark):
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mix_sources_downsample_rates(spark, mix_corpus):
+    from relationalize_spark.operators.sampling import hash_bucket, mix_sources
+
+    out = mix_sources(mix_corpus, {"src0": 1.0, "src1": 0.5}, default=0.0)
+    by_src = dict(
+        (r["source"], r["n"])
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    )
+    assert by_src["src0"] == 100          # weight 1.0 keeps everything
+    assert by_src.get("src2") is None     # default 0.0 drops the rest
+    # weight 0.5 keeps exactly the ids whose bucket < 50
+    expected = mix_corpus.filter(
+        (F.col("source") == "src1") & (hash_bucket("doc_id") < 50)
+    ).count()
+    assert by_src["src1"] == expected > 0
+
+
+def test_mix_sources_filter_only_plan_when_downsampling(spark, mix_corpus):
+    from relationalize_spark.operators.sampling import mix_sources
+
+    out = mix_sources(mix_corpus, {"src0": 0.5}, default=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode: pure pushed-down filter
+
+
+def test_mix_sources_upsample_replicates(spark, mix_corpus):
+    from relationalize_spark.operators.sampling import hash_bucket, mix_sources
+
+    out = mix_sources(
+        mix_corpus, {"src0": 2.5, "src1": 0.0}, default=1.0, replica_col="rep"
+    )
+    by_src = dict(
+        (r["source"], r["n"])
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    )
+    # weight 2.5: every src0 row twice, plus once more where bucket < 50
+    frac = mix_corpus.filter(
+        (F.col("source") == "src0") & (hash_bucket("doc_id") < 50)
+    ).count()
+    assert by_src["src0"] == 2 * 100 + frac
+    assert "src1" not in by_src           # weight 0.0 drops, even via explode
+    assert by_src["src2"] == 100          # default 1.0 passes through
+    # replica index is 0-based and dense per row
+    reps = (
+        out.filter(F.col("source") == "src0")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rep")).alias("r"))
+        .collect()
+    )
+    assert all(r["r"] == list(range(len(r["r"]))) for r in reps)
