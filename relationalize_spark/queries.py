@@ -2913,6 +2913,223 @@ FROM orders WHERE o_orderkey % 100 = 0
 """
 
 
+def q90_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation-pair predicate is pushed INTO the broadcast
+    dimension scans (each nation side is pre-filtered to the two
+    names), so the big fact joins only carry rows from the two
+    countries — at 100 TB that prunes ~92% of customer/supplier
+    matches before the orders join. One shuffle for the final
+    3-key aggregate."""
+    both = ["NATION_1", "NATION_2"]
+    n1 = (
+        load_table(spark, sf, "nation")
+        .filter(F.col("n_name").isin(both))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf, "nation")
+        .filter(F.col("n_name").isin(both))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    s = load_table(spark, sf, "supplier")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    disc_price = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+Q90_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ns.n_name IN ('NATION_1', 'NATION_2')
+  AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name <> nc.n_name
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q91_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5 suppliers' share of PROMO-part revenue
+    sold to ASIA-region customers, by order year. The share is a
+    conditional-sum / total-sum ratio computed in ONE aggregation pass
+    (no second scan, no self-join); both sums run in exact DECIMAL and
+    cast to DOUBLE only for the final division, so the ratio is
+    bit-stable regardless of partitioning. Part, supplier, nation,
+    region all broadcast; the only shuffle is the year aggregate."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n_c = load_table(spark, sf, "nation")
+    n_s = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    vol = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == n_c.n_nationkey)
+        .join(F.broadcast(r), n_c.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("s_nk"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(zero))
+        .cast("double")
+        .alias("nation_vol"),
+        F.sum(vol).cast("double").alias("total_vol"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share"),
+        "total_vol",
+    )
+
+
+Q91_SQL = """
+SELECT o_year, nation_vol / total_vol AS mkt_share, total_vol
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+    CAST(SUM(CASE WHEN ns.n_name = 'NATION_5' THEN vol
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_vol,
+    CAST(SUM(vol) AS DOUBLE) AS total_vol
+  FROM (
+    SELECT l_orderkey, l_suppkey, o_orderdate, o_custkey,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS vol
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_type = 'PROMO') li
+  JOIN customer ON li.o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON li.l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = 'ASIA'
+  GROUP BY o_year)
+"""
+
+
+def q92_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over
+    'red' parts. The testdata has no partsupp table, so unit cost is
+    proxied by p_retailprice (documented deviation from Q9's
+    ps_supplycost); profit = disc revenue - retail cost, both exact
+    DECIMAL with every intermediate capped at precision 18 so the
+    38-digit ceiling is never hit. Part/supplier/nation broadcast;
+    one shuffle for the (nation, year) aggregate."""
+    n = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), "n_name"
+    )
+    s = load_table(spark, sf, "supplier")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    revenue = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    cost = (_dec("p_retailprice") * _dec("l_quantity")).cast("decimal(18,4)")
+    amount = (revenue - cost).cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("s_nk"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+Q92_SQL = """
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CAST(
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
+    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
+  AS DECIMAL(18,4))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+"""
+
+
+def q93_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly
+    revenue. The max is a scalar aggregate broadcast back against the
+    per-supplier revenue — NOT an empty-partition window (which would
+    funnel every row through one task at scale). Revenue equality is
+    compared in exact DECIMAL, so ties survive identically in both
+    engines; the DOUBLE cast happens after the comparison."""
+    s = load_table(spark, sf, "supplier")
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    disc_price = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    rev = l.groupBy("l_suppkey").agg(F.sum(disc_price).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q93_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -3009,6 +3226,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q87_source_mixing": (q87_source_mixing, Q87_SQL),
     "q88_nullsafe_join": (q88_nullsafe_join, Q88_SQL),
     "q89_date_battery": (q89_date_battery, Q89_SQL),
+    "q90_volume_shipping": (q90_volume_shipping, Q90_SQL),
+    "q91_market_share": (q91_market_share, Q91_SQL),
+    "q92_product_profit": (q92_product_profit, Q92_SQL),
+    "q93_top_supplier": (q93_top_supplier, Q93_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
