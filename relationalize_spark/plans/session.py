@@ -34,6 +34,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", shuffle)
+        # Runtime Bloom-filter join pruning: when one side of a shuffle
+        # join is selective, inject a bloom filter of its join keys into
+        # the other side's scan so non-matching rows die at the source
+        # instead of riding the shuffle. At 100 TB this is the difference
+        # between shuffling the full fact table and shuffling the ~1%
+        # that survives the dimension's predicate.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Arrow for any pandas UDF boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -163,3 +163,33 @@ def test_filter_and_projection_pushdown(spark):
     assert "l_comment" not in scan_line
     for needed in ("l_extendedprice", "l_discount", "l_shipdate"):
         assert needed in plan, plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """With a selective dimension side, the optimizer injects a Bloom
+    filter of the dimension's join keys into the fact scan (visible as
+    bloom_filter_agg / might_contain in the plan), so non-matching fact
+    rows are dropped at the source instead of riding the shuffle. The
+    production thresholds (10 GB application side) are lowered here to
+    make the injection observable at test scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(100_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("tag"))
+        joined = fact.join(dim.filter(F.col("tag") == 3), "k")
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in optimized or "might_contain" in optimized, optimized
+        # semantics unchanged: every surviving key has tag == 3
+        assert joined.count() == 14300  # 143 dim keys x 100 fact rows each
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
