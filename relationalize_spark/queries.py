@@ -3131,6 +3131,31 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
 
 
+def q94_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate-aggregate surface: HyperLogLog++ distinct counts
+    (``approx_count_distinct``), Apache DataSketches HLL
+    (``hll_sketch_agg`` -> estimate), and GK quantile sketches
+    (``percentile_approx``) per document source, alongside their exact
+    counterparts. All three sketches are partial-aggregatable — the
+    map-side combine ships a fixed-size sketch per partition instead
+    of the raw values, so at 100 TB the shuffle volume is O(sources x
+    sketch_size), independent of row count. Rows-only in the driver
+    gate (HLL register layouts are engine-specific and cannot be
+    replayed in DuckDB bit-for-bit); `tests/test_sketches.py` pins the
+    error-bound and mergeability contracts instead."""
+    d = load_table(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.approx_count_distinct("text", 0.02).alias("hllpp_uniq_text"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("text", 14)).alias(
+            "datasketches_uniq_text"
+        ),
+        F.countDistinct("text").alias("exact_uniq_text"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("p50_chars"),
+        F.percentile_approx("n_chars", 0.9, 10000).alias("p90_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3230,6 +3255,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q91_market_share": (q91_market_share, Q91_SQL),
     "q92_product_profit": (q92_product_profit, Q92_SQL),
     "q93_top_supplier": (q93_top_supplier, Q93_SQL),
+    "q94_approx_sketches": (q94_approx_sketches, None),
 }
 
 # Generated oracles (built from the same profile constants the Spark

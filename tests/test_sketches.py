@@ -1,0 +1,88 @@
+"""Approximate-aggregate contracts: error bounds vs exact answers,
+exactness of GK quantiles when n <= accuracy, and sketch mergeability
+(the property that makes them shuffle-light at scale: per-partition
+sketches union to the same estimate as one global pass)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from relationalize_spark.queries import REGISTRY
+from relationalize_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sketch_rows(spark):
+    df = REGISTRY["q94_approx_sketches"][0](spark, SF)
+    return {r["source"]: r for r in df.collect()}
+
+
+def test_hll_estimates_within_error_bounds(sketch_rows):
+    assert sketch_rows
+    for src, r in sketch_rows.items():
+        exact = r["exact_uniq_text"]
+        # approx_count_distinct at rsd=0.02: allow 5 sigma
+        assert abs(r["hllpp_uniq_text"] - exact) <= max(2, 0.10 * exact), (src, r)
+        # DataSketches HLL at lgK=14 is ~0.8% rsd; same generous bound
+        assert abs(r["datasketches_uniq_text"] - exact) <= max(2, 0.10 * exact), (
+            src,
+            r,
+        )
+
+
+def test_gk_quantiles_exact_when_accuracy_exceeds_n(spark, sketch_rows):
+    """percentile_approx's GK sketch guarantees rank error <= n/accuracy,
+    so with accuracy 10000 and per-source n in the hundreds the result
+    must equal the exact discrete percentile (smallest value at rank
+    >= ceil(p*n))."""
+    d = load_table(spark, SF, "documents")
+    per_src = {
+        r["source"]: sorted(x["n_chars"] for x in r["vals"])
+        for r in d.groupBy("source")
+        .agg(F.collect_list(F.struct("n_chars")).alias("vals"))
+        .collect()
+    }
+    for src, vals in per_src.items():
+        n = len(vals)
+        for p, col in ((0.5, "p50_chars"), (0.9, "p90_chars")):
+            import math
+
+            exact = vals[max(0, math.ceil(p * n) - 1)]
+            assert sketch_rows[src][col] == exact, (src, col, n)
+
+
+def test_hll_sketch_merge_matches_single_pass(spark):
+    """Partial-aggregate path: per-partition sketches merged with
+    hll_union_agg give the same estimate as one global sketch — the
+    contract Spark's partial aggregation relies on, and the reason the
+    shuffle carries KBs not rows at 100 TB."""
+    d = load_table(spark, SF, "documents").repartition(7, "doc_id")
+    merged = (
+        d.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.hll_sketch_agg("text", 14).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("est"))
+        .collect()[0]["est"]
+    )
+    single = d.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("text", 14)).alias("est")
+    ).collect()[0]["est"]
+    assert merged == single
+
+
+def test_count_min_sketch_overcounts_only(spark):
+    """CMS frequency estimates are biased high, never low — the usable
+    direction for heavy-hitter screens (no false negatives)."""
+    d = load_table(spark, SF, "documents")
+    cms = d.agg(
+        F.count_min_sketch(
+            "lang", F.lit(0.01), F.lit(0.95), F.lit(42)
+        ).alias("sk")
+    ).collect()[0]["sk"]
+    exact = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert isinstance(cms, (bytes, bytearray)) and len(cms) > 0
+    # probe the serialized sketch via the JVM-side estimator
+    jvm = spark.sparkContext._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(cms))
+    for lang, n in exact.items():
+        assert sk.estimateCount(lang) >= n, (lang, n)
