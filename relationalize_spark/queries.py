@@ -3156,6 +3156,64 @@ def q94_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+Q95_SQL = """
+SELECT c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 2) l
+WHERE c_custkey % 50 = 0
+"""
+
+
+def q95_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    SQL-standard top-N-per-group shape). The same ANSI string runs
+    verbatim in Spark and DuckDB. Catalyst decorrelates the lateral
+    into a join + per-key window rather than re-executing the subquery
+    per outer row, so the plan is one shuffle on the correlation key —
+    scale-equivalent to the hand-written window formulation (q08)."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf, ("customer", "orders"))
+    return spark.sql(Q95_SQL)
+
+
+Q96_SQL_ORACLE = """
+SELECT o_orderpriority,
+  string_agg(o_orderkey :: VARCHAR, ',' ORDER BY o_totalprice DESC, o_orderkey) AS top_keys,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 5
+GROUP BY o_orderpriority
+"""
+
+
+def q96_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP):
+    the top-5 order keys per priority concatenated in rank order.
+    The top-5 filter bounds each group BEFORE the concat, which is the
+    only way listagg stays safe at 100 TB — an unbounded listagg over
+    a hot group is a single-row memory bomb. DuckDB's string_agg with
+    ORDER BY is the oracle."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    top = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return top.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(CAST(o_orderkey AS STRING), ',') "
+            "WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)"
+        ).alias("top_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3256,6 +3314,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q92_product_profit": (q92_product_profit, Q92_SQL),
     "q93_top_supplier": (q93_top_supplier, Q93_SQL),
     "q94_approx_sketches": (q94_approx_sketches, None),
+    "q95_lateral_topn": (q95_lateral_topn, Q95_SQL),
+    "q96_string_agg": (q96_string_agg, Q96_SQL_ORACLE),
 }
 
 # Generated oracles (built from the same profile constants the Spark
