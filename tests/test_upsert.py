@@ -1,0 +1,67 @@
+"""Partition-upsert sink: dynamic overwrite touches only the batch's
+partitions; key-level merge replaces collisions within them."""
+
+import pyspark.sql.functions as F
+
+from relationalize_spark.sinks.upsert import (
+    overwrite_partitions,
+    upsert_keys,
+    write_partitioned,
+)
+
+
+def _rows(spark, path):
+    return {
+        (r.k, r.day): r.v
+        for r in spark.read.parquet(path).select("k", "day", "v").collect()
+    }
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(i, f"d{i % 3}", i * 10) for i in range(30)], "k int, day string, v int"
+    )
+
+
+def test_overwrite_partitions_leaves_others_untouched(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_partitioned(_base(spark), path, ["day"])
+    before = _rows(spark, path)
+
+    patch = spark.createDataFrame([(999, "d1", -1)], "k int, day string, v int")
+    overwrite_partitions(patch, path, ["day"])
+
+    after = _rows(spark, path)
+    # d1 replaced wholesale by the single patch row
+    assert {kd for kd in after if kd[1] == "d1"} == {(999, "d1")}
+    # d0/d2 byte-identical row sets
+    for day in ("d0", "d2"):
+        assert {kd: v for kd, v in after.items() if kd[1] == day} == {
+            kd: v for kd, v in before.items() if kd[1] == day
+        }
+
+
+def test_upsert_keys_merges_within_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_partitioned(_base(spark), path, ["day"])
+
+    batch = spark.createDataFrame(
+        [(3, "d0", 777), (100, "d0", 888)], "k int, day string, v int"
+    )
+    upsert_keys(batch, path, "day", ["k", "day"])
+
+    after = _rows(spark, path)
+    assert after[(3, "d0")] == 777          # collision replaced
+    assert after[(100, "d0")] == 888        # new key appended
+    assert after[(6, "d0")] == 60           # same-partition survivor kept
+    assert after[(1, "d1")] == 10           # untouched partition intact
+    assert len(after) == 31
+
+
+def test_upsert_read_back_is_partition_pruned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_partitioned(_base(spark), path, ["day"])
+    pruned = spark.read.parquet(path).filter(F.col("day").isin(["d1"]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "d1" in plan, plan
+    assert pruned.count() == 10
