@@ -3214,6 +3214,27 @@ def q96_string_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q97_global_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense 0-based global index over documents in doc_id order —
+    the training-loader's example-id assignment. NOT a single-task
+    ``row_number() OVER (ORDER BY ...)``: operators/indexing.py range-
+    partitions, prefix-sums per-partition counts (num_partitions values
+    on the driver), and enumerates each partition in an Arrow batch
+    stream, so the index scales with the cluster. The oracle IS the
+    single-task window formulation, proving equivalence."""
+    from .operators.indexing import add_global_index
+
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return add_global_index(d, ["doc_id"], index_col="idx")
+
+
+Q97_SQL = """
+SELECT doc_id, n_chars,
+  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3316,6 +3337,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q94_approx_sketches": (q94_approx_sketches, None),
     "q95_lateral_topn": (q95_lateral_topn, Q95_SQL),
     "q96_string_agg": (q96_string_agg, Q96_SQL_ORACLE),
+    "q97_global_index": (q97_global_index, Q97_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -474,3 +474,21 @@ def test_mix_sources_upsample_replicates(spark, mix_corpus):
         .collect()
     )
     assert all(r["r"] == list(range(len(r["r"]))) for r in reps)
+
+
+# -- add_global_index -----------------------------------------------------
+
+def test_add_global_index_dense_and_ordered(spark):
+    from relationalize_spark.operators.indexing import add_global_index
+
+    df = spark.createDataFrame(
+        [(i * 7 % 101, f"r{i}") for i in range(101)], "k int, payload string"
+    )
+    out = add_global_index(df, ["k"], index_col="idx", num_partitions=5)
+    rows = out.orderBy("k").collect()
+    assert [r["idx"] for r in rows] == list(range(101))   # dense, 0-based
+    assert [r["k"] for r in rows] == sorted(r["k"] for r in rows)
+    # scale guard: built on a range shuffle, NOT a single-task window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "Window" not in plan, plan
