@@ -12,7 +12,8 @@ from .dedup import (
     ngram_overlap_pairs,
     simhash_pairs,
 )
-from .sampling import hash_split, stratified_sample
+from .indexing import add_global_index
+from .sampling import hash_split, mix_sources, stratified_sample
 from .similarity import (
     brute_force_topk,
     ivf_topk,
@@ -39,7 +40,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_overlap_pairs",
     "simhash_pairs",
+    "add_global_index",
     "hash_split",
+    "mix_sources",
     "stratified_sample",
     "brute_force_topk",
     "ivf_topk",

@@ -3235,6 +3235,59 @@ FROM documents
 """
 
 
+def q98_regression_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS slope/intercept and Pearson r between quantity and
+    extended price, derived from exact DECIMAL sufficient statistics
+    (n, Sx, Sy, Sxy, Sxx, Syy) in one aggregation pass. Spark's
+    built-in ``corr``/``regr_slope`` accumulate in DOUBLE, where the
+    result depends on partition merge order — correct but not
+    reproducible bit-for-bit across cluster shapes. Deriving from
+    decimal sums makes the statistics deterministic AND keeps the
+    map-side combine (6 fixed-width values per group).
+    `tests/test_sketches.py` pins |derived - F.corr| < 1e-9."""
+    l = load_table(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,8)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(28,8)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,8)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    var_y = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov_n / var_x
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("pearson_r"),
+    )
+
+
+Q98_SQL = """
+SELECT l_returnflag, n_raw AS n,
+  ROUND((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS slope,
+  ROUND((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n, 6) AS intercept,
+  ROUND((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS pearson_r
+FROM (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n_raw,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(28,8))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3338,6 +3391,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q95_lateral_topn": (q95_lateral_topn, Q95_SQL),
     "q96_string_agg": (q96_string_agg, Q96_SQL_ORACLE),
     "q97_global_index": (q97_global_index, Q97_SQL),
+    "q98_regression_stats": (q98_regression_stats, Q98_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -86,3 +86,30 @@ def test_count_min_sketch_overcounts_only(spark):
     sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(cms))
     for lang, n in exact.items():
         assert sk.estimateCount(lang) >= n, (lang, n)
+
+
+def test_regression_stats_match_builtin_corr(spark):
+    """The decimal-derived Pearson r (q98) agrees with Spark's builtin
+    double-accumulating corr to 1e-9 — same statistic, but the derived
+    form is bit-deterministic across partitionings."""
+    from relationalize_spark.queries import REGISTRY
+
+    derived = {
+        r["l_returnflag"]: (r["pearson_r"], r["slope"])
+        for r in REGISTRY["q98_regression_stats"][0](spark, SF).collect()
+    }
+    l = load_table(spark, SF, "lineitem")
+    builtin = {
+        r["l_returnflag"]: (r["c"], r["s"])
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+            F.regr_slope("l_extendedprice", "l_quantity").alias("s"),
+        )
+        .collect()
+    }
+    assert set(derived) == set(builtin)
+    # q98 rounds to 6 dp for cross-engine bit-parity; builtin is unrounded
+    for k in derived:
+        assert abs(derived[k][0] - builtin[k][0]) < 1e-6, k
+        assert abs(derived[k][1] - builtin[k][1]) < 1e-6, k
