@@ -65,3 +65,49 @@ def test_upsert_read_back_is_partition_pruned(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "d1" in plan, plan
     assert pruned.count() == 10
+
+
+def test_streaming_foreachbatch_upsert(spark, tmp_path):
+    """Incremental pipeline: a file stream upserts each micro-batch into
+    a partitioned parquet table via foreachBatch — late re-sends of a
+    key replace the old row instead of duplicating it, and only the
+    batch's partitions are rewritten. This is the stock-Spark substitute
+    for MERGE INTO on an ACID table."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    path = str(tmp_path / "table")
+
+    base = spark.createDataFrame(
+        [(1, "d0", 10), (2, "d0", 20), (3, "d1", 30)], "k int, day string, v int"
+    )
+    write_partitioned(base, path, ["day"])
+
+    # batch 1: update k=1, add k=4 (both in d0); d1 untouched
+    rows = [
+        {"k": 1, "day": "d0", "v": 111},
+        {"k": 4, "day": "d0", "v": 444},
+    ]
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = spark.readStream.schema("k int, day string, v int").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: upsert_keys(batch, path, "day", ["k", "day"])
+            if batch.count()
+            else None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    after = _rows(spark, path)
+    assert after == {
+        (1, "d0"): 111,
+        (2, "d0"): 20,
+        (4, "d0"): 444,
+        (3, "d1"): 30,
+    }
