@@ -49,11 +49,31 @@ def main() -> None:
     kept = kept.join(to_drop, "doc_id", "left_anti")
     after_near = kept.count()
 
+    # Re-balance the corpus: weight the sources (keep all of src0,
+    # downsample the rest) with the deterministic hash mix — a pure
+    # pushed-down filter, reproducible on any cluster shape.
+    from relationalize_spark.operators.sampling import mix_sources
+
+    kept = mix_sources(
+        kept,
+        {"src0": 1.0, "src1": 0.8, "src2": 0.6},
+        default=0.5,
+        id_col="doc_id",
+    )
+    after_mix = kept.count()
+
+    # Dense example ids for the training loader: range shuffle +
+    # per-partition offsets, never a single-task global window.
+    from relationalize_spark.operators.indexing import add_global_index
+
+    kept = add_global_index(kept, ["doc_id"], index_col="example_id")
+
     tokens_total = kept.agg(F.sum("n_tokens_")).collect()[0][0]
     print(f"documents:        {total}")
     print(f"after quality:    {after_quality}")
     print(f"after exact dedup:{after_exact}")
     print(f"after near dedup: {after_near}")
+    print(f"after source mix: {after_mix}")
     print(f"tokens kept:      {tokens_total}")
     kept.groupBy("lang_id_").count().show()
 
