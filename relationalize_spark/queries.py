@@ -3288,6 +3288,70 @@ FROM (
 """
 
 
+Q99_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1996-01-01' AS TIMESTAMP) AS m
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < CAST('1996-12-01' AS TIMESTAMP)
+)
+SELECT m AS month_start, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN (
+  SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
+  FROM orders
+  WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+    AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP)
+  GROUP BY mo) o ON o.mo = months.m
+"""
+
+
+def q99_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-standard WITH RECURSIVE (Spark 4's iterative CTE execution):
+    a 12-month calendar spine generated recursively, left-joined to
+    per-month order counts so empty months surface as zero — the
+    gap-fill shape without a native generate_series. The identical
+    ANSI string runs in Spark and DuckDB. Scale note: each recursive
+    step is a driver-coordinated iteration — right for bounded spines
+    (dates, org charts, BOM levels); unbounded fan-out belongs in
+    ``F.sequence`` (q02's formulation) instead."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf, ("orders",))
+    return spark.sql(Q99_SQL)
+
+
+def q100_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Warehouse-style data-quality profile of the documents table:
+    null count, exact distinct count, min/max per column, computed in
+    one aggregation pass (operators/audit.py — the multi-DISTINCT agg
+    compiles to a single Expand + shuffle, not one scan per column).
+    The oracle is the per-column UNION ALL a DBA would write."""
+    from .operators.audit import profile_columns
+
+    d = load_table(spark, sf, "documents")
+    return profile_columns(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+Q100_SQL = """
+SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+  CAST(MIN(doc_id) AS VARCHAR) AS min_val, CAST(MAX(doc_id) AS VARCHAR) AS max_val
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+  CAST(COUNT(DISTINCT lang) AS BIGINT), MIN(lang), MAX(lang) FROM documents
+UNION ALL
+SELECT 'source', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(source) AS BIGINT),
+  CAST(COUNT(DISTINCT source) AS BIGINT), MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+  CAST(COUNT(DISTINCT n_chars) AS BIGINT), CAST(MIN(n_chars) AS VARCHAR),
+  CAST(MAX(n_chars) AS VARCHAR) FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3392,6 +3456,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q96_string_agg": (q96_string_agg, Q96_SQL_ORACLE),
     "q97_global_index": (q97_global_index, Q97_SQL),
     "q98_regression_stats": (q98_regression_stats, Q98_SQL),
+    "q99_recursive_cte": (q99_recursive_cte, Q99_SQL),
+    "q100_column_profile": (q100_column_profile, Q100_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -492,3 +492,36 @@ def test_add_global_index_dense_and_ordered(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan
     assert "Window" not in plan, plan
+
+
+# -- audit ----------------------------------------------------------------
+
+def test_profile_columns_single_pass_and_values(spark):
+    from relationalize_spark.operators.audit import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k int, s string"
+    )
+    prof = {r["col"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_null"] == 1
+    assert prof["k"]["n_distinct"] == 3
+    assert prof["k"]["min_val"] == "1" and prof["k"]["max_val"] == "3"
+    assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+    # single scan: the plan reads the source once
+    plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LocalRelation") <= 1, plan
+    # approx mode swaps in HLL without changing the schema
+    approx = profile_columns(df, ["k"], exact=False).collect()[0]
+    assert approx["n_distinct"] == 3
+
+
+def test_fk_violations_counts_orphans_and_nulls(spark):
+    from relationalize_spark.operators.audit import fk_violations
+
+    child = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (99, "orphan"), (None, "nullkey")],
+        "fk int, payload string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    bad = fk_violations(child, parent, ["fk"], ["pk"]).collect()
+    assert sorted(r["payload"] for r in bad) == ["nullkey", "orphan"]
