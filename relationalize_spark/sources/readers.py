@@ -45,3 +45,50 @@ def read_jsonl(
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Messy-input ingestion with a quarantine lane: rows that parse
+    against ``schema`` flow through; malformed lines (bad JSON, type
+    mismatch under PERMISSIVE-null corruption) land in a second
+    DataFrame carrying the raw line for replay. One scan feeds both —
+    Spark's PERMISSIVE mode fills ``_corrupt_record`` per row, and the
+    good/bad split is two filters over the same cached parse, so the
+    100 TB cost is one pass, not two.
+
+    The reference crashes on unparseable lines (json.loads in its
+    iterator, reference relationalize.py:56-63); a warehouse load at
+    scale needs the bad 0.01% quarantined, not the job dead.
+    """
+    from pyspark.sql import functions as F
+
+    # text scan + from_json rather than the JSON source's
+    # _corrupt_record column: Spark refuses corrupt-column-only
+    # queries without caching the whole parse
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+    # text formulation splits lanes from one scan with no cache.
+    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    parsed = raw.select(
+        F.from_json(
+            "value",
+            schema + ", _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r"),
+        F.col("value"),
+    )
+    is_bad = F.col("r").isNull() | F.col("r._corrupt").isNotNull()
+    good = parsed.filter(~is_bad).select("r.*").drop("_corrupt")
+    bad = parsed.filter(is_bad).select(F.col("value").alias("raw_line"))
+    return good, bad
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across schema drift: ``mergeSchema`` unions the
+    footers of every file, so days written before a column existed
+    read as NULL in that column instead of failing — the read-side
+    half of incremental ingestion (sinks/upsert.py is the write side).
+    Costs one footer pass over the file listing; at 100 TB pin the
+    merged schema explicitly once drift stabilizes."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
