@@ -468,3 +468,47 @@ def pack_shards(
             F.floor((csum - F.col(tokens_col)) / F.lit(target_tokens)).cast("long"),
         )
     )
+
+
+def unigram_nll_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """KenLM-style fluency filter, reduced to its scalable core: score
+    every document by its average negative log-likelihood under a
+    Laplace-smoothed unigram model of the corpus itself. High-NLL
+    documents are the gibberish/ocr-noise tail a curation pipeline
+    drops.
+
+    Two aggregation passes over the posting table (term counts ->
+    vocabulary; join back -> per-doc sum), both partial-aggregated;
+    corpus totals ride a broadcast 1-row cross join. Per-token
+    log-probabilities are quantized to DECIMAL(18,9) BEFORE the
+    per-document sum so the score is exact-arithmetic deterministic —
+    the same accumulation-order trick as the engine's money aggregates,
+    applied to floats.
+    """
+    ts = term_stats(df, id_col, text_col)
+    vocab = ts.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("n_corpus"), F.count(F.lit(1)).alias("v_size")
+    )
+    logp = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log((F.col("c") + 1) / (F.col("n_corpus") + F.col("v_size"))), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("logp"),
+    )
+    return (
+        ts.join(logp, "term")
+        .groupBy("id", "dl")
+        .agg(F.sum(F.col("tf") * F.col("logp")).alias("s"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dl").alias("n_tokens"),
+            F.round(-F.col("s").cast("double") / F.col("dl"), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )

@@ -3352,6 +3352,40 @@ SELECT 'n_chars', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(n_chars) AS BI
 """
 
 
+def q101_unigram_nll(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-model fluency scoring: average negative log-likelihood
+    per document under a Laplace-smoothed unigram LM of the corpus
+    (operators/text.py:unigram_nll_scores) — the scalable core of a
+    KenLM-style quality filter. Log-probs are quantized to
+    DECIMAL(18,9) before summation, so the score is deterministic
+    under any partitioning and matches DuckDB exactly."""
+    from .operators.text import unigram_nll_scores
+
+    d = load_table(spark, sf, "documents")
+    return unigram_nll_scores(d)
+
+
+Q101_SQL = r"""
+WITH ts AS (
+  SELECT id, term, dl, COUNT(*) AS tf FROM (
+    SELECT doc_id AS id,
+      lower(unnest(regexp_split_to_array(text, '\s+'))) AS term,
+      len(regexp_split_to_array(text, '\s+')) AS dl
+    FROM documents)
+  GROUP BY id, term, dl),
+vocab AS (SELECT term, SUM(tf) AS c FROM ts GROUP BY term),
+tot AS (SELECT SUM(c) AS n_corpus, COUNT(*) AS v_size FROM vocab),
+lp AS (
+  SELECT term,
+    CAST(ROUND(ln((c + 1) / (n_corpus + v_size)), 9) AS DECIMAL(18,9)) AS logp
+  FROM vocab CROSS JOIN tot)
+SELECT id AS doc_id, CAST(dl AS INT) AS n_tokens,
+  ROUND(-CAST(SUM(tf * logp) AS DOUBLE) / dl, 6) AS avg_nll
+FROM ts JOIN lp USING (term)
+GROUP BY id, dl
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3458,6 +3492,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q98_regression_stats": (q98_regression_stats, Q98_SQL),
     "q99_recursive_cte": (q99_recursive_cte, Q99_SQL),
     "q100_column_profile": (q100_column_profile, Q100_SQL),
+    "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
