@@ -13,7 +13,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .indexing import add_global_index
-from .sampling import hash_split, mix_sources, stratified_sample
+from .sampling import hash_split, mix_sources, stratified_sample, temperature_weights
 from .similarity import (
     brute_force_topk,
     ivf_topk,
@@ -43,6 +43,7 @@ __all__ = [
     "add_global_index",
     "hash_split",
     "mix_sources",
+    "temperature_weights",
     "stratified_sample",
     "brute_force_topk",
     "ivf_topk",
