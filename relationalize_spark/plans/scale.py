@@ -153,3 +153,26 @@ def compact_files(
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(out_path)
     return n
+
+
+def hinted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    strategy: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with an explicit physical strategy, for when the optimizer's
+    choice is wrong at scale: ``broadcast`` (small build side, no
+    shuffle), ``shuffle_hash`` (skip the sort when one side hashes in
+    memory — right for large-x-medium), ``merge`` (sort-merge, the
+    spill-safe default for large-x-large), ``shuffle_replicate_nl``
+    (cartesian, last resort). The hint binds to the RIGHT side, mirroring
+    build-side conventions. AQE can still re-plan a broadcast if runtime
+    sizes allow; the hint pins intent when statistics lie (e.g. a
+    filtered dimension whose estimate is 100x its true size).
+    """
+    strategies = {"broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"}
+    if strategy not in strategies:
+        raise ValueError(f"strategy must be one of {sorted(strategies)}")
+    return left.join(right.hint(strategy), on, how)
