@@ -213,3 +213,46 @@ def test_hinted_join_pins_physical_strategy(spark):
 
     with _pytest.raises(ValueError, match="strategy"):
         hinted_join(a, b, "k", "nested_loop")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """With one key owning ~90% of rows, AQE's skew-join rewrites the
+    sort-merge join to split the oversized partition (visible as
+    skew=true in the final plan). Production thresholds are 256MB;
+    lowered here so the split is observable at test scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("t"), F.col("id") % 97))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        other = spark.range(98).select(
+            F.when(F.col("id") == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("t"), F.col("id") % 97))
+            .alias("k"),
+            F.col("id").alias("w"),
+        )  # ids 0..97 map to 98 distinct keys by construction
+        joined = big.join(other, "k")
+        # execute THIS DataFrame's own QueryExecution (a .count() would
+        # plan a separate query and leave this one isFinalPlan=false)
+        n = len(joined.toPandas())
+        assert n == 200_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
