@@ -3386,6 +3386,59 @@ GROUP BY id, dl
 """
 
 
+def q102_session_window_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Native batch ``session_window`` aggregation (30-min gap): one
+    groupBy produces per-session rows with start/end bounds — the same
+    operator Structured Streaming uses for stateful sessions (q55),
+    here on a static frame. Spark merges overlapping event windows
+    per key inside the aggregate (one shuffle on user_id, no lag
+    window pass). The oracle reconstructs sessions with the manual
+    lag + cumulative-sum formulation, proving the two agree row for
+    row including bounds (end = last event + gap)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+Q102_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+         OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3493,6 +3546,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q99_recursive_cte": (q99_recursive_cte, Q99_SQL),
     "q100_column_profile": (q100_column_profile, Q100_SQL),
     "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
+    "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
