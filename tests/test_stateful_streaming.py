@@ -83,3 +83,60 @@ def test_running_counter(spark, tmp_path):
     q.awaitTermination(120)
     res = {r.key: r.total for r in spark.sql("select * from counts_out").collect()}
     assert res == {"a": 2, "b": 1}
+
+
+def test_transform_with_state_counter_accumulates(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: ValueState survives across
+    micro-batches under the RocksDB state store. The state-server
+    protocol needs protobuf, which this container lacks — skipped
+    here, runnable on any standard cluster image."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import pyspark.sql.functions as F
+
+    from relationalize_spark.streaming.stateful import running_counter_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt, out = tmp_path / "ckpt", tmp_path / "out"
+
+    def run():
+        stream = spark.readStream.schema("k string, v long").json(str(src))
+        q = (
+            running_counter_tws(stream, "k")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        (src / "b0.jsonl").write_text(
+            "\n".join(json.dumps({"k": k, "v": i}) for i, k in enumerate("aab"))
+        )
+        run()
+        (src / "b1.jsonl").write_text(
+            "\n".join(json.dumps({"k": k, "v": i}) for i, k in enumerate("ab"))
+        )
+        run()  # restart from checkpoint: state must carry the batch-0 counts
+        latest = (
+            spark.read.parquet(str(out))
+            .groupBy("key")
+            .agg(F.max("total").alias("total"))
+            .collect()
+        )
+        assert {r["key"]: r["total"] for r in latest} == {"a": 3, "b": 2}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
