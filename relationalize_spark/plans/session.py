@@ -23,10 +23,26 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     shuffle = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    # Local mode packs every "executor" thread into the driver JVM, whose
+    # default heap is 1g — N threads sharing 1g starves hash maps long
+    # before the machine is full (observed: BytesToBytesMap OOM in the
+    # MinHash verify join at ~50k docs on a 128 GiB box). Size the heap
+    # like a real executor; on a cluster this setting is inert for
+    # executors and merely gives the driver sane headroom. Only effective
+    # for the process that launches the JVM (set before getOrCreate).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
 
     builder = (
         SparkSession.builder.appName(app)
         .master(master)
+        .config("spark.driver.memory", mem)
+        # Fix the heap at its max and fault its pages in at launch:
+        # lazily-grown heaps stall mid-query in virtualized hosts
+        # (observed: random 6-16 s single-query pauses with -Xmx16g).
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch",
+        )
         # Runtime re-planning: partition coalescing, skew-join splitting,
         # dynamic broadcast conversion — essential at 100 TB where static
         # estimates are wrong.
