@@ -26,7 +26,9 @@ _SIDE = "__asof_side__"
 
 
 def _micros(col: Column, dtype: T.DataType) -> Column:
-    return F.unix_micros(col) if isinstance(dtype, T.TimestampType) else col
+    from ..functions.timeutil import epoch_micros
+
+    return epoch_micros(col, dtype)
 
 
 def asof_join(

@@ -23,28 +23,39 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.timeutil import epoch_micros, micros_to_timestamp
 
 _IDX = "__bucket_idx__"
 
 
-def time_bucket(ts: str | Column, width_s: int) -> Column:
+def time_bucket(
+    ts: str | Column, width_s: int, dtype: T.DataType | None = None
+) -> Column:
     """Truncate a timestamp to its containing ``width_s``-second
-    bucket, as a timestamp. Pure integer micros arithmetic: identical
-    semantics in every engine and timezone-free (DuckDB's
-    ``time_bucket`` and TimescaleDB's agree on epoch-aligned widths)."""
+    bucket, as a timestamp of the same flavor. Pure integer micros
+    arithmetic: identical semantics in every engine and timezone-free
+    (DuckDB's ``time_bucket`` and TimescaleDB's agree on epoch-aligned
+    widths). ``dtype`` is the column's Spark type (TIMESTAMP or
+    TIMESTAMP_NTZ); pass it when known so NTZ inputs stay wall-clock."""
     col = F.col(ts) if isinstance(ts, str) else ts
     width_us = int(width_s) * 1_000_000
-    return F.timestamp_micros(
-        (F.unix_micros(col) / F.lit(width_us)).cast("long") * F.lit(width_us)
+    us = epoch_micros(col, dtype or T.TimestampType())
+    return micros_to_timestamp(
+        (us / F.lit(width_us)).cast("long") * F.lit(width_us), dtype
     )
 
 
-def bucket_index(ts: str | Column, width_s: int) -> Column:
+def bucket_index(
+    ts: str | Column, width_s: int, dtype: T.DataType | None = None
+) -> Column:
     """The bucket's integer index (epoch_micros div width) — join- and
-    sequence-friendly; convert back with ``timestamp_micros(idx*width)``."""
+    sequence-friendly; convert back with ``micros_to_timestamp(idx*width)``."""
     col = F.col(ts) if isinstance(ts, str) else ts
     width_us = int(width_s) * 1_000_000
-    return (F.unix_micros(col) / F.lit(width_us)).cast("long")
+    us = epoch_micros(col, dtype or T.TimestampType())
+    return (us / F.lit(width_us)).cast("long")
 
 
 def rollup_time_buckets(
@@ -57,8 +68,9 @@ def rollup_time_buckets(
 ) -> DataFrame:
     """Downsample: one row per (keys, bucket) with the given aggregate
     expressions. One shuffle, map-side combined."""
+    dtype = df.schema[ts].dataType
     return (
-        df.withColumn(bucket_col, bucket_index(ts, width_s))
+        df.withColumn(bucket_col, bucket_index(ts, width_s, dtype))
         .groupBy(*keys, bucket_col)
         .agg(*aggs)
     )
@@ -74,6 +86,7 @@ def gap_fill_locf(
     counter_cols: list[str] | None = None,
     bucket_ts_col: str = "bucket_start",
     filled_col: str = "filled",
+    ts_dtype: T.DataType | None = None,
 ) -> DataFrame:
     """Densify a rolled-up frame so every key has a row for every
     bucket between its first and last observation, then carry each
@@ -115,5 +128,6 @@ def gap_fill_locf(
     for c in counter_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0).cast("long")))
     return out.withColumn(
-        bucket_ts_col, F.timestamp_micros(F.col(_IDX) * F.lit(width_us))
+        bucket_ts_col,
+        micros_to_timestamp(F.col(_IDX) * F.lit(width_us), ts_dtype),
     ).drop(_IDX)

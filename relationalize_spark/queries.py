@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.timeutil import col_epoch_micros
 from .operators.relationalize import relationalize
 from .plans.scale import ensure_parallelism
 from .sources.tables import load_table
@@ -116,6 +117,7 @@ def q02_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
         900,
         ["avg_value"],
         counter_cols=["n_events"],
+        ts_dtype=e.schema["ts"].dataType,
     )
     return filled.select(
         "event_type", "bucket_start", "n_events", "avg_value",
@@ -531,7 +533,8 @@ def q18_sessionization(spark: SparkSession, sf: str) -> DataFrame:
     sum per user, all in integer epoch-microseconds."""
     e = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    us = col_epoch_micros(e, "ts")
+    gap = us - F.lag(us).over(w)
     new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
         e.withColumn("new_session", new_session)
@@ -2337,8 +2340,13 @@ GROUP BY 1, 2
 
 
 def _events_stream(spark: SparkSession, sf: str):
-    """File stream over events.parquet with the nanos->timestamp fix
-    applied (shared by the streaming gate queries)."""
+    """File stream over events.parquet with the ts column normalized
+    to TIMESTAMP whatever the file's physical encoding — INT64 nanos
+    (divide to micros), TIMESTAMP_NTZ (wall clock taken as UTC; Spark
+    watermarks reject NTZ event time), or TIMESTAMP as-is. Shared by
+    the streaming gate queries."""
+    from .functions.timeutil import as_instant
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = (
@@ -2348,6 +2356,10 @@ def _events_stream(spark: SparkSession, sf: str):
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn(
+            "ts", as_instant(F.col("ts"), stream.schema["ts"].dataType)
+        )
     return stream
 
 
@@ -2749,7 +2761,7 @@ def q85_rolling_time_window(spark: SparkSession, sf: str) -> DataFrame:
     history. The sum runs in DECIMAL (order-insensitive) and casts to
     DOUBLE once at the end, per the repo parity convention."""
     e = load_table(spark, sf, "events")
-    us = F.unix_micros(F.col("ts"))
+    us = col_epoch_micros(e, "ts")
     w = (
         Window.partitionBy("user_id")
         .orderBy(us)
