@@ -5,14 +5,22 @@ metadata columns. Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` — the right shape for per-item Python codecs at scale
 (vectorized transfer, no per-row pickling, executor-parallel).
 
-This container has no image libraries, so the image/video codecs are
-STUBBED with a clearly-marked deterministic fake (``_fake_decode``):
-byte-length/byte-content arithmetic stands in for real pixel data.
-``audio_features`` decodes PCM WAV for real via the stdlib ``wave``
-module (no external codec needed); compressed audio yields NULL
-features. The Spark-side contract — schemas, batching, partitioning,
-UDF signatures — is real and tested; swapping in PIL/ffmpeg means
-replacing only the marked function bodies.
+This container has no image codec libraries; what is real vs stubbed:
+
+- REAL: ``decode_images`` / ``resize_images`` decode codec-free
+  raster formats (binary netpbm P5/P6, uncompressed 24/32-bit BMP)
+  and resize with pure-numpy bilinear/nearest sampling — actual
+  pixels, no PIL. ``audio_features`` decodes PCM WAV via the stdlib
+  ``wave`` module. Compressed payloads (JPEG/PNG/MP3) yield NULL
+  rather than failing the job; swap PIL/ffmpeg into ``decode_raster``
+  / ``_decode_wav_pcm`` where available.
+- STUB (clearly marked): ``image_features``' ``_fake_decode``
+  byte-arithmetic path (kept for the SQL-oracle-checkable driver
+  query q35) and ``sample_frames``' chunk-split keyframe fake.
+
+The Spark-side contract — schemas, Arrow batching, column pruning
+before the Python boundary, executor parallelism — is identical for
+real and stubbed paths and is what the tests pin.
 """
 
 from __future__ import annotations
@@ -126,6 +134,220 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(split_batches, schema=out_schema)
+
+
+#: Arrow batch schema produced by decode_images.
+DECODED_IMAGE_FIELDS = (
+    "n_bytes int, format string, height int, width int, channels int, "
+    "channel_means array<double>"
+)
+
+
+def _decode_netpbm(data: bytes):
+    """Real netpbm decode (binary P5 grayscale / P6 RGB, maxval<=255)
+    in pure numpy — the uncompressed interchange format that needs no
+    codec library. Returns (format, H, W, C, uint8 array HxWxC) or
+    None if the payload is not parseable netpbm."""
+    import numpy as np
+
+    if len(data) < 2 or data[:2] not in (b"P5", b"P6"):
+        return None
+    # Header = magic, width, height, maxval as whitespace-separated
+    # ASCII tokens; '#' comments run to end of line.
+    tokens, i, n = [], 2, len(data)
+    while len(tokens) < 3 and i < n:
+        c = data[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and data[i : i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < n and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if not (0 < width and 0 < height and 0 < maxval <= 255):
+        return None
+    i += 1  # single whitespace byte after maxval, then raster
+    channels = 3 if data[:2] == b"P6" else 1
+    need = width * height * channels
+    raster = data[i : i + need]
+    if len(raster) != need:
+        return None
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    return ("ppm" if channels == 3 else "pgm", height, width, channels, arr)
+
+
+def _decode_bmp(data: bytes):
+    """Real uncompressed-BMP decode (BITMAPINFOHEADER, 24/32-bit,
+    BI_RGB) in pure numpy. Rows are 4-byte aligned and stored
+    bottom-up (negative height = top-down). Returns like
+    :func:`_decode_netpbm` with channels ordered RGB."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    try:
+        pixel_off = struct.unpack_from("<I", data, 10)[0]
+        header_sz = struct.unpack_from("<I", data, 14)[0]
+        if header_sz < 40:
+            return None
+        width, height_raw = struct.unpack_from("<ii", data, 18)
+        planes, bpp = struct.unpack_from("<HH", data, 26)
+        compression = struct.unpack_from("<I", data, 30)[0]
+    except struct.error:
+        return None
+    if planes != 1 or compression != 0 or bpp not in (24, 32) or width <= 0:
+        return None
+    height = abs(height_raw)
+    bottom_up = height_raw > 0
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    need = stride * height
+    raster = data[pixel_off : pixel_off + need]
+    if len(raster) != need:
+        return None
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if bottom_up:
+        px = px[::-1]
+    rgb = px[:, :, 2::-1]  # stored BGR(A) -> RGB
+    return ("bmp", height, width, 3, np.ascontiguousarray(rgb))
+
+
+def decode_raster(data: bytes):
+    """Dispatching real decoder: netpbm then BMP; None when the
+    payload needs a codec this container lacks (JPEG/PNG — swap in
+    PIL here where available)."""
+    return _decode_netpbm(data) or _decode_bmp(data)
+
+
+def decode_images(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """REAL image decode + per-channel stats for codec-free formats
+    (binary netpbm P5/P6, uncompressed 24/32-bit BMP) — pure numpy,
+    no image library. Unparseable payloads yield NULL fields rather
+    than failing the job. Same scale shape as image_features: columns
+    pruned to ids + payload before the Arrow boundary, one Python
+    pass, executor-parallel."""
+    src = df.select(*id_cols, binary_col)
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in id_cols
+    )
+    out_schema = f"{id_schema}, {DECODED_IMAGE_FIELDS}"
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                ids = {c: pdf[c].iloc[idx] for c in id_cols}
+                b = pdf[binary_col].iloc[idx]
+                data = bytes(b) if b is not None else None
+                dec = decode_raster(data) if data is not None else None
+                if dec is None:
+                    rows.append({**ids,
+                                 "n_bytes": len(data) if data is not None else None,
+                                 "format": None, "height": None, "width": None,
+                                 "channels": None, "channel_means": None})
+                else:
+                    fmt, h, w, c, arr = dec
+                    rows.append({**ids, "n_bytes": len(data), "format": fmt,
+                                 "height": h, "width": w, "channels": c,
+                                 "channel_means": [float(m) for m in
+                                                   arr.reshape(-1, c).mean(axis=0)]})
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(decode_batches, schema=out_schema)
+
+
+def resize_raster(arr, out_h: int, out_w: int, method: str = "bilinear"):
+    """Pure-numpy raster resize (HxWxC uint8 -> out_h x out_w x C).
+
+    ``bilinear`` uses half-pixel-centered sampling (align_corners
+    False — the OpenCV/PIL convention); ``nearest`` floors the same
+    coordinates. Vectorized: two gathers + one fused multiply-add
+    over the whole image, no Python pixel loop."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    if method == "nearest":
+        ry = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int), h - 1)
+        rx = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int), w - 1)
+        return arr[ry][:, rx]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method: {method}")
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(int)
+    x0 = np.floor(fx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    return np.clip(np.rint(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    binary_col: str = "content",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    method: str = "bilinear",
+) -> DataFrame:
+    """Decode (netpbm/BMP, real) + resize (pure-numpy bilinear or
+    nearest) a binary image column; emits the resized raw raster
+    (height*width*channels uint8 bytes, row-major RGB) plus dims so
+    downstream featurizers can consume it without re-decoding.
+    Undecodable payloads pass through with NULL raster."""
+    src = df.select(*id_cols, binary_col)
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in id_cols
+    )
+    out_schema = (
+        f"{id_schema}, format string, height int, width int, channels int, "
+        f"raster binary"
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                ids = {c: pdf[c].iloc[idx] for c in id_cols}
+                b = pdf[binary_col].iloc[idx]
+                dec = decode_raster(bytes(b)) if b is not None else None
+                if dec is None:
+                    rows.append({**ids, "format": None, "height": None,
+                                 "width": None, "channels": None, "raster": None})
+                else:
+                    fmt, _, _, c, arr = dec
+                    out = resize_raster(arr, out_h, out_w, method)
+                    rows.append({**ids, "format": fmt, "height": out_h,
+                                 "width": out_w, "channels": c,
+                                 "raster": out.tobytes()})
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(resize_batches, schema=out_schema)
 
 
 #: Arrow batch schema produced by audio_features.
