@@ -1,0 +1,156 @@
+"""Scale spot-check: replicate the sf0.1 tables NX with disjoint keys
+and re-time heavy operators warm, so round-over-round BASELINE.md
+entries rest on measured scaling rather than plan inspection.
+
+Replication preserves each operator's per-replica structure while
+keeping replicas independent:
+
+- events: user_id/event_id offset per replica (disjoint session
+  streams — session/window group counts scale linearly).
+- documents: every token is suffixed with the replica tag, so
+  within-replica shingle structure (and true duplicate pairs) is
+  preserved exactly while cross-replica Jaccard drops to ~0 — the
+  spot check measures compute scaling, not the output-bound pair
+  blowup a verbatim copy would create (see the r2 MinHash note in
+  BASELINE.md for that regime).
+- embeddings: vec_id offset + tiny first-component jitter; the ANN
+  query set stays fixed (replica 0) while the corpus grows.
+
+Usage:
+    python examples/scale_spotcheck.py [MULT] [--rebuild]
+
+Prints one JSON line per (operator, scale): cold and warm seconds
+(second run, JIT and shuffle files hot) and output rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_ROOT = "/tmp/spark_graft_scale"
+
+
+def build(spark, mult: int, out_dir: str) -> None:
+    r = F.col("__r__")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__r__")
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("*", reps)
+    ev = (
+        ev.withColumn("event_id", F.col("event_id") + r * F.lit(10_000_000_000))
+        .withColumn("user_id", F.col("user_id") + r * F.lit(100_000_000))
+        .drop("__r__")
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("*", reps)
+    tagged = F.array_join(
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda t: F.concat(t, F.lit("#"), r.cast("string")),
+        ),
+        " ",
+    )
+    docs = (
+        docs.withColumn("doc_id", F.col("doc_id") + r * F.lit(10_000_000))
+        .withColumn("text", tagged)
+        .drop("__r__")
+    )
+    docs.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("*", reps)
+    emb = (
+        emb.withColumn("vec_id", F.col("vec_id") + r * F.lit(10_000_000))
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda v, i: v + F.when(i == 0, r.cast("float") * F.lit(1e-4)).otherwise(F.lit(0.0)),
+            ),
+        )
+        .drop("__r__")
+    )
+    emb.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def timed(fn, runs: int = 2):
+    """(cold_s, warm_s, rows): execute to the noop sink; rows from a
+    final count on the warm plan."""
+    out = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        out.append(round(time.perf_counter() - t0, 2))
+    return out[0], out[-1], fn().count()
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 100
+    rebuild = "--rebuild" in sys.argv
+    out_dir = f"{OUT_ROOT}/x{mult}"
+
+    from relationalize_spark.operators.dedup import dedup_clusters, jaccard_pairs
+    from relationalize_spark.operators.indexing import add_global_index
+    from relationalize_spark.operators.similarity import lsh_topk
+    from relationalize_spark.plans.session import get_spark
+    from relationalize_spark.queries import (
+        q85_rolling_time_window,
+        q102_session_window_batch,
+    )
+
+    spark = get_spark(app="scale-spotcheck", master="local[32]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if rebuild and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    if not os.path.exists(out_dir):
+        build(spark, mult, out_dir)
+
+    def clusters(sf):
+        def run():
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            edges = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_df=1000)
+            return dedup_clusters(d, edges, id_col="doc_id", src_col="i", dst_col="j")
+
+        return run
+
+    def ann(sf):
+        def run():
+            e = spark.read.parquet(f"{sf}/embeddings.parquet")
+            q = e.filter(F.col("vec_id") < 10)
+            return lsh_topk(e, q, k=5, n_planes=3, n_tables=48, dim=64, round_scores=6)
+
+        return run
+
+    def gindex(sf):
+        def run():
+            e = spark.read.parquet(f"{sf}/events.parquet")
+            return add_global_index(e, ["ts", "event_id"])
+
+        return run
+
+    ops = {
+        "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
+        "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
+        "global_index_q97shape": gindex,
+        "ann_lsh_topk_q53shape": ann,
+        "jaccard_dedup_clusters_q59shape": clusters,
+    }
+    for name, mk in ops.items():
+        for label, sf in (("1x", SF_DIR), (f"{mult}x", out_dir)):
+            cold, warm, rows = timed(mk(sf))
+            print(json.dumps({"op": name, "scale": label, "cold_s": cold,
+                              "warm_s": warm, "rows": rows}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

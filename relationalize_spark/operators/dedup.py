@@ -417,16 +417,13 @@ def embedding_dup_pairs(
     low thresholds raise n_tables / lower n_planes and check the
     formula — at theta near 60 deg LSH prunes little by nature.
     """
-    from .similarity import _hyperplanes, signature_expr
+    from .similarity import plane_signatures
 
     e = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     )
-    sigs = [
-        signature_expr(F.col("v"), _hyperplanes(dim, n_planes, seed + 1000 * t))
-        for t in range(n_tables)
-    ]
-    tab = e.select("id", F.posexplode(F.array(*sigs)).alias("tbl", "bucket"))
+    sigs = plane_signatures(n_tables, n_planes, dim, seed)
+    tab = e.select("id", F.posexplode(sigs("v")).alias("tbl", "bucket"))
     a, b = tab.alias("a"), tab.alias("b")
     candidates = (
         a.join(

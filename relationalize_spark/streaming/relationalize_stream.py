@@ -66,6 +66,20 @@ def parquet_table_sink(base_path: str) -> TableSink:
     return sink
 
 
+def _instant_ts(df: DataFrame, ts_col: str) -> DataFrame:
+    """Event-time watermarks reject TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); coerce NTZ event time to an
+    instant (wall clock taken as UTC, session-timezone-independent)."""
+    from pyspark.sql import types as T
+
+    from ..functions.timeutil import as_instant
+
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, T.TimestampNTZType):
+        df = df.withColumn(ts_col, as_instant(F.col(ts_col), dtype))
+    return df
+
+
 def windowed_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",
@@ -76,6 +90,7 @@ def windowed_counts(
     """Watermarked tumbling-window counts; state for windows older
     than the watermark is evicted, so memory is bounded regardless of
     stream length."""
+    stream_df = _instant_ts(stream_df, ts_col)
     groups = [F.window(F.col(ts_col), window).alias("win")] + [
         F.col(c) for c in (group_cols or [])
     ]
@@ -100,6 +115,7 @@ def sessionize_stream(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Gap-based sessions with native session_window state."""
+    stream_df = _instant_ts(stream_df, ts_col)
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(user_col))
