@@ -17,7 +17,7 @@ keeping replicas independent:
   query set stays fixed (replica 0) while the corpus grows.
 
 Usage:
-    python examples/scale_spotcheck.py [MULT] [--rebuild]
+    python examples/scale_spotcheck.py [MULT] [--rebuild] [--ops substr1,substr2]
 
 Prints one JSON line per (operator, scale): cold and warm seconds
 (second run, JIT and shuffle files hot) and output rows.
@@ -40,7 +40,7 @@ OUT_ROOT = "/tmp/spark_graft_scale"
 
 
 def build(spark, mult: int, out_dir: str) -> None:
-    r = F.col("__r__")
+    r = F.col("__r__").cast("long")
     reps = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__r__")
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("*", reps)
@@ -144,7 +144,16 @@ def main() -> None:
         "ann_lsh_topk_q53shape": ann,
         "jaccard_dedup_clusters_q59shape": clusters,
     }
+    wanted = None
+    for arg in sys.argv[1:]:
+        if arg.startswith("--ops"):
+            wanted = arg.split("=", 1)[-1].split(",") if "=" in arg else None
+    if wanted is None and "--ops" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--ops") + 1].split(",")
+
     for name, mk in ops.items():
+        if wanted and not any(w in name for w in wanted):
+            continue
         for label, sf in (("1x", SF_DIR), (f"{mult}x", out_dir)):
             cold, warm, rows = timed(mk(sf))
             print(json.dumps({"op": name, "scale": label, "cold_s": cold,
