@@ -5,7 +5,13 @@ from .external import (
     rest_export_jsonl,
 )
 from .jsonl import read_jsonl_variant, relationalize_json
-from .readers import read_csv, read_jsonl, read_parquet
+from .readers import (
+    read_binary_files,
+    read_csv,
+    read_jsonl,
+    read_orc,
+    read_parquet,
+)
 from .tables import load_table, load_tables, register_views
 
 __all__ = [
@@ -15,8 +21,10 @@ __all__ = [
     "rest_export_jsonl",
     "read_jsonl_variant",
     "relationalize_json",
+    "read_binary_files",
     "read_csv",
     "read_jsonl",
+    "read_orc",
     "read_parquet",
     "load_table",
     "load_tables",

@@ -92,3 +92,40 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     Costs one footer pass over the file listing; at 100 TB pin the
     merged schema explicitly once drift stabilizes."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Native ORC scan (vectorized reader, predicate pushdown and
+    column pruning like parquet) — the interchange format a warehouse
+    migration is most likely to hand this engine besides parquet."""
+    return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Media ingestion: every matching file as one row of
+    (path, modificationTime, length, content binary) via Spark's
+    ``binaryFile`` source — the scan that feeds
+    operators/multimodal.py. ``glob`` filters by file name (e.g.
+    ``*.wav``); ``max_bytes`` guards the executor against a rogue
+    multi-GB object (rows above it are filtered AFTER the listing but
+    BEFORE content is materialized downstream — length is a listing
+    column, so the filter prunes on metadata, not bytes read).
+
+    Scale note: one row per file means tiny-file corpora should be
+    compacted upstream (sinks/writers or the small-file compaction in
+    sources/jsonl); the source parallelizes by files, not by bytes.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
