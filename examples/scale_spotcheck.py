@@ -97,6 +97,14 @@ def main() -> None:
     rebuild = "--rebuild" in sys.argv
     out_dir = f"{OUT_ROOT}/x{mult}"
 
+    # 32 local "executors" share one JVM: give it executor-scale heap
+    # (12g/32 threads ~ 375 MB per concurrent task — the per-core
+    # allotment of a modest real executor). The package default (4g)
+    # suits the test suite; at 100x replication the posting-table
+    # persist + 32 concurrent sort/agg tasks exhaust it
+    # (UNABLE_TO_ACQUIRE_MEMORY), which a real cluster would not see.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+
     from relationalize_spark.operators.dedup import dedup_clusters, jaccard_pairs
     from relationalize_spark.operators.indexing import add_global_index
     from relationalize_spark.operators.similarity import lsh_topk

@@ -173,13 +173,22 @@ def jaccard_pairs(
         # the shuffle carries one row per distinct shingle, not per
         # posting). The surviving-shingle list joins back as a
         # semi-join on the same key the self-join shuffles on.
+        # merge hint: the surviving-shingle list is DERIVED FROM THE
+        # CORPUS, so its size scales with the input — left to the
+        # planner it gets broadcast-promoted under the session's 128m
+        # threshold and at ~100x corpus the driver-side build OOMs
+        # (observed: notEnoughMemoryToBuildAndBroadcastTable at 500k
+        # docs / 3.7M distinct shingles on the 4g local driver). The
+        # sort-merge join shares the shingle-hash exchange the
+        # self-join needs anyway; only bounded, corpus-independent
+        # inputs may broadcast (repo rule).
         ok = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        joinable = sh.join(ok, "shingle", "left_semi")
+        joinable = sh.join(ok.hint("merge"), "shingle", "left_semi")
     a = joinable.alias("a")
     b = joinable.alias("b")
     common = (
@@ -548,13 +557,15 @@ def ngram_overlap_pairs(
     e_sh = shingle_table(eval_df, id_col, text_col, n).persist()
     e_sizes = e_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_eval"))
     if max_df is not None:
+        # merge hint: corpus-derived list, size scales with input —
+        # must never broadcast (see jaccard_pairs).
         keep = (
             c_sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        c_sh = c_sh.join(keep, "shingle", "left_semi")
+        c_sh = c_sh.join(keep.hint("merge"), "shingle", "left_semi")
     common = (
         c_sh.withColumnRenamed("id", "corpus_id")
         .join(e_sh.withColumnRenamed("id", "eval_id"), "shingle")

@@ -30,3 +30,31 @@ def test_no_cartesian_or_row_python(spark, name):
     assert "BatchEvalPython" not in plan, (
         f"{name} plans a row-at-a-time Python UDF"
     )
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_corpus_derived_filters_never_broadcast(spark):
+    """The max_df shingle filters join back a list DERIVED from the
+    corpus; its size scales with the input, so broadcast promotion
+    (fine at test SF, driver-OOM at 100x — observed at 500k docs /
+    3.7M distinct shingles) must stay out of the plan regardless of
+    estimated size. The merge hint shares the shingle exchange the
+    surrounding joins need anyway."""
+    from relationalize_spark.operators.dedup import jaccard_pairs, ngram_overlap_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    jp = _plan(jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50))
+    ov = _plan(
+        ngram_overlap_pairs(
+            docs, docs.limit(20), "doc_id", "text", n=3, min_overlap=0.5, max_df=50
+        )
+    )
+    for name, plan in (("jaccard_pairs", jp), ("ngram_overlap_pairs", ov)):
+        semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+        assert semi, f"{name}: expected a semi join in the plan"
+        assert all("Broadcast" not in ln for ln in semi), (
+            f"{name}: corpus-derived filter list is broadcast:\n" + "\n".join(semi)
+        )
