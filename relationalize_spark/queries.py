@@ -3451,6 +3451,36 @@ GROUP BY user_id, session_id
 """
 
 
+def q103_fuzzy_join_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: customer-name pairs within
+    Levenshtein distance 1, via SymSpell deletion-neighborhood
+    blocking (operators/fuzzy.py) — an equi-join on delete-variant
+    hashes plus exact verification, never a cross product. The oracle
+    IS the cross product (DuckDB levenshtein over all pairs), proving
+    exact recall and precision of the blocking scheme."""
+    from .operators.fuzzy import fuzzy_join
+
+    c = load_table(spark, sf, "customer")
+    return (
+        fuzzy_join(c, c, "c_name", max_dist=1, left_id="c_custkey",
+                   right_id="c_custkey")
+        .filter(F.col("l_id") < F.col("r_id"))
+        .select(
+            F.col("l_id").alias("a_custkey"),
+            F.col("r_id").alias("b_custkey"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+Q103_SQL = """
+SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3570,6 +3600,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
     "q67_kmeans_profile": (q67_kmeans_profile, None),
     "q94_approx_sketches": (q94_approx_sketches, None),
+    "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
