@@ -39,26 +39,68 @@ def brute_force_topk(
 
     Returns (query_id, neighbor_id, score), scores rounded for stable
     cross-engine comparison; ranking ties break on neighbor id.
+
+    Shape: the query matrix (bounded by the same small-enough-to-
+    broadcast contract the join formulation had) rides into every
+    scan task; each Arrow batch scores against ALL queries with one
+    float64 matmul and keeps its local top-k, so only Q*k candidate
+    rows per partition reach the final window — the corpus is
+    streamed once and never joined, shuffled, or materialized
+    per-pair. Per-pair Catalyst lambda evaluation (the previous
+    formulation) costs ~100x more per row interpreted.
     """
-    q = queries.select(
+    import numpy as np
+
+    q_rows = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).collect()
+    q_ids = np.array([r.query_id for r in q_rows])
+    q_mat = np.stack([np.asarray(r.qv, dtype=np.float64) for r in q_rows])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     )
-    score = cosine(F.col("qv"), F.col("cv"))
+    kk = k
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            nid = pdf["neighbor_id"].to_numpy()
+            scores = (q_mat @ cm.T) / (
+                q_norm[:, None] * np.linalg.norm(cm, axis=1)[None, :]
+            )  # (Q, B)
+            scores[q_ids[:, None] == nid[None, :]] = -np.inf  # self-pairs
+            top = min(kk, scores.shape[1])
+            kth = -np.partition(-scores, top - 1, axis=1)[:, top - 1]
+            # keep everything within one final-rounding quantum of the
+            # local k-th, so a row that ROUNDS equal to it can still
+            # win its id tiebreak in the global window
+            margin = 10.0 ** -round_scores if round_scores is not None else 0.0
+            qi, ci = np.nonzero(scores >= (kth - margin)[:, None])
+            out = pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": nid[ci],
+                    "score": scores[qi, ci],
+                }
+            )
+            yield out[np.isfinite(out["score"])]
+
+    scored = c.mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, score double"
+    )
+    score = F.col("score")
     if round_scores is not None:
         score = F.round(score, round_scores)
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", score.alias("score"))
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "score")
     )
