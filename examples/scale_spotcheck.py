@@ -66,6 +66,20 @@ def build(spark, mult: int, out_dir: str) -> None:
     )
     docs.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_name", reps
+    )
+    # doubled replica char: cross-replica names differ by >= 2 edits,
+    # so a dist-1 fuzzy join finds only within-replica pairs (compute
+    # scaling, not cross-replica output blowup)
+    tag = F.chr(r + F.lit(48))
+    cust = (
+        cust.withColumn("c_custkey", F.col("c_custkey") + r * F.lit(10_000_000))
+        .withColumn("c_name", F.concat(F.col("c_name"), F.lit("#"), tag, tag))
+        .drop("__r__")
+    )
+    cust.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("*", reps)
     emb = (
         emb.withColumn("vec_id", F.col("vec_id") + r * F.lit(10_000_000))
@@ -145,12 +159,24 @@ def main() -> None:
 
         return run
 
+    def fuzzy(sf):
+        def run():
+            from relationalize_spark.operators.fuzzy import fuzzy_join
+
+            c = spark.read.parquet(f"{sf}/customer.parquet")
+            return fuzzy_join(
+                c, c, "c_name", max_dist=1, left_id="c_custkey", right_id="c_custkey"
+            ).filter(F.col("l_id") < F.col("r_id"))
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
         "global_index_q97shape": gindex,
         "ann_lsh_topk_q53shape": ann,
         "jaccard_dedup_clusters_q59shape": clusters,
+        "fuzzy_join_q103shape": fuzzy,
     }
     wanted = None
     for arg in sys.argv[1:]:
