@@ -70,3 +70,54 @@ def test_observe_sequence_equals_merge_of_singletons(records):
         s.observe(r)
         singletons.append(s)
     assert Schema.merge(*singletons) == sequential
+
+
+# -- fuzzy-join blocking lemma ---------------------------------------------
+# Pure-python model of operators/fuzzy.deletion_keys: two strings
+# within Levenshtein distance k MUST share a delete-<=k variant, or
+# the Spark-side equi-join on variant hashes would silently lose the
+# pair. Hypothesis drives random strings through random edit scripts.
+
+_alpha = "abcXY "
+
+
+def _deletes(s: str, k: int) -> set[str]:
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        frontier = {v[:i] + v[i + 1 :] for v in frontier for i in range(len(v))}
+        out |= frontier
+    return out
+
+
+def _random_edit(s, kind, pos, ch):
+    if kind == "del" and s:
+        i = pos % len(s)
+        return s[:i] + s[i + 1 :]
+    if kind == "ins":
+        i = pos % (len(s) + 1)
+        return s[:i] + ch + s[i:]
+    if s:  # sub
+        i = pos % len(s)
+        return s[:i] + ch + s[i + 1 :]
+    return ch
+
+
+edit = st.tuples(
+    st.sampled_from(["del", "ins", "sub"]),
+    st.integers(min_value=0, max_value=63),
+    st.sampled_from(_alpha),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(_alpha, max_size=12), st.lists(edit, min_size=0, max_size=2))
+def test_deletion_neighborhoods_catch_all_edits(s, edits):
+    t = s
+    for e in edits:
+        t = _random_edit(t, *e)
+    k = len(edits)  # true distance <= number of applied edits
+    if k == 0:
+        assert s in _deletes(s, 1)
+        return
+    assert _deletes(s, k) & _deletes(t, k), (s, t, k)
