@@ -407,7 +407,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    dim: int = 64,
+    dim: int | None = 64,
     n_planes: int = 12,
     n_tables: int = 16,
     seed: int = 42,
@@ -426,8 +426,10 @@ def embedding_dup_pairs(
     low thresholds raise n_tables / lower n_planes and check the
     formula — at theta near 60 deg LSH prunes little by nature.
     """
-    from .similarity import plane_signatures
+    from .similarity import plane_signatures, vector_dim
 
+    if dim is None:
+        dim = vector_dim(df, vec_col)
     e = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     )

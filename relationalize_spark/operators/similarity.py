@@ -106,6 +106,16 @@ def brute_force_topk(
     )
 
 
+def vector_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimension from the first row (the testdata has
+    shipped schema changes between driver regenerations; inferring
+    beats a stale hardcoded constant)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError(f"cannot infer vector dim from column {vec_col!r}")
+    return int(row.d)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (driver-side, tiny)."""
     import numpy as np
@@ -276,14 +286,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 12,
     n_tables: int = 4,
-    dim: int = 64,
+    dim: int | None = 64,
     seed: int = 42,
     round_scores: int | None = 6,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing an LSH
     bucket with the query in any of ``n_tables`` independent tables,
     re-ranked exactly by cosine. Recall grows with n_tables and falls
-    with n_planes (bucket granularity)."""
+    with n_planes (bucket granularity). ``dim=None`` infers the
+    dimension from the first query vector (one 1-row action) — pass
+    it explicitly in hot paths."""
+    if dim is None:
+        dim = vector_dim(queries, vec_col)
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     )

@@ -909,7 +909,7 @@ def q32_embedding_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import embedding_dup_pairs
 
     e = load_table(spark, sf, "embeddings")
-    return embedding_dup_pairs(e, threshold=0.45, n_planes=4, n_tables=48)
+    return embedding_dup_pairs(e, threshold=0.45, n_planes=4, n_tables=48, dim=None)
 
 
 Q32_SQL = """
@@ -1493,7 +1493,7 @@ def q53_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         k=5,
         n_planes=3,
         n_tables=48,
-        dim=64,
+        dim=None,
         round_scores=6,
     )
 
