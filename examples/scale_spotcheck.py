@@ -159,6 +159,17 @@ def main() -> None:
 
         return run
 
+    def minhash(sf):
+        def run():
+            from relationalize_spark.operators.dedup import minhash_lsh_pairs
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return minhash_lsh_pairs(
+                d, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.8
+            )
+
+        return run
+
     def fuzzy(sf):
         def run():
             from relationalize_spark.operators.fuzzy import fuzzy_join
@@ -176,6 +187,7 @@ def main() -> None:
         "global_index_q97shape": gindex,
         "ann_lsh_topk_q53shape": ann,
         "jaccard_dedup_clusters_q59shape": clusters,
+        "minhash_lsh_q29shape": minhash,
         "fuzzy_join_q103shape": fuzzy,
     }
     wanted = None

@@ -12,7 +12,15 @@ from .dedup import (
     ngram_overlap_pairs,
     simhash_pairs,
 )
+from .fuzzy import deletion_keys, fuzzy_join
 from .indexing import add_global_index
+from .multimodal import (
+    audio_features,
+    decode_images,
+    image_features,
+    resize_images,
+    sample_frames,
+)
 from .sampling import hash_split, mix_sources, stratified_sample, temperature_weights
 from .similarity import (
     brute_force_topk,
@@ -40,7 +48,14 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_overlap_pairs",
     "simhash_pairs",
+    "deletion_keys",
+    "fuzzy_join",
     "add_global_index",
+    "audio_features",
+    "decode_images",
+    "image_features",
+    "resize_images",
+    "sample_frames",
     "hash_split",
     "mix_sources",
     "temperature_weights",
