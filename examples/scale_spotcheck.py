@@ -66,6 +66,12 @@ def build(spark, mult: int, out_dir: str) -> None:
     )
     docs.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("*", reps)
+    li = li.withColumn(
+        "l_orderkey", F.col("l_orderkey") + r * F.lit(10_000_000_000)
+    ).drop("__r__")
+    li.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
         "c_custkey", "c_name", reps
     )
@@ -159,6 +165,14 @@ def main() -> None:
 
         return run
 
+    def relat(sf):
+        def run():
+            from relationalize_spark.queries import q22_relationalize_linkage
+
+            return q22_relationalize_linkage(spark, sf)
+
+        return run
+
     def minhash(sf):
         def run():
             from relationalize_spark.operators.dedup import minhash_lsh_pairs
@@ -188,6 +202,7 @@ def main() -> None:
         "ann_lsh_topk_q53shape": ann,
         "jaccard_dedup_clusters_q59shape": clusters,
         "minhash_lsh_q29shape": minhash,
+        "relationalize_linkage_q22shape": relat,
         "fuzzy_join_q103shape": fuzzy,
     }
     wanted = None
