@@ -25,24 +25,13 @@ large-scale training-data toolkit beside dedup/similarity/sampling.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import pandas as pd
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double
 from ..plans.scale import ensure_parallelism
-
-
-def _lit_vec(c: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in c])
-
-
-def _dist2(v: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance from ``v`` to a literal centroid."""
-    return F.aggregate(
-        F.zip_with(v, _lit_vec(centroid), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def assign_clusters(
@@ -51,15 +40,27 @@ def assign_clusters(
     vec_col: str = "embedding",
     out_col: str = "cluster",
 ) -> DataFrame:
-    """Nearest-centroid assignment as a scan-fused projection.
+    """Nearest-centroid (squared-L2) assignment, one matmul per Arrow
+    batch: dist2 = |x|^2 - 2 x.C^T + |c|^2 and |x|^2 is constant per
+    row, so argmin needs only the matmul term. Ties break to the
+    lowest cluster index (numpy argmin takes the first minimum), so
+    assignment is deterministic. Same vectorization rationale as
+    ``similarity.plane_signatures``: k*dim interpreted literal-array
+    lambdas per row — per Lloyd's iteration — are the slow path."""
+    import numpy as np
 
-    Ties break to the lowest cluster index (``array_position``
-    returns the first minimum), so assignment is deterministic.
-    """
-    v = as_double(vec_col)
-    dists = F.array(*[_dist2(v, c) for c in centroids])
-    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.withColumn(out_col, cluster)
+    cm = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    half_c2 = 0.5 * (cm * cm).sum(axis=1)  # (k,)
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        # argmin_k |x-c|^2 == argmin_k (|c|^2/2 - x.c)
+        return pd.Series(
+            np.argmin(half_c2[None, :] - x @ cm.T, axis=1).astype("int32")
+        )
+
+    return df.withColumn(out_col, nearest(as_double(vec_col)))
 
 
 def kmeans_fit(

@@ -191,20 +191,24 @@ def _kmeans_centroids(
     return centroids.tolist()
 
 
-def _nearest_clusters_expr(vec, centroids: list[list[float]], n: int):
-    """Array of the n cluster ids with highest dot product, computed
-    with Catalyst array ops (scores -> sort by (-score, id) -> ids)."""
-    scores = F.array(
-        *[
-            F.struct(
-                (-dot(vec, F.array(*[F.lit(float(v)) for v in c]))).alias("neg"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    ranked = F.array_sort(scores)
-    return F.transform(F.slice(ranked, 1, n), lambda s: s["cid"])
+def _nearest_clusters_udf(centroids: list[list[float]], n: int):
+    """pandas_udf: vector column -> array<int> of the n cluster ids
+    with highest dot product, ties by cluster id ascending (stable
+    argsort reproduces the struct-sort tiebreak of the previous
+    Catalyst formulation). One matmul per Arrow batch — the same
+    vectorization as :func:`plane_signatures`, replacing k*dim
+    interpreted literal-array dots per row."""
+    import numpy as np
+
+    cm = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        order = np.argsort(-(x @ cm.T), axis=1, kind="stable")[:, :n]
+        return pd.Series(list(order.astype("int32")))
+
+    return nearest
 
 
 def ivf_topk(
@@ -246,17 +250,13 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
+    assign1 = _nearest_clusters_udf(centroids, 1)
+    probe = _nearest_clusters_udf(centroids, n_probe)
     c_tab = c.select(
-        "neighbor_id",
-        "cv",
-        _nearest_clusters_expr(F.col("cv"), centroids, 1)[0].alias("cluster"),
+        "neighbor_id", "cv", assign1(F.col("cv"))[0].alias("cluster")
     )
     q_tab = q.select(
-        "query_id",
-        "qv",
-        F.explode(
-            _nearest_clusters_expr(F.col("qv"), centroids, n_probe)
-        ).alias("cluster"),
+        "query_id", "qv", F.explode(probe(F.col("qv"))).alias("cluster")
     )
     score = cosine(F.col("qv"), F.col("cv"))
     if round_scores is not None:

@@ -54,12 +54,13 @@ def test_kmeans_fit_requires_k_rows(points):
 
 
 def _inertia(df, centroids):
-    from relationalize_spark.operators.clustering import _dist2
-    from relationalize_spark.functions.vectors import as_double
+    import numpy as np
 
-    v = as_double("embedding")
-    dists = F.array(*[_dist2(v, c) for c in centroids])
-    return df.select(F.sum(F.array_min(dists))).first()[0]
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in
+                  df.select("embedding").collect()])
+    cm = np.asarray(centroids, dtype=np.float64)
+    d2 = ((x[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+    return float(d2.min(axis=1).sum())
 
 
 def test_kmeans_on_real_embeddings(spark, sf_dir):
