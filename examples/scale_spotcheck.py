@@ -165,6 +165,14 @@ def main() -> None:
 
         return run
 
+    def stream54(sf):
+        def run():
+            from relationalize_spark.queries import q54_streaming_windowed_counts
+
+            return q54_streaming_windowed_counts(spark, sf)
+
+        return run
+
     def relat(sf):
         def run():
             from relationalize_spark.queries import q22_relationalize_linkage
@@ -203,6 +211,7 @@ def main() -> None:
         "jaccard_dedup_clusters_q59shape": clusters,
         "minhash_lsh_q29shape": minhash,
         "relationalize_linkage_q22shape": relat,
+        "streaming_windowed_q54shape": stream54,
         "fuzzy_join_q103shape": fuzzy,
     }
     wanted = None

@@ -2347,13 +2347,21 @@ def _events_stream(spark: SparkSession, sf: str):
     the streaming gate queries."""
     from .functions.timeutil import as_instant
 
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-    )
+    path = f"{sf}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Spark-written layout: events.parquet is a DIRECTORY of part
+        # files; stream it directly (a name glob would match nothing).
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
