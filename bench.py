@@ -135,6 +135,25 @@ def main() -> None:
         .select("k", F.posexplode("xs"))
         .select("k", "pos", F.md5(F.concat_ws("|", "col.id", "col.v")).alias("rid"))
     ).write.format("noop").mode("overwrite").save()
+    # Third warmup: the Python-worker pool + Arrow serialization path.
+    # mapInPandas/pandas_udf queries pay daemon spin-up and Arrow codec
+    # init on first use (~1.5 s); workers are reused afterwards, so one
+    # tiny synthetic batch moves that cost off the timed queries.
+    import pandas as _pd
+
+    def _warm_batches(it):
+        for pdf in it:
+            yield _pd.DataFrame({"x": pdf["id"] * 2})
+
+    (
+        spark.range(10_000)
+        .repartition(int(cpus))
+        .mapInPandas(_warm_batches, schema="x long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     vwarm = spark.range(2_000).select(
         F.parse_json(
             F.concat(F.lit('{"a": '), F.col("id").cast("string"), F.lit("}"))
