@@ -67,17 +67,25 @@ def fuzzy_join(
     right_on = right_on or left_on
     l_id = left_id or left_on
     r_id = right_id or right_on
-    l = left.select(
-        F.col(l_id).alias("l_id"), F.col(left_on).alias("l_val")
-    ).withColumn("__k__", F.explode(deletion_keys(F.col("l_val"), max_dist)))
-    r = right.select(
-        F.col(r_id).alias("r_id"), F.col(right_on).alias("r_val")
-    ).withColumn("__k__", F.explode(deletion_keys(F.col("r_val"), max_dist)))
+    lv = left.select(F.col(l_id).alias("l_id"), F.col(left_on).alias("l_val"))
+    rv = right.select(F.col(r_id).alias("r_id"), F.col(right_on).alias("r_val"))
+    # Shuffle discipline: the key join and the pair distinct move ONLY
+    # (key, id) longs — a string emits len+1 keys, so carrying the
+    # string itself through the exploded join would multiply shuffle
+    # payload by the whole neighborhood. Values re-attach afterwards,
+    # once per surviving candidate pair, for the exact verify.
+    lk = lv.select(
+        "l_id", F.explode(deletion_keys(F.col("l_val"), max_dist)).alias("__k__")
+    )
+    rk = rv.select(
+        "r_id", F.explode(deletion_keys(F.col("r_val"), max_dist)).alias("__k__")
+    )
+    pairs = lk.join(rk, "__k__").select("l_id", "r_id").distinct()
     dist = F.levenshtein(F.col("l_val"), F.col("r_val"))
     return (
-        l.join(r, "__k__")
-        .select("l_id", "r_id", "l_val", "r_val")
-        .distinct()
+        pairs.join(lv, "l_id")
+        .join(rv, "r_id")
         .withColumn("dist", dist)
         .filter(F.col("dist") <= max_dist)
+        .select("l_id", "r_id", "l_val", "r_val", "dist")
     )
