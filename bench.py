@@ -166,27 +166,35 @@ def main() -> None:
         .agg(F.sum("a").alias("s"))
     ).write.format("noop").mode("overwrite").save()
 
+    # Per-query isolation (round-2 lesson: one AnalysisException from a
+    # regenerated-testdata type change killed the WHOLE bench record).
+    # A failed query is reported by name with its error; the total is
+    # null rather than a misleading sum over the surviving subset.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     names = [n for n in HEADLINE if n in REGISTRY]
     for name in names:
         fn, _ = REGISTRY[name]
         start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as e:  # noqa: BLE001 - isolate and report
+            errors[name] = str(e).split("\n")[0][:200]
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": None if errors else round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
