@@ -117,3 +117,34 @@ def test_epoch_micros_round_trip(spark):
 def test_col_epoch_micros_resolves_schema(spark, sf_dir):
     e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     assert e.select(col_epoch_micros(e, "ts").alias("us")).first().us > 0
+
+
+def test_epoch_round_trip_randomized_batch(spark):
+    """2000 random epoch-microsecond instants (1900-2100, including
+    negative epochs and odd microsecond remainders) through both
+    flavors: epoch_micros(micros_to_timestamp(us)) == us, and the NTZ
+    wall clock equals the LTZ UTC instant reading."""
+    lo, hi = -2_208_988_800_000_000, 4_102_444_800_000_000  # 1900..2100
+    df = (
+        spark.range(2000)
+        .select(
+            (
+                (F.xxhash64(F.col("id")) % F.lit(hi - lo) + F.lit(hi - lo))
+                % F.lit(hi - lo) + F.lit(lo)
+            ).alias("us")
+        )
+        .select(
+            "us",
+            micros_to_timestamp(F.col("us")).alias("ltz"),
+            micros_to_timestamp(F.col("us"), T.TimestampNTZType()).alias("ntz"),
+        )
+        .select(
+            "us",
+            epoch_micros(F.col("ltz"), T.TimestampType()).alias("us_ltz"),
+            epoch_micros(F.col("ntz"), T.TimestampNTZType()).alias("us_ntz"),
+        )
+    )
+    bad = df.filter(
+        (F.col("us_ltz") != F.col("us")) | (F.col("us_ntz") != F.col("us"))
+    ).count()
+    assert bad == 0
