@@ -165,6 +165,16 @@ def main() -> None:
 
         return run
 
+    def ivf(sf):
+        def run():
+            from relationalize_spark.operators.similarity import ivf_topk
+
+            e = spark.read.parquet(f"{sf}/embeddings.parquet")
+            q = e.filter(F.col("vec_id") < 10)
+            return ivf_topk(e, q, k=5, n_clusters=16, n_probe=4)
+
+        return run
+
     def stream54(sf):
         def run():
             from relationalize_spark.queries import q54_streaming_windowed_counts
@@ -208,6 +218,7 @@ def main() -> None:
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
         "global_index_q97shape": gindex,
         "ann_lsh_topk_q53shape": ann,
+        "ann_ivf_topk": ivf,
         "jaccard_dedup_clusters_q59shape": clusters,
         "minhash_lsh_q29shape": minhash,
         "relationalize_linkage_q22shape": relat,
