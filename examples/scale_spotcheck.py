@@ -191,6 +191,24 @@ def main() -> None:
 
         return run
 
+    def simhash(sf):
+        def run():
+            from relationalize_spark.operators.dedup import simhash_pairs
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+        return run
+
+    def exact(sf):
+        def run():
+            from relationalize_spark.operators.dedup import exact_dedup
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return exact_dedup(d, ["text"], tiebreak="doc_id")
+
+        return run
+
     def minhash(sf):
         def run():
             from relationalize_spark.operators.dedup import minhash_lsh_pairs
@@ -221,6 +239,8 @@ def main() -> None:
         "ann_ivf_topk": ivf,
         "jaccard_dedup_clusters_q59shape": clusters,
         "minhash_lsh_q29shape": minhash,
+        "simhash_q30shape": simhash,
+        "exact_dedup_q26shape": exact,
         "relationalize_linkage_q22shape": relat,
         "streaming_windowed_q54shape": stream54,
         "fuzzy_join_q103shape": fuzzy,

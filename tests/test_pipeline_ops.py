@@ -97,6 +97,41 @@ def test_simhash_identical_and_near(spark, docs):
     assert (1, 2) in pairs
 
 
+def test_simhash_udf_matches_catalyst_expr(spark, docs):
+    """simhash_from_hashes (the vectorized path simhash_pairs uses)
+    must be bit-identical to the reference Catalyst expression."""
+    import pyspark.sql.functions as F
+
+    from relationalize_spark.operators.dedup import simhash_from_hashes
+    from relationalize_spark.operators.text import WS
+
+    th = F.transform(
+        F.array_distinct(F.split(F.col("text"), WS)), lambda t: F.xxhash64(t)
+    )
+    out = docs.select(
+        simhash_expr("text").alias("ref"), simhash_from_hashes()(th).alias("got")
+    ).collect()
+    assert all(r.ref == r.got for r in out)
+
+
+def test_simhash_128bit_lanes(spark, docs):
+    """128-bit mode: identical docs collide at hamming 0; the planted
+    near-dup stays within the scaled threshold; unrelated docs do not
+    appear. Distance is over both lanes (wider buckets exist so chance
+    collisions shrink - the scale rationale in the docstring)."""
+    pairs = {
+        (r.i, r.j): r.hamming
+        for r in simhash_pairs(docs, max_hamming=31, bands=32, sig_bits=128).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one-word difference, small 128-bit distance
+    exact_only = {
+        (r.i, r.j)
+        for r in simhash_pairs(docs, max_hamming=0, bands=2, sig_bits=128).collect()
+    }
+    assert (1, 2) in exact_only and (1, 3) not in exact_only
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import numpy as np
