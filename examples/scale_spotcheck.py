@@ -165,6 +165,16 @@ def main() -> None:
 
         return run
 
+    def brute(sf):
+        def run():
+            from relationalize_spark.operators.similarity import brute_force_topk
+
+            e = spark.read.parquet(f"{sf}/embeddings.parquet")
+            q = e.filter(F.col("vec_id") < 10)
+            return brute_force_topk(e, q, k=5)
+
+        return run
+
     def ivf(sf):
         def run():
             from relationalize_spark.operators.similarity import ivf_topk
@@ -237,6 +247,7 @@ def main() -> None:
         "global_index_q97shape": gindex,
         "ann_lsh_topk_q53shape": ann,
         "ann_ivf_topk": ivf,
+        "ann_brute_q31shape": brute,
         "jaccard_dedup_clusters_q59shape": clusters,
         "minhash_lsh_q29shape": minhash,
         "simhash_q30shape": simhash,
@@ -259,6 +270,14 @@ def main() -> None:
             cold, warm, rows = timed(mk(sf))
             print(json.dumps({"op": name, "scale": label, "cold_s": cold,
                               "warm_s": warm, "rows": rows}), flush=True)
+            # Session hygiene between measurements: operators persist
+            # intermediates for their own multi-pass plans and hand the
+            # caller an un-materialized result, so the frames stay
+            # pinned after the op returns. Across 11 ops x 2 scales in
+            # ONE session the leftovers fragment the heap until a large
+            # broadcast allocation fails (observed: GCLocker retry on a
+            # 1 GiB contiguous alloc killed the JVM mid-suite).
+            spark.catalog.clearCache()
     spark.stop()
 
 
