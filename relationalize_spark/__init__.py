@@ -15,12 +15,14 @@ Core surface:
 from .schema import Schema
 from .dialects import DIALECTS, POSTGRES, REDSHIFT, DUCKDB, SPARK_SQL
 from .operators.relationalize import relationalize
+from .operators.nest import unrelationalize
 from .operators.infer import infer_and_convert, schema_of_dataframe
 from .sources.jsonl import relationalize_json
 
 __all__ = [
     "Schema",
     "relationalize",
+    "unrelationalize",
     "relationalize_json",
     "infer_and_convert",
     "schema_of_dataframe",

@@ -10,8 +10,11 @@ from .dedup import (
     minhash_incremental_pairs,
     minhash_lsh_pairs,
     ngram_overlap_pairs,
+    semdedup_pairs,
     simhash_pairs,
 )
+from .nest import unrelationalize
+from .spans import duplicate_span_stats, segment_dedup
 from .fuzzy import deletion_keys, fuzzy_join
 from .indexing import add_global_index
 from .multimodal import (
@@ -21,7 +24,13 @@ from .multimodal import (
     resize_images,
     sample_frames,
 )
-from .sampling import hash_split, mix_sources, stratified_sample, temperature_weights
+from .sampling import (
+    group_quota_sample,
+    hash_split,
+    mix_sources,
+    stratified_sample,
+    temperature_weights,
+)
 from .similarity import (
     brute_force_topk,
     ivf_topk,
@@ -47,7 +56,11 @@ __all__ = [
     "minhash_incremental_pairs",
     "minhash_lsh_pairs",
     "ngram_overlap_pairs",
+    "semdedup_pairs",
     "simhash_pairs",
+    "unrelationalize",
+    "duplicate_span_stats",
+    "segment_dedup",
     "deletion_keys",
     "fuzzy_join",
     "add_global_index",
@@ -56,6 +69,7 @@ __all__ = [
     "image_features",
     "resize_images",
     "sample_frames",
+    "group_quota_sample",
     "hash_split",
     "mix_sources",
     "temperature_weights",

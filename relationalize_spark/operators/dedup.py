@@ -528,6 +528,58 @@ def embedding_dup_pairs(
     )
 
 
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 32,
+    threshold: float = 0.95,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): k-means the embedding space,
+    then exact within-cluster cosine pairs above ``threshold``.
+
+    Complement to :func:`embedding_dup_pairs`: LSH banding bounds the
+    candidate space probabilistically (recall < 1 at low thresholds),
+    whereas clustering bounds it geometrically — semantic duplicates
+    land in the same centroid cell, and the within-cell scan is exact.
+    Each cluster produces O((N/k)^2) comparisons, so pick
+    k ~ sqrt(N/budget); the cluster equi-join is an ordinary shuffle
+    join, never a corpus x corpus cross product. Deterministic end to
+    end (seeded centroid init, first-minimum tie-break).
+
+    Returns ``(i, j, cos_sim, cluster)`` with ``i < j``. Pairs whose
+    members fall in different cells are missed — that is SemDeDup's
+    documented trade (boundary pairs), not an implementation limit;
+    raise k for finer cells or use ``embedding_dup_pairs`` for
+    recall-targeted dedup.
+    """
+    from .clustering import assign_clusters, kmeans_fit
+
+    centroids = kmeans_fit(df, vec_col, k=k, max_iter=max_iter, id_col=id_col)
+    e = ensure_parallelism(
+        assign_clusters(df, centroids, vec_col).select(
+            F.col(id_col).alias("id"), as_double(vec_col).alias("v"), "cluster"
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    score = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            F.round(score, 6).alias("cos_sim"),
+            F.col("a.cluster").alias("cluster"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 # -- dedup clusters (connected components) ----------------------------------
 
 def dedup_clusters(

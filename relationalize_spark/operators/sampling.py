@@ -85,6 +85,39 @@ def stratified_sample(
     return df.filter(hash_bucket(id_col, 100, seed) < int(round(fraction * 100)))
 
 
+def group_quota_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(quota, group size) rows per group, chosen
+    deterministically by id hash — per-language / per-source caps for
+    corpus balancing, where :func:`stratified_sample`'s equal *rates*
+    are the wrong tool (a 100x bigger source should not keep 100x
+    more rows).
+
+    One shuffle on ``group_col``; within each group a rank over the
+    id hash picks the winners, so membership is stable under
+    repartitioning and appends never evict previously chosen rows
+    ranked above them. Skewed groups are the window's partition —
+    for a group holding most of the corpus, pre-filter with
+    ``stratified_sample`` to an overshoot rate first, then apply the
+    exact quota to the survivors.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    h = F.pmod((c + F.lit(seed)) * F.lit(_KNUTH), F.lit(_M32))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), c.asc())
+    return (
+        df.withColumn("__rank__", F.row_number().over(w))
+        .filter(F.col("__rank__") <= quota)
+        .drop("__rank__")
+    )
+
+
 def deterministic_sample_topk(
     df: DataFrame, k: int, id_col: str = "doc_id", seed: int = 0
 ) -> DataFrame:

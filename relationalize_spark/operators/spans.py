@@ -1,0 +1,162 @@
+"""Segment-level dedup and duplicate-span statistics.
+
+Two corpus-duplication signals finer than whole-document dedup
+(``operators/dedup.py``), modeled on published training-data
+pipelines:
+
+- :func:`segment_dedup` — CCNet-style removal of repeated
+  paragraphs/segments across the corpus, keeping the first
+  occurrence (Wenzek et al., "CCNet", 2019 — paragraph-hash dedup).
+- :func:`duplicate_span_stats` — per-document duplicated-substring
+  exposure at n-gram granularity (the signal behind Lee et al.,
+  "Deduplicating Training Data Makes Language Models Better", 2021,
+  approximated at word-shingle resolution instead of suffix-array
+  byte resolution).
+
+Both are pure Catalyst plans: explode → one hash-keyed aggregation →
+join back → per-doc fold. No Python runs per row. Shuffle keys are
+``md5(segment)`` / ``md5(shingle)`` strings, never full segment
+text, so a 100 TB corpus shuffles bounded-width rows; per-key groups
+are bounded by true duplicate multiplicity (the same property the
+exact-dedup family relies on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _segments(toks: Column, seg_words: int) -> Column:
+    """Split a token array into consecutive ``seg_words``-word
+    segments (last one may be short). Empty docs yield zero segments."""
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
+    arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_words + 1, seg_words), " "),
+    )
+    return F.when(n_segs >= 1, arr).otherwise(F.array().cast("array<string>"))
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    seg_words: int = 10,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """Remove corpus-wide repeated segments, keeping first occurrence.
+
+    Segmentation is fixed ``seg_words``-word windows by default, or
+    ``delimiter``-split (e.g. ``"\\n\\n"`` for real paragraphs) when
+    given. "First occurrence" is the globally smallest
+    ``(id, segment_index)`` — deterministic under any partitioning.
+
+    Returns one row per document:
+    ``id, n_segments, n_kept, cleaned_text`` (kept segments rejoined
+    in order).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+    if delimiter is not None:
+        segs = F.split(F.col("__t__"), delimiter)
+    else:
+        segs = _segments(F.split(F.col("__t__"), r"\s+"), seg_words)
+    exploded = base.select("id", F.posexplode(segs).alias("idx", "seg"))
+    # One shuffle on the segment digest; first copy in (id, idx)
+    # order survives. The digest — not the segment text — is the
+    # shuffle key so row width stays bounded at scale.
+    w = Window.partitionBy(F.md5("seg")).orderBy("id", "idx")
+    marked = exploded.withColumn("__keep__", F.row_number().over(w) == 1)
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("__keep__").cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep__"),
+                                F.struct(F.col("idx").alias("i"), F.col("seg").alias("s")),
+                            )
+                        )
+                    ),
+                    lambda x: x.s,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document duplicated-substring exposure at word n-gram
+    resolution.
+
+    A position ``i`` in a document is *duplicated* when its word
+    ``n``-gram also occurs in at least one other document. Returns
+    one row per document with at least one n-gram position:
+    ``id, n_positions, dup_positions, dup_frac, max_dup_run``
+    (longest consecutive duplicated stretch, in positions; 0 when
+    nothing is duplicated).
+
+    Plan: explode positions (T rows per doc) → per-shingle distinct
+    document count (partial-aggregated, digest-keyed) → join the
+    bounded ``(digest, df)`` table back → per-doc fold with one
+    window for the run-length islands. Linear in corpus size; the
+    widest shuffled row is a 32-char digest.
+    """
+    toks = F.split(F.col("__t__"), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+    )
+    pos = base.select(
+        "id",
+        F.posexplode(
+            F.when(F.size(toks) - (n - 1) >= 1, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("idx", "g"),
+    )
+    docs_per_gram = pos.groupBy("g").agg(
+        F.count_distinct("id").alias("__docs__")
+    )
+    dup = pos.join(docs_per_gram, "g").select(
+        "id", "idx", (F.col("__docs__") >= 2).alias("is_dup")
+    )
+    # Island detection: among duplicated positions in doc order,
+    # idx - row_number() is constant per consecutive run.
+    w = Window.partitionBy("id").orderBy("idx")
+    runs = (
+        dup.where("is_dup")
+        .withColumn("__grp__", F.col("idx") - F.row_number().over(w))
+        .groupBy("id", "__grp__")
+        .agg(F.count("*").alias("__run__"))
+        .groupBy("id")
+        .agg(F.max("__run__").alias("max_dup_run"))
+    )
+    per_doc = dup.groupBy("id").agg(
+        F.count("*").alias("n_positions"),
+        F.sum(F.col("is_dup").cast("int")).alias("dup_positions"),
+    )
+    return (
+        per_doc.join(runs, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_positions",
+            "dup_positions",
+            (F.col("dup_positions") / F.col("n_positions")).alias("dup_frac"),
+            F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
+        )
+    )

@@ -3489,6 +3489,152 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q104_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style segment dedup (operators/spans.py): corpus-wide
+    repeated 10-word segments removed, first occurrence kept. One
+    digest-keyed shuffle; the oracle replays the identical
+    keep-first-by-(doc,index) rule with window functions."""
+    from .operators.spans import segment_dedup
+
+    d = load_table(spark, sf, "documents")
+    return segment_dedup(d, "doc_id", "text", seg_words=10)
+
+
+Q104_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+seg AS (
+  SELECT doc_id, i::BIGINT - 1 AS idx,
+         array_to_string(ws[((i-1)*10+1):((i-1)*10+10)], ' ') AS seg
+  FROM w, LATERAL unnest(range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)) AS t(i)
+),
+marked AS (
+  SELECT doc_id, idx, seg,
+         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) = 1 AS keep
+  FROM seg
+)
+SELECT doc_id, count(*) AS n_segments,
+       CAST(sum(keep::int) AS BIGINT) AS n_kept,
+       coalesce(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE keep), '')
+         AS cleaned_text
+FROM marked GROUP BY doc_id
+"""
+
+
+def q105_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-substring exposure at 3-gram resolution
+    (operators/spans.py, after Lee et al. 2021): per-doc duplicated
+    position fraction and longest duplicated run. Inverted-index
+    shape — digest-keyed df aggregation joined back to positions."""
+    from .operators.spans import duplicate_span_stats
+
+    d = load_table(spark, sf, "documents")
+    return duplicate_span_stats(d, "doc_id", "text", n=3)
+
+
+Q105_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+pos AS (
+  SELECT doc_id, i::BIGINT AS idx, md5(array_to_string(ws[i:(i+2)], ' ')) AS g
+  FROM w, LATERAL unnest(range(1, len(ws) - 1)) AS t(i)
+),
+dpg AS (SELECT g, count(DISTINCT doc_id) AS docs FROM pos GROUP BY g),
+dup AS (SELECT doc_id, idx, (docs >= 2) AS is_dup FROM pos JOIN dpg USING (g)),
+runs AS (
+  SELECT doc_id, max(run) AS max_dup_run FROM (
+    SELECT doc_id, count(*) AS run FROM (
+      SELECT doc_id, idx,
+             idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+      FROM dup WHERE is_dup) GROUP BY doc_id, grp) GROUP BY doc_id
+)
+SELECT p.doc_id, count(*) AS n_positions,
+       CAST(sum(is_dup::int) AS BIGINT) AS dup_positions,
+       sum(is_dup::int) / count(*) AS dup_frac,
+       CAST(coalesce(any_value(r.max_dup_run), 0) AS BIGINT) AS max_dup_run
+FROM dup p LEFT JOIN runs r ON p.doc_id = r.doc_id
+GROUP BY p.doc_id
+"""
+
+
+def q106_nest_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Full relationalize -> unrelationalize round trip
+    (operators/nest.py): nest lineitems per order, split out through
+    rid-linked tables, fold back, and aggregate over the REBUILT
+    array — including its element order (first_linenumber proves the
+    __index_ ordering survived). The oracle computes the same facts
+    straight off the flat lineitem table."""
+    from .operators.nest import unrelationalize
+    from .operators.relationalize import relationalize
+
+    l = load_table(spark, sf, "lineitem")
+    nested = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct(*_LINEITEM_COLS))).alias("lineitems")
+    )
+    tables = relationalize(nested, "orders", key_cols=["l_orderkey"])
+    back = unrelationalize(tables, "orders")
+    items = F.col("lineitems")
+    return back.select(
+        "l_orderkey",
+        F.size(items).alias("n_items"),
+        F.aggregate(
+            items,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.l_quantity.cast("bigint"),
+        ).alias("sum_qty"),
+        F.element_at(items, 1).l_linenumber.cast("int").alias("first_linenumber"),
+    )
+
+
+Q106_SQL = """
+SELECT l_orderkey, count(*) AS n_items,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(max(CASE WHEN rn = 1 THEN l_linenumber END) AS INT) AS first_linenumber
+FROM (
+  SELECT l_orderkey, l_quantity, l_linenumber,
+    row_number() OVER (
+      PARTITION BY l_orderkey
+      ORDER BY l_partkey, l_suppkey, l_linenumber
+    ) AS rn
+  FROM lineitem
+) GROUP BY l_orderkey
+"""
+
+
+def q107_group_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source quota sampling (operators/sampling.py):
+    min(20, |source|) docs per source, membership decided by the
+    Knuth id hash so the oracle replays the identical arithmetic."""
+    from .operators.sampling import group_quota_sample
+
+    d = load_table(spark, sf, "documents")
+    return group_quota_sample(d, "source", 20, id_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
+Q107_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC
+    ) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+def q108_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py): deterministic k-means cells,
+    exact within-cell cosine pairs >= 0.95. Rows-only by declared
+    necessity: Lloyd's iterations are not SQL-expressible; the
+    operator's contracts (pair subset of brute force, threshold,
+    determinism) are pinned in tests/test_semdedup.py instead."""
+    from .operators.dedup import semdedup_pairs
+
+    e = load_table(spark, sf, "embeddings")
+    return semdedup_pairs(e, "vec_id", "embedding", k=16, threshold=0.95)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3609,6 +3755,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q67_kmeans_profile": (q67_kmeans_profile, None),
     "q94_approx_sketches": (q94_approx_sketches, None),
     "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
+    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
+    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
+    "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
+    "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
+    "q108_semdedup": (q108_semdedup, None),  # k-means: rows-only
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -1,0 +1,96 @@
+"""Segment dedup + duplicate-span stats on corpora with known structure."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from relationalize_spark.operators.spans import duplicate_span_stats, segment_dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # doc 1: two distinct paragraphs; doc 2 repeats doc 1's first
+    # paragraph then adds its own; doc 3 is entirely doc 1's content.
+    p1 = "alpha beta gamma delta"
+    p2 = "epsilon zeta eta theta"
+    p3 = "iota kappa lambda mu"
+    rows = [
+        (1, f"{p1}\n\n{p2}"),
+        (2, f"{p1}\n\n{p3}"),
+        (3, f"{p2}\n\n{p1}"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string"), (p1, p2, p3)
+
+
+def test_segment_dedup_delimiter_mode(spark, corpus):
+    df, (p1, p2, p3) = corpus
+    out = {r.doc_id: r for r in segment_dedup(
+        df, "doc_id", "text", delimiter=r"\n\n"
+    ).collect()}
+    # First occurrence of p1/p2 is doc 1; doc 2 keeps only p3; doc 3
+    # keeps nothing.
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[1].cleaned_text == f"{p1} {p2}"
+    assert out[2].n_kept == 1 and out[2].cleaned_text == p3
+    assert out[3].n_kept == 0 and out[3].cleaned_text == ""
+
+
+def test_segment_dedup_word_windows(spark):
+    # 10-word windows: doc 20 repeats doc 10's first window exactly.
+    w = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(10, w + " tail words here"), (20, w)], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in segment_dedup(df).collect()}
+    assert out[10].n_segments == 2 and out[10].n_kept == 2
+    assert out[20].n_segments == 1 and out[20].n_kept == 0
+
+
+def test_segment_dedup_deterministic_under_repartition(spark, corpus):
+    df, _ = corpus
+    a = sorted(segment_dedup(df, delimiter=r"\n\n").collect())
+    b = sorted(segment_dedup(df.repartition(7), delimiter=r"\n\n").collect())
+    assert a == b
+
+
+def test_duplicate_span_stats_known_runs(spark):
+    # Shared prefix of 6 words => 3-gram positions 1..4 duplicated in
+    # both docs; doc B's tail is unique.
+    shared = "a b c d e f"
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared + " x y z")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(df, n=3).collect()}
+    assert out[1].n_positions == 4 and out[1].dup_positions == 4
+    assert out[1].max_dup_run == 4 and out[1].dup_frac == 1.0
+    assert out[2].n_positions == 7 and out[2].dup_positions == 4
+    assert out[2].max_dup_run == 4
+
+
+def test_duplicate_span_stats_no_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "v w x y z")], "doc_id int, text string"
+    )
+    out = duplicate_span_stats(df, n=3).collect()
+    assert all(r.dup_positions == 0 and r.max_dup_run == 0 for r in out)
+
+
+def test_duplicate_span_stats_split_runs(spark):
+    # duplicated - unique - duplicated: two islands, max run counts
+    # the longer one, not the sum.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c UNIQ1 d e f g"),
+            (2, "a b c UNIQ2 d e f g"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(df, n=3).collect()}
+    # positions: (a b c) dup, (b c U) uniq, (c U d) uniq, (U d e) uniq,
+    # (d e f) dup, (e f g) dup -> islands of 1 and 2.
+    assert out[1].dup_positions == 3 and out[1].max_dup_run == 2
+
+
+def test_short_documents_yield_no_positions(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id int, text string")
+    assert segment_dedup(df).count() == 1  # one short segment, kept
+    assert duplicate_span_stats(df, n=3).count() == 0  # no 3-gram fits
