@@ -241,6 +241,66 @@ def main() -> None:
 
         return run
 
+    def segdedup(sf):
+        def run():
+            from relationalize_spark.operators.spans import segment_dedup
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return segment_dedup(d, "doc_id", "text", seg_words=10)
+
+        return run
+
+    def spans(sf):
+        def run():
+            from relationalize_spark.operators.spans import duplicate_span_stats
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return duplicate_span_stats(d, "doc_id", "text", n=3)
+
+        return run
+
+    def quota(sf):
+        def run():
+            from relationalize_spark.operators.sampling import group_quota_sample
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return group_quota_sample(d, "source", 20, id_col="doc_id")
+
+        return run
+
+    def nest_rt(sf):
+        def run():
+            from relationalize_spark.operators.nest import unrelationalize
+            from relationalize_spark.operators.relationalize import relationalize
+
+            l = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+                "l_orderkey", "l_linenumber", "l_quantity"
+            )
+            nested = l.groupBy("l_orderkey").agg(
+                F.sort_array(
+                    F.collect_list(F.struct("l_linenumber", "l_quantity"))
+                ).alias("items")
+            )
+            tables = relationalize(nested, "o", key_cols=["l_orderkey"])
+            back = unrelationalize(tables, "o")
+            return back.select(
+                "l_orderkey", F.size("items").alias("n")
+            )
+
+        return run
+
+    def semdedup(sf):
+        def run():
+            from relationalize_spark.operators.dedup import semdedup_pairs
+
+            e = spark.read.parquet(f"{sf}/embeddings.parquet")
+            # SemDeDup's contract: k grows with N so cell size stays
+            # constant (within-cell compare count then scales linearly).
+            k = 16 if sf == SF_DIR else 16 * mult
+            return semdedup_pairs(e, "vec_id", "embedding", k=k, threshold=0.999)
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -255,6 +315,11 @@ def main() -> None:
         "relationalize_linkage_q22shape": relat,
         "streaming_windowed_q54shape": stream54,
         "fuzzy_join_q103shape": fuzzy,
+        "segment_dedup_q104shape": segdedup,
+        "dup_span_stats_q105shape": spans,
+        "nest_roundtrip_q106shape": nest_rt,
+        "group_quota_q107shape": quota,
+        "semdedup_q108shape": semdedup,
     }
     wanted = None
     for arg in sys.argv[1:]:

@@ -24,6 +24,7 @@ from .multimodal import (
     resize_images,
     sample_frames,
 )
+from .scd2 import scd2_from_snapshots, scd2_merge, snapshot_diff
 from .sampling import (
     group_quota_sample,
     hash_split,
@@ -69,6 +70,9 @@ __all__ = [
     "image_features",
     "resize_images",
     "sample_frames",
+    "scd2_from_snapshots",
+    "scd2_merge",
+    "snapshot_diff",
     "group_quota_sample",
     "hash_split",
     "mix_sources",

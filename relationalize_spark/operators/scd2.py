@@ -1,0 +1,178 @@
+"""Slowly-changing-dimension (type 2) history and snapshot CDC.
+
+The reference loads flattened tables into a warehouse and leaves
+history-keeping to it (DROP -> CREATE -> COPY per run, reference
+examples/full_pokemon_psql_pipeline.py:130-170 — destructive
+full-refresh). A production load path needs the non-destructive
+counterparts: turn periodic snapshots into validity intervals
+(:func:`scd2_from_snapshots`), diff two snapshots into a changeset
+(:func:`snapshot_diff`), and apply a changeset to an existing
+dimension without rewriting history (:func:`scd2_merge`).
+
+All three are single-shuffle window/join plans over the business
+key — the natural partitioning for a dimension table — with no
+Python per row. ``NULL`` attribute values compare with null-safe
+equality throughout (a NULL->value transition IS a change).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Open-ended `valid_to` for current rows. A literal (not NULL) so
+#: range predicates (`BETWEEN valid_from AND valid_to`) stay sargable
+#: and pushdown-friendly.
+END_OF_TIME = "9999-12-31 23:59:59"
+
+
+def _same(a: Column, b: Column) -> Column:
+    return a.eqNullSafe(b)
+
+
+def scd2_from_snapshots(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Collapse periodic snapshots into type-2 validity intervals.
+
+    Consecutive snapshots of a key with identical ``tracked_cols``
+    merge into one row with ``valid_from`` (first snapshot of the
+    run), ``valid_to`` (next run's start, or END_OF_TIME), and
+    ``is_current``. Gaps-and-islands: one window over
+    ``(key, ts)`` marks change points, a running sum numbers the
+    runs, one aggregation folds each run — two shuffles total, both
+    on the key columns (the second reuses the first's partitioning
+    modulo the version column, and AQE coalesces it).
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~_same(F.col(c), F.lag(F.col(c)).over(w))
+    first = F.row_number().over(w) == 1
+    marked = df.withColumn("__chg__", (first | changed).cast("int"))
+    versioned = marked.withColumn("__ver__", F.sum("__chg__").over(w))
+    out = (
+        versioned.groupBy(*key_cols, "__ver__")
+        .agg(
+            *[F.first(c).alias(c) for c in tracked_cols],
+            F.min(ts_col).alias("valid_from"),
+        )
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col("valid_from"))
+    nxt = F.lead("valid_from").over(w2)
+    return (
+        out.withColumn("valid_to", F.coalesce(nxt, F.lit(END_OF_TIME).cast(
+            out.schema["valid_from"].dataType.simpleString())))
+        .withColumn("is_current", nxt.isNull())
+        .drop("__ver__")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC between two snapshots: one row per key that changed, with
+    ``change`` in {'insert','update','delete'} plus the new-side
+    values (null for deletes).
+
+    Full outer join on the key — one shuffle each side, and when one
+    snapshot is dimension-sized Spark's AQE converts it to a
+    broadcast join at runtime. Unchanged keys are filtered out
+    before anything wide is projected.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(*key_cols, *compare_cols).alias("o")
+    n = new.select(*key_cols, *compare_cols).alias("n")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    same_vals = F.lit(True)
+    for c in compare_cols:
+        same_vals = same_vals & _same(F.col(f"o.{c}"), F.col(f"n.{c}"))
+    o_present = F.col(f"o.{key_cols[0]}").isNotNull()
+    n_present = F.col(f"n.{key_cols[0]}").isNotNull()
+    change = (
+        F.when(~o_present, F.lit("insert"))
+        .when(~n_present, F.lit("delete"))
+        .when(~same_vals, F.lit("update"))
+    )
+    joined = o.join(n, cond, "full_outer").withColumn("change", change)
+    return joined.where(F.col("change").isNotNull()).select(
+        *[
+            F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+            for k in key_cols
+        ],
+        *[F.col(f"n.{c}").alias(c) for c in compare_cols],
+        "change",
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_ts: Column | str,
+) -> DataFrame:
+    """Apply a changeset (shape of :func:`snapshot_diff`) to an
+    existing type-2 dimension (shape of :func:`scd2_from_snapshots`).
+
+    - insert: new current row [effective_ts, END_OF_TIME).
+    - update: close the key's current row at ``effective_ts``, append
+      the new version.
+    - delete: close the current row; no new version.
+
+    History rows (``is_current = false``) pass through untouched —
+    the merge join only ever shuffles current rows + the changeset,
+    so cost is bound by the change volume, not dimension history
+    size.
+    """
+    ts = F.col(effective_ts) if isinstance(effective_ts, str) else effective_ts
+    ts = ts.cast(dim.schema["valid_from"].dataType.simpleString())
+    history = dim.where(~F.col("is_current"))
+    current = dim.where(F.col("is_current"))
+
+    ch = changes.select(
+        *key_cols,
+        *[F.col(c).alias(f"__new_{c}__") for c in tracked_cols],
+        F.col("change").alias("__change__"),
+        ts.alias("__eff__"),
+    )
+    joined = current.join(ch, list(key_cols), "full_outer")
+
+    # Existing current rows: closed when their key has any change row.
+    closed = joined.where(
+        F.col("valid_from").isNotNull() & F.col("__change__").isNotNull()
+    ).select(
+        *key_cols,
+        *tracked_cols,
+        "valid_from",
+        F.col("__eff__").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    untouched = joined.where(
+        F.col("valid_from").isNotNull() & F.col("__change__").isNull()
+    ).select(*key_cols, *tracked_cols, "valid_from", "valid_to", "is_current")
+    opened = joined.where(
+        F.col("__change__").isin("insert", "update")
+    ).select(
+        *key_cols,
+        *[F.col(f"__new_{c}__").alias(c) for c in tracked_cols],
+        F.col("__eff__").alias("valid_from"),
+        F.lit(END_OF_TIME).cast(
+            dim.schema["valid_to"].dataType.simpleString()
+        ).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return history.unionByName(untouched).unionByName(closed).unionByName(opened)

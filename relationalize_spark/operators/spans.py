@@ -14,17 +14,37 @@ pipelines:
   byte resolution).
 
 Both are pure Catalyst plans: explode → one hash-keyed aggregation →
-join back → per-doc fold. No Python runs per row. Shuffle keys are
-``md5(segment)`` / ``md5(shingle)`` strings, never full segment
-text, so a 100 TB corpus shuffles bounded-width rows; per-key groups
-are bounded by true duplicate multiplicity (the same property the
-exact-dedup family relies on).
+join back → per-doc fold. No Python runs per row.
+
+Scale shape: shuffle keys are 64-bit ``xxhash64`` digests of the
+segment/gram — never the text — so a position row is three longs
+wide; the first formulation shuffled 32-char md5 strings and built
+them with ``slice``+``array_join`` per position, which blew the heap
+at the 100x spot-check (measured; see BASELINE.md). Grams are built
+with ``element_at`` chains (flat expressions, no per-position array
+allocation). Two token sequences collide only on a 64-bit hash
+collision (~N^2/2^65 pairs — irrelevant below ~10^9 distinct grams;
+pass ``digest="md5"`` to trade key width for a 128-bit space). The
+correctness oracles group by the raw gram text — the semantic
+contract the digest approximates.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Token separator inside hashed grams; ASCII unit separator so real
+#: whitespace-split tokens can never straddle a boundary ambiguously.
+_SEP = "\x1f"
+
+
+def _digest(c: Column, digest: str) -> Column:
+    if digest == "xxhash64":
+        return F.xxhash64(c)
+    if digest == "md5":
+        return F.md5(c)
+    raise ValueError(f"digest must be 'xxhash64' or 'md5', got {digest!r}")
 
 
 def _segments(toks: Column, seg_words: int) -> Column:
@@ -38,6 +58,21 @@ def _segments(toks: Column, seg_words: int) -> Column:
     return F.when(n_segs >= 1, arr).otherwise(F.array().cast("array<string>"))
 
 
+def _gram_keys(toks: Column, n: int, digest: str) -> Column:
+    """Digest of each word n-gram position, via flat element_at
+    chains (no per-position array slicing)."""
+    def one(i: Column) -> Column:
+        parts = [F.element_at(toks, i + j) for j in range(n)]
+        return _digest(F.concat_ws(_SEP, *parts), digest)
+
+    n_pos = F.size(toks) - (n - 1)
+    keys = F.transform(F.sequence(F.lit(1), n_pos), one)
+    empty = F.array().cast(
+        "array<bigint>" if digest == "xxhash64" else "array<string>"
+    )
+    return F.when(n_pos >= 1, keys).otherwise(empty)
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -45,6 +80,7 @@ def segment_dedup(
     *,
     seg_words: int = 10,
     delimiter: str | None = None,
+    digest: str = "xxhash64",
 ) -> DataFrame:
     """Remove corpus-wide repeated segments, keeping first occurrence.
 
@@ -65,8 +101,8 @@ def segment_dedup(
     exploded = base.select("id", F.posexplode(segs).alias("idx", "seg"))
     # One shuffle on the segment digest; first copy in (id, idx)
     # order survives. The digest — not the segment text — is the
-    # shuffle key so row width stays bounded at scale.
-    w = Window.partitionBy(F.md5("seg")).orderBy("id", "idx")
+    # shuffle key, so key width stays bounded at scale.
+    w = Window.partitionBy(_digest(F.col("seg"), digest)).orderBy("id", "idx")
     marked = exploded.withColumn("__keep__", F.row_number().over(w) == 1)
     return (
         marked.groupBy("id")
@@ -98,6 +134,7 @@ def duplicate_span_stats(
     text_col: str = "text",
     *,
     n: int = 5,
+    digest: str = "xxhash64",
 ) -> DataFrame:
     """Per-document duplicated-substring exposure at word n-gram
     resolution.
@@ -109,26 +146,19 @@ def duplicate_span_stats(
     (longest consecutive duplicated stretch, in positions; 0 when
     nothing is duplicated).
 
-    Plan: explode positions (T rows per doc) → per-shingle distinct
-    document count (partial-aggregated, digest-keyed) → join the
-    bounded ``(digest, df)`` table back → per-doc fold with one
-    window for the run-length islands. Linear in corpus size; the
-    widest shuffled row is a 32-char digest.
+    Plan: explode positions (T rows per doc, three longs wide) →
+    per-gram distinct document count → join the bounded
+    ``(digest, df)`` table back → per-doc fold with one window for
+    the run-length islands. The position table feeds both the
+    aggregation and the join, so it is persisted rather than
+    recomputed (at 100x the double computation plus string keys
+    exhausted the heap).
     """
     toks = F.split(F.col("__t__"), r"\s+")
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
-    )
     pos = base.select(
-        "id",
-        F.posexplode(
-            F.when(F.size(toks) - (n - 1) >= 1, grams).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("idx", "g"),
-    )
+        "id", F.posexplode(_gram_keys(toks, n, digest)).alias("idx", "g")
+    ).persist()
     docs_per_gram = pos.groupBy("g").agg(
         F.count_distinct("id").alias("__docs__")
     )

@@ -3509,7 +3509,7 @@ seg AS (
 ),
 marked AS (
   SELECT doc_id, idx, seg,
-         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) = 1 AS keep
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) = 1 AS keep
   FROM seg
 )
 SELECT doc_id, count(*) AS n_segments,
@@ -3534,7 +3534,7 @@ def q105_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
 Q105_SQL = r"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
 pos AS (
-  SELECT doc_id, i::BIGINT AS idx, md5(array_to_string(ws[i:(i+2)], ' ')) AS g
+  SELECT doc_id, i::BIGINT AS idx, array_to_string(ws[i:(i+2)], ' ') AS g
   FROM w, LATERAL unnest(range(1, len(ws) - 1)) AS t(i)
 ),
 dpg AS (SELECT g, count(DISTINCT doc_id) AS docs FROM pos GROUP BY g),
@@ -3633,6 +3633,98 @@ def q108_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "embeddings")
     return semdedup_pairs(e, "vec_id", "embedding", k=16, threshold=0.95)
+
+
+def q109_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 dimension history from event snapshots
+    (operators/scd2.py): per-user runs of event_type collapsed into
+    validity intervals with is_current. The (user_id, ts)
+    pre-aggregation makes the window order tie-free regardless of
+    how the driver regenerates testdata."""
+    from .operators.scd2 import scd2_from_snapshots
+
+    e = load_table(spark, sf, "events")
+    snap = e.groupBy("user_id", "ts").agg(F.min("event_type").alias("event_type"))
+    hist = scd2_from_snapshots(snap, ["user_id"], ["event_type"], "ts")
+    # The dimension keeps the sargable year-9999 sentinel; surface it
+    # as NULL here because the gate (and pandas generally) renders
+    # timestamps as datetime64[ns], which caps at year 2262.
+    return hist.withColumn(
+        "valid_to", F.when(~F.col("is_current"), F.col("valid_to"))
+    )
+
+
+Q109_SQL = """
+WITH snap AS (
+  SELECT user_id, ts, min(event_type) AS event_type
+  FROM events GROUP BY user_id, ts
+),
+s AS (
+  SELECT user_id, event_type, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR event_type IS DISTINCT FROM lag(event_type) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+v AS (
+  SELECT user_id, event_type, ts,
+    sum(chg) OVER (PARTITION BY user_id ORDER BY ts) AS ver
+  FROM s
+),
+runs AS (
+  SELECT user_id, ver, min(event_type) AS event_type, min(ts) AS valid_from
+  FROM v GROUP BY user_id, ver
+)
+SELECT user_id, event_type, valid_from,
+  lead(valid_from) OVER w2 AS valid_to,
+  (lead(valid_from) OVER w2 IS NULL) AS is_current
+FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+"""
+
+
+def q110_snapshot_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changeset between two snapshot states of a per-customer
+    order rollup (operators/scd2.py:snapshot_diff): inserts for
+    customers first seen after the cutoff, updates where the rollup
+    changed. Null-safe comparisons throughout."""
+    from .operators.scd2 import snapshot_diff
+
+    o = load_table(spark, sf, "orders")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.max("o_orderstatus").alias("last_status"),
+        )
+
+    old = snap(o.filter(F.col("o_orderdate") < "1997-01-01"))
+    new = snap(o)
+    return snapshot_diff(old, new, ["o_custkey"])
+
+
+Q110_SQL = """
+WITH old AS (
+  SELECT o_custkey, count(*) AS n_orders, max(o_orderstatus) AS last_status
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey
+),
+new AS (
+  SELECT o_custkey, count(*) AS n_orders, max(o_orderstatus) AS last_status
+  FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(n.o_custkey, o.o_custkey) AS o_custkey,
+       n.n_orders AS n_orders, n.last_status AS last_status,
+       CASE WHEN o.o_custkey IS NULL THEN 'insert'
+            WHEN n.o_custkey IS NULL THEN 'delete'
+            WHEN n.n_orders IS DISTINCT FROM o.n_orders
+              OR n.last_status IS DISTINCT FROM o.last_status
+            THEN 'update' END AS change
+FROM old o FULL OUTER JOIN new n ON o.o_custkey = n.o_custkey
+WHERE (CASE WHEN o.o_custkey IS NULL THEN 'insert'
+            WHEN n.o_custkey IS NULL THEN 'delete'
+            WHEN n.n_orders IS DISTINCT FROM o.n_orders
+              OR n.last_status IS DISTINCT FROM o.last_status
+            THEN 'update' END) IS NOT NULL
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3760,6 +3852,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
     "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
     "q108_semdedup": (q108_semdedup, None),  # k-means: rows-only
+    "q109_scd2_history": (q109_scd2_history, Q109_SQL),
+    "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -1,0 +1,138 @@
+"""SCD2 history building, snapshot CDC, and incremental merge."""
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from relationalize_spark.operators.scd2 import (
+    scd2_from_snapshots,
+    scd2_merge,
+    snapshot_diff,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    rows = [
+        # key 1: A, A, B, B, A  -> three versions
+        (1, "A", _ts("2024-01-01")),
+        (1, "A", _ts("2024-02-01")),
+        (1, "B", _ts("2024-03-01")),
+        (1, "B", _ts("2024-04-01")),
+        (1, "A", _ts("2024-05-01")),
+        # key 2: NULL -> X (a change), X
+        (2, None, _ts("2024-01-15")),
+        (2, "X", _ts("2024-02-15")),
+        (2, "X", _ts("2024-03-15")),
+        # key 3: single snapshot
+        (3, "Z", _ts("2024-06-01")),
+    ]
+    return spark.createDataFrame(rows, "k int, attr string, ts timestamp")
+
+
+def test_scd2_runs_collapse(spark, snapshots):
+    hist = scd2_from_snapshots(snapshots, ["k"], ["attr"], "ts").collect()
+    k1 = sorted([r for r in hist if r.k == 1], key=lambda r: r.valid_from)
+    assert [r.attr for r in k1] == ["A", "B", "A"]
+    assert k1[0].valid_from == _ts("2024-01-01")
+    assert k1[0].valid_to == _ts("2024-03-01")  # next run start
+    assert not k1[0].is_current and not k1[1].is_current and k1[2].is_current
+    assert k1[2].valid_to.year == 9999
+
+
+def test_scd2_null_to_value_is_a_change(spark, snapshots):
+    hist = [r for r in scd2_from_snapshots(
+        snapshots, ["k"], ["attr"], "ts").collect() if r.k == 2]
+    assert len(hist) == 2
+    assert {r.attr for r in hist} == {None, "X"}
+    cur = [r for r in hist if r.is_current]
+    assert len(cur) == 1 and cur[0].attr == "X"
+
+
+def test_scd2_single_snapshot_is_current(spark, snapshots):
+    hist = [r for r in scd2_from_snapshots(
+        snapshots, ["k"], ["attr"], "ts").collect() if r.k == 3]
+    assert len(hist) == 1 and hist[0].is_current
+
+
+def test_snapshot_diff_kinds(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k int, v string, n int"
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(out) == {2, 3, 4}
+    assert out[2].change == "update" and out[2].v == "B"
+    assert out[3].change == "delete" and out[3].v is None
+    assert out[4].change == "insert" and out[4].n == 40
+
+
+def test_snapshot_diff_null_value_transitions(spark):
+    old = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    new = spark.createDataFrame([(1, "y"), (2, None)], "k int, v string")
+    out = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "update", 2: "update"}
+
+
+def test_merge_equals_batch_history(spark, snapshots):
+    """Applying snapshots incrementally through diff+merge reproduces
+    the all-at-once history exactly — the operator family's core
+    contract."""
+    ts_list = sorted(r.ts for r in snapshots.select("ts").distinct().collect())
+    first = snapshots.where(F.col("ts") == ts_list[0])
+    dim = scd2_from_snapshots(first, ["k"], ["attr"], "ts")
+    prev = first.select("k", "attr")
+    for t in ts_list[1:]:
+        # snapshot state as of t: latest attr per key up to t
+        upto = snapshots.where(F.col("ts") <= t)
+        latest = upto.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("k").orderBy(
+                    F.col("ts").desc()
+                )
+            ),
+        ).where("rn = 1").select("k", "attr")
+        changes = snapshot_diff(prev, latest, ["k"])
+        dim = scd2_merge(dim, changes, ["k"], ["attr"], F.lit(t))
+        # materialize per step: the union-of-joins plan would
+        # otherwise nest once per snapshot and blow up analysis
+        dim = spark.createDataFrame(dim.collect(), dim.schema)
+        prev = latest
+    batch = scd2_from_snapshots(snapshots, ["k"], ["attr"], "ts")
+    got = sorted(dim.collect(), key=lambda r: (r.k, r.valid_from))
+    want = sorted(batch.collect(), key=lambda r: (r.k, r.valid_from))
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_merge_delete_closes_without_reopening(spark):
+    dim = scd2_from_snapshots(
+        spark.createDataFrame([(1, "a", _ts("2024-01-01"))], "k int, v string, ts timestamp"),
+        ["k"], ["v"], "ts",
+    )
+    changes = spark.createDataFrame([(1, None, "delete")], "k int, v string, change string")
+    merged = scd2_merge(dim, changes, ["k"], ["v"], F.lit(_ts("2024-02-01"))).collect()
+    assert len(merged) == 1
+    assert not merged[0].is_current and merged[0].valid_to == _ts("2024-02-01")
+
+
+def test_merge_leaves_history_untouched(spark):
+    snaps = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01")), (1, "b", _ts("2024-02-01"))],
+        "k int, v string, ts timestamp",
+    )
+    dim = scd2_from_snapshots(snaps, ["k"], ["v"], "ts")
+    changes = spark.createDataFrame([(1, "c", "update")], "k int, v string, change string")
+    merged = scd2_merge(dim, changes, ["k"], ["v"], F.lit(_ts("2024-03-01")))
+    rows = sorted(merged.collect(), key=lambda r: r.valid_from)
+    assert [r.v for r in rows] == ["a", "b", "c"]
+    assert rows[0].valid_to == _ts("2024-02-01")  # unchanged history row
+    assert rows[1].valid_to == _ts("2024-03-01")  # closed by merge
+    assert rows[2].is_current
