@@ -1,9 +1,11 @@
 """Large-scale training-data curation pipeline over the documents table.
 
-Chains the LLM-pipeline operators end to end: language ID + quality
-scoring -> quality filter -> exact dedup -> MinHash near-dedup ->
-token accounting -> BUCKETED output — the shape of a 100 TB curation
-job, runnable here on the sf test data.
+Chains the LLM-pipeline operators end to end: corpus-wide segment
+dedup -> language ID + quality scoring -> quality filter -> exact
+dedup -> MinHash near-dedup -> duplicate-span filter -> semantic
+dedup over embeddings -> source mixing + per-source caps -> token
+accounting -> BUCKETED output — the shape of a 100 TB curation job,
+runnable here on the sf test data.
 
 The bucketed write is the load-for-downstream-joins step: curated
 documents and their embeddings land hash-bucketed on doc_id, so every
@@ -32,9 +34,23 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app="training-data-pipeline")
     docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+
+    # Corpus-wide segment dedup first: boilerplate repeated across
+    # documents (headers, license blurbs) is removed before any
+    # scoring sees it, keeping the first occurrence only.
+    from relationalize_spark.operators.spans import segment_dedup
+
+    seg = segment_dedup(docs, "doc_id", "text", seg_words=10)
+    docs = docs.drop("text").join(
+        seg.where(F.col("n_kept") > 0).select(
+            "doc_id", F.col("cleaned_text").alias("text")
+        ),
+        "doc_id",
+    )
+    after_segments = docs.count()
 
     scored = TX.text_stats(docs)
-    total = scored.count()
 
     kept = scored.filter(
         (F.col("quality_score_") > 0.25) & (F.col("n_tokens_") >= 10)
@@ -49,6 +65,30 @@ def main() -> None:
     kept = kept.join(to_drop, "doc_id", "left_anti")
     after_near = kept.count()
 
+    # Drop documents that are mostly duplicated 5-gram spans of the
+    # rest of the corpus (cross-document boilerplate survivors).
+    from relationalize_spark.operators.spans import duplicate_span_stats
+
+    spans = duplicate_span_stats(kept, "doc_id", "text", n=5)
+    heavy = spans.where(F.col("dup_frac") > 0.9).select("doc_id")
+    kept = kept.join(heavy, "doc_id", "left_anti")
+    after_spans = kept.count()
+
+    # Semantic dedup (SemDeDup): k-means cells over the documents'
+    # embeddings, exact within-cell cosine; drop the higher id of
+    # each >=0.97 pair.
+    from relationalize_spark.operators.dedup import semdedup_pairs
+
+    emb_all = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    emb_kept = emb_all.join(kept.select("doc_id"), "doc_id", "left_semi")
+    sem = semdedup_pairs(emb_kept, "doc_id", "embedding", k=16, threshold=0.97)
+    kept = kept.join(
+        sem.select(F.col("j").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    after_sem = kept.count()
+
     # Re-balance the corpus: weight the sources (keep all of src0,
     # downsample the rest) with the deterministic hash mix — a pure
     # pushed-down filter, reproducible on any cluster shape.
@@ -60,6 +100,11 @@ def main() -> None:
         default=0.5,
         id_col="doc_id",
     )
+    # ... and cap any single source at an exact per-source quota
+    # (rate-based mixing cannot express "at most N of src2").
+    from relationalize_spark.operators.sampling import group_quota_sample
+
+    kept = group_quota_sample(kept, "source", 200, id_col="doc_id")
     after_mix = kept.count()
 
     # Dense example ids for the training loader: range shuffle +
@@ -70,19 +115,20 @@ def main() -> None:
 
     tokens_total = kept.agg(F.sum("n_tokens_")).collect()[0][0]
     print(f"documents:        {total}")
+    print(f"after seg dedup:  {after_segments}")
     print(f"after quality:    {after_quality}")
     print(f"after exact dedup:{after_exact}")
     print(f"after near dedup: {after_near}")
-    print(f"after source mix: {after_mix}")
+    print(f"after span filter:{after_spans}")
+    print(f"after sem dedup:  {after_sem}")
+    print(f"after mix+quota:  {after_mix}")
     print(f"tokens kept:      {tokens_total}")
     kept.groupBy("lang_id_").count().show()
 
     # Load for downstream joins: curated docs + their embeddings,
     # co-bucketed on doc_id. The verification join below must run
     # with no Exchange in the executed plan.
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "vec_id", "doc_id"
-    )
+    emb = emb_all
     write_bucketed(kept, "curated_docs", ["doc_id"], num_buckets=16,
                    sort_cols=["doc_id"])
     write_bucketed(emb, "curated_doc_embeddings", ["doc_id"], num_buckets=16,
