@@ -31,7 +31,9 @@ from .sampling import (
     mix_sources,
     stratified_sample,
     temperature_weights,
+    weighted_quota_sample,
 )
+from .timeseries import cohort_retention, gap_fill_locf, rollup_time_buckets
 from .similarity import (
     brute_force_topk,
     ivf_topk,
@@ -78,6 +80,10 @@ __all__ = [
     "mix_sources",
     "temperature_weights",
     "stratified_sample",
+    "weighted_quota_sample",
+    "cohort_retention",
+    "gap_fill_locf",
+    "rollup_time_buckets",
     "brute_force_topk",
     "ivf_topk",
     "lsh_topk",

@@ -118,6 +118,49 @@ def group_quota_sample(
     )
 
 
+def weighted_quota_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, ``k`` rows per group:
+    Efraimidis-Spirakis A-Res — each row draws priority
+    ``u^(1/w)`` from a uniform ``u`` and the top-k priorities win,
+    which yields exactly the successive weighted-without-replacement
+    distribution. Here ``u`` derives from the row id's Knuth hash, so
+    the "random" draw is reproducible on any cluster shape and the
+    DuckDB oracle replays it bit-for-bit.
+
+    The priority is rounded to 12 decimal places before ranking
+    (ties broken by id) so the comparison never depends on the
+    last-ulp behavior of two engines' ``pow``. Rows with weight <= 0
+    get priority -1: never sampled while any positive-weight row
+    remains (ANSI mode forbids the 1/0 the textbook formula would
+    hit).
+
+    One shuffle on ``group_col``; same skew guidance as
+    :func:`group_quota_sample`.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    h = F.pmod((c + F.lit(seed)) * F.lit(_KNUTH), F.lit(_M32))
+    u = (h + F.lit(0.5)) / F.lit(float(_M32))
+    wt = F.col(weight_col).cast("double")
+    priority = F.when(
+        wt > 0, F.round(F.pow(u, F.lit(1.0) / wt), 12)
+    ).otherwise(F.lit(-1.0))
+    w = Window.partitionBy(group_col).orderBy(priority.desc(), c.asc())
+    return (
+        df.withColumn("__rank__", F.row_number().over(w))
+        .filter(F.col("__rank__") <= k)
+        .drop("__rank__")
+    )
+
+
 def deterministic_sample_topk(
     df: DataFrame, k: int, id_col: str = "doc_id", seed: int = 0
 ) -> DataFrame:

@@ -131,3 +131,51 @@ def gap_fill_locf(
         bucket_ts_col,
         micros_to_timestamp(F.col(_IDX) * F.lit(width_us), ts_dtype),
     ).drop(_IDX)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    width_s: int = 7 * 86400,
+    dtype: T.DataType | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity
+    period, counted in each later period they return.
+
+    Returns ``(cohort_start, period_offset, n_users)`` — cohort_start
+    is the epoch-aligned bucket timestamp of the cohort's first
+    activity, period_offset counts buckets since then (0 = the
+    cohort's own period), n_users is distinct active users. The
+    classic product-analytics triangle; at scale it is two shuffles
+    (user-distinct activity, then the cohort fold), both on keys the
+    data is naturally grouped by.
+
+    Buckets use the same integer epoch arithmetic as
+    :func:`time_bucket` — engine- and timezone-neutral, exact for any
+    ``width_s``.
+    """
+    if dtype is None:
+        dtype = df.schema[ts_col].dataType
+    act = (
+        df.select(
+            F.col(user_col).alias("__u__"),
+            bucket_index(ts_col, width_s, dtype).alias("__b__"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__u__")
+    cohorted = act.withColumn("__cohort__", F.min("__b__").over(w))
+    width_us = int(width_s) * 1_000_000
+    return (
+        cohorted.groupBy("__cohort__", (F.col("__b__") - F.col("__cohort__")).alias("period_offset"))
+        .agg(F.count_distinct("__u__").alias("n_users"))
+        .select(
+            micros_to_timestamp(
+                F.col("__cohort__") * F.lit(width_us), dtype
+            ).alias("cohort_start"),
+            "period_offset",
+            "n_users",
+        )
+    )

@@ -3727,6 +3727,59 @@ WHERE (CASE WHEN o.o_custkey IS NULL THEN 'insert'
 """
 
 
+def q111_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention triangle over events
+    (operators/timeseries.py:cohort_retention): users bucketed by
+    first-activity week, distinct-counted at each later week offset.
+    Epoch-aligned integer week buckets — engine/timezone neutral."""
+    from .operators.timeseries import cohort_retention
+
+    e = load_table(spark, sf, "events")
+    return cohort_retention(e, "user_id", "ts")
+
+
+Q111_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS b FROM events
+),
+cohorted AS (SELECT u, b, min(b) OVER (PARTITION BY u) AS cohort FROM act)
+SELECT make_timestamp(cohort * 604800000000) AS cohort_start,
+       b - cohort AS period_offset,
+       count(DISTINCT u) AS n_users
+FROM cohorted GROUP BY cohort, b - cohort
+"""
+
+
+def q112_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (operators/sampling.py:weighted_quota_sample): top-15 docs per
+    source by Efraimidis-Spirakis priority u^(1/w), u reproducible
+    from the Knuth id hash, w = n_chars. The oracle replays the
+    identical arithmetic (priority rounded to 12 decimals so cross-
+    engine pow ulps cannot flip the ranking)."""
+    from .operators.sampling import weighted_quota_sample
+
+    d = load_table(spark, sf, "documents")
+    return weighted_quota_sample(d, "source", 15, "n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+Q112_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY round(
+        pow((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0,
+            1.0 / n_chars), 12) DESC,
+        doc_id ASC
+    ) AS rk
+  FROM documents
+) WHERE rk <= 15
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3854,6 +3907,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q108_semdedup": (q108_semdedup, None),  # k-means: rows-only
     "q109_scd2_history": (q109_scd2_history, Q109_SQL),
     "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
+    "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
+    "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
