@@ -126,8 +126,11 @@ def unrelationalize(
         folded_child = unrelationalize(tables, name, _table=f"{name}{DELIM}{p}")
         agg, _ = _fold_child(folded_child, p)
         arr_type = agg.schema["__arr__"].dataType
+        # Merge-hinted: the folded-child aggregate is proportional to
+        # the parent table (one row per non-empty array cell); a
+        # static broadcast promotion would OOM at scale.
         df = (
-            df.join(agg, df[_q(p)] == agg["__rid__"], "left")
+            df.join(agg.hint("merge"), df[_q(p)] == agg["__rid__"], "left")
             .withColumn(
                 p,
                 F.when(F.col(_q(p)).isNull(), F.lit(None).cast(arr_type)).otherwise(

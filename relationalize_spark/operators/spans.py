@@ -159,9 +159,12 @@ def duplicate_span_stats(
     pos = base.select(
         "id", F.posexplode(_gram_keys(toks, n, digest)).alias("idx", "g")
     ).persist()
+    # Merge-hinted: docs_per_gram is corpus-proportional (one row per
+    # distinct gram), so a static broadcast promotion would OOM at
+    # scale — same invariant as dedup.py's shingle filter lists.
     docs_per_gram = pos.groupBy("g").agg(
         F.count_distinct("id").alias("__docs__")
-    )
+    ).hint("merge")
     dup = pos.join(docs_per_gram, "g").select(
         "id", "idx", (F.col("__docs__") >= 2).alias("is_dup")
     )
@@ -181,7 +184,7 @@ def duplicate_span_stats(
         F.sum(F.col("is_dup").cast("int")).alias("dup_positions"),
     )
     return (
-        per_doc.join(runs, "id", "left")
+        per_doc.join(runs.hint("merge"), "id", "left")
         .select(
             F.col("id").alias(id_col),
             "n_positions",

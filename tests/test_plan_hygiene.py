@@ -58,3 +58,32 @@ def test_corpus_derived_filters_never_broadcast(spark):
         assert all("Broadcast" not in ln for ln in semi), (
             f"{name}: corpus-derived filter list is broadcast:\n" + "\n".join(semi)
         )
+
+
+def test_aggregate_derived_sides_never_broadcast(spark):
+    """spans/nest join sides are aggregates PROPORTIONAL to the corpus
+    (per-gram df table, per-doc runs, per-cell folded arrays); the
+    static estimator happily broadcast-promotes them at test SF, which
+    is an OOM at scale (same class as the shingle-filter defect, see
+    BASELINE.md). Merge hints must keep every join in these plans
+    broadcast-free."""
+    import pyspark.sql.functions as F
+
+    from relationalize_spark.operators.nest import unrelationalize
+    from relationalize_spark.operators.relationalize import relationalize
+    from relationalize_spark.operators.spans import duplicate_span_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    span_plan = _plan(duplicate_span_stats(docs, "doc_id", "text", n=3))
+
+    nested = docs.select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    tables = relationalize(nested, "d", key_cols=["doc_id"])
+    nest_plan = _plan(unrelationalize(tables, "d"))
+
+    for name, plan in (("duplicate_span_stats", span_plan),
+                       ("unrelationalize", nest_plan)):
+        assert "BroadcastHashJoin" not in plan, (
+            f"{name}: aggregate-derived join side is broadcast"
+        )
