@@ -15,6 +15,7 @@ from .dedup import (
 )
 from .nest import unrelationalize
 from .spans import duplicate_span_stats, segment_dedup
+from .audit import fk_violations, merge_partial_aggs, profile_columns, table_checksum
 from .fuzzy import deletion_keys, fuzzy_join
 from .indexing import add_global_index
 from .multimodal import (
@@ -64,6 +65,10 @@ __all__ = [
     "unrelationalize",
     "duplicate_span_stats",
     "segment_dedup",
+    "fk_violations",
+    "merge_partial_aggs",
+    "profile_columns",
+    "table_checksum",
     "deletion_keys",
     "fuzzy_join",
     "add_global_index",

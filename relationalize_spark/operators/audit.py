@@ -59,3 +59,66 @@ def fk_violations(
     for expr in on[1:]:
         cond = cond & expr
     return child.join(parent, cond, "left_anti")
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive one-row table fingerprint for migration /
+    load validation — the strong form of the reference's post-COPY
+    ``SELECT COUNT(1)`` check (reference
+    examples/full_pokemon_psql_pipeline.py:163-167): equal row count
+    AND equal checksum means the loaded table is value-identical, not
+    merely the same size.
+
+    ``checksum`` is the XOR of a 60-bit md5 chunk of each row's
+    ``\\x1f``-joined string rendering — commutative (no sort needed),
+    overflow-free, and expressible verbatim in any engine with md5
+    (DuckDB: ``bit_xor(CAST('0x'||substr(md5(r),1,15) AS BIGINT))``).
+    XOR cancels duplicate row PAIRS, so ``n_rows`` (and
+    ``distinct_rows``) ride along to close that gap.
+
+    Caveat: the row rendering casts values to strings, so use columns
+    whose string form is engine-stable (strings, integers, dates);
+    floats render differently across engines.
+    """
+    use = cols or df.columns
+    row = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in use])
+    chunk = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("bigint")
+    return df.select(chunk.alias("__c__"), row.alias("__r__")).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("__r__").alias("distinct_rows"),
+        F.expr("bit_xor(__c__)").alias("checksum"),
+    )
+
+
+def merge_partial_aggs(
+    partials: DataFrame,
+    group_cols: list[str],
+    *,
+    count_col: str = "n",
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    """Re-aggregate pre-aggregated shards: combine per-shard partial
+    aggregates (counts, sums, mins, maxes) into the totals the raw
+    data would have produced — ``merge(partial(x)) == total(x)``.
+
+    This is the "combiner as data" pattern behind incremental
+    rollups (daily partials folded into monthly without touching raw
+    rows) and multi-cluster aggregation, and it is the numeric
+    sibling of ``Schema.merge`` (reference schema.py:259-302): both
+    exploit that the summary is associative-commutative so shards
+    combine in any order. Averages must be carried as (sum, count)
+    pairs and derived AFTER the merge — never averaged directly.
+
+    One shuffle on ``group_cols``; input size is shard-count x
+    group-count, independent of raw data volume.
+    """
+    aggs = [F.sum(F.col(count_col)).alias(count_col)]
+    for c in sum_cols or []:
+        aggs.append(F.sum(F.col(c)).alias(c))
+    for c in min_cols or []:
+        aggs.append(F.min(F.col(c)).alias(c))
+    for c in max_cols or []:
+        aggs.append(F.max(F.col(c)).alias(c))
+    return partials.groupBy(*group_cols).agg(*aggs)

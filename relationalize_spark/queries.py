@@ -3780,6 +3780,75 @@ SELECT doc_id, source, n_chars FROM (
 """
 
 
+def q113_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive table fingerprint
+    (operators/audit.py:table_checksum) over customer identity
+    columns — the strong form of the reference's post-COPY COUNT(1)
+    validation. The oracle replays the identical md5-chunk XOR."""
+    from .operators.audit import table_checksum
+
+    c = load_table(spark, sf, "customer")
+    return table_checksum(c, ["c_custkey", "c_name", "c_mktsegment"])
+
+
+Q113_SQL = """
+SELECT count(*) AS n_rows, count(DISTINCT r) AS distinct_rows,
+       bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS checksum
+FROM (
+  SELECT concat_ws(chr(31), CAST(c_custkey AS VARCHAR), c_name, c_mktsegment) AS r
+  FROM customer
+)
+"""
+
+
+def q114_partial_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-aggregation of pre-aggregated shards
+    (operators/audit.py:merge_partial_aggs): daily order partials
+    folded into monthly totals. The oracle aggregates the RAW rows
+    directly, so a green row proves merge(partial(x)) == total(x).
+    Sums carry DECIMAL(18,2) through both levels and cast to DOUBLE
+    once at the end (repo decimal convention)."""
+    from .operators.audit import merge_partial_aggs
+
+    o = load_table(spark, sf, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    partials = o.groupBy(
+        month.alias("month"), F.col("o_orderstatus"), day.alias("__day__")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    merged = merge_partial_aggs(
+        partials,
+        ["month", "o_orderstatus"],
+        count_col="n",
+        sum_cols=["total"],
+        min_cols=["first_order"],
+        max_cols=["last_order"],
+    )
+    return merged.select(
+        "month",
+        "o_orderstatus",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        "first_order",
+        "last_order",
+    )
+
+
+Q114_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3909,6 +3978,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
     "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
     "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
+    "q113_table_checksum": (q113_table_checksum, Q113_SQL),
+    "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
