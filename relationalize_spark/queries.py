@@ -3849,6 +3849,61 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q115_streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming keep-first segment dedup
+    (streaming/segments.py:stream_segment_dedup): documents arrive as
+    a file stream with a synthetic event time, segments dedupe on
+    their digest via dropDuplicatesWithinWatermark, state evicted by
+    the watermark. Which document contributes a survivor is
+    arrival-order dependent, so the query projects the surviving
+    segment VALUES — that set is deterministic and the oracle is the
+    batch DISTINCT over the same segmentation."""
+    import os
+
+    from .streaming.segments import stream_segment_dedup
+
+    path = f"{sf}/documents.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf)
+        )
+    # Synthetic clock starts a day AFTER epoch 0: the initial
+    # streaming watermark is epoch 0, and a row timestamped exactly
+    # at the watermark is treated as late and silently dropped
+    # (observed: doc_id=0's segments vanished).
+    stream = stream.withColumn(
+        "__ts__",
+        F.timestamp_micros((F.col("doc_id") + F.lit(86_400)) * F.lit(1_000_000)),
+    )
+    kept = stream_segment_dedup(
+        stream, "doc_id", "text", "__ts__", seg_words=10, watermark="1 hour"
+    ).select("seg")
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("q115_segments")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q115_segments")
+
+
+Q115_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+seg AS (
+  SELECT array_to_string(ws[((i-1)*10+1):((i-1)*10+10)], ' ') AS seg
+  FROM w, LATERAL unnest(range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)) AS t(i)
+)
+SELECT DISTINCT seg FROM seg
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3980,6 +4035,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
     "q113_table_checksum": (q113_table_checksum, Q113_SQL),
     "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
+    "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
