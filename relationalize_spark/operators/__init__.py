@@ -42,7 +42,7 @@ from .similarity import (
     quantize_embeddings,
     quantized_topk,
 )
-from .text import boilerplate_phrases, bm25_topk, redact_pii
+from .text import boilerplate_phrases, bm25_topk, char_entropy, redact_pii
 
 __all__ = [
     "relationalize",
@@ -96,5 +96,6 @@ __all__ = [
     "quantized_topk",
     "boilerplate_phrases",
     "bm25_topk",
+    "char_entropy",
     "redact_pii",
 ]

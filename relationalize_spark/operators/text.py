@@ -127,6 +127,34 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+def char_entropy(text: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution —
+    the signal behind compression-ratio quality filters (Gopher-style
+    repetition/gibberish screens): natural prose sits ~4 bits/char,
+    repeated boilerplate and single-char floods sit far lower, random
+    noise higher.
+
+    Pure expression, zero shuffle: H = log2(T) - sum(n_c*log2(n_c))/T
+    over per-char counts computed with higher-order functions. Work
+    is O(alphabet * length) per document — alphabet-bounded, so it
+    stays scan-speed at any corpus size. Empty/null text scores 0.
+    """
+    c = _c(text)
+    cs = F.split(c, "")
+    counts = F.transform(
+        F.array_distinct(cs),
+        lambda ch: F.size(F.filter(cs, lambda x: x == ch)).cast("double"),
+    )
+    total = F.size(cs)
+    term_sum = F.aggregate(
+        F.transform(counts, lambda n: n * F.log2(n)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    h = F.round(F.log2(total.cast("double")) - term_sum / total, 9)
+    return F.when(c.isNull() | (F.length(c) == 0), F.lit(0.0)).otherwise(h)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-squeezed text. Equal fingerprints == exact dup modulo

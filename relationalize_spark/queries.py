@@ -3904,6 +3904,32 @@ SELECT DISTINCT seg FROM seg
 """
 
 
+def q116_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-entropy quality signal (operators/text.py:
+    char_entropy): bits/char per document, the compression-ratio
+    screen behind Gopher-style gibberish filters. Zero-shuffle
+    higher-order-function expression; identical formula in the
+    oracle, rounded to 9 decimals so summation-order ulps can't
+    diverge."""
+    from .operators.text import char_entropy
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", char_entropy("text").alias("entropy"))
+
+
+Q116_SQL = """
+SELECT doc_id,
+  CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+  ELSE round(
+    log2(len(cs)) - list_sum(list_transform(
+      list_transform(list_distinct(cs),
+                     c -> CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)),
+      n -> n * log2(n))) / len(cs), 9)
+  END AS entropy
+FROM (SELECT doc_id, text, string_split(text, '') AS cs FROM documents)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4036,6 +4062,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q113_table_checksum": (q113_table_checksum, Q113_SQL),
     "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
     "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
+    "q116_char_entropy": (q116_char_entropy, Q116_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

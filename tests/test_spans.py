@@ -94,3 +94,26 @@ def test_short_documents_yield_no_positions(spark):
     df = spark.createDataFrame([(1, "only two")], "doc_id int, text string")
     assert segment_dedup(df).count() == 1  # one short segment, kept
     assert duplicate_span_stats(df, n=3).count() == 0  # no 3-gram fits
+
+
+def test_char_entropy_known_values(spark):
+    from relationalize_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa"), (4, "")],
+        "id int, t string",
+    )
+    out = {r.id: r.h for r in df.select("id", char_entropy("t").alias("h")).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 2.0
+    assert out[3] == 0.0
+    assert out[4] == 0.0
+
+
+def test_char_entropy_plan_is_shuffle_free(spark):
+    from relationalize_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame([(1, "abc")], "id int, t string")
+    plan = df.select(char_entropy("t")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
