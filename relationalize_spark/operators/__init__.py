@@ -16,6 +16,7 @@ from .dedup import (
 from .nest import unrelationalize
 from .spans import duplicate_span_stats, segment_dedup
 from .audit import fk_violations, merge_partial_aggs, profile_columns, table_checksum
+from .funnel import funnel_steps
 from .fuzzy import deletion_keys, fuzzy_join
 from .indexing import add_global_index
 from .multimodal import (
@@ -69,6 +70,7 @@ __all__ = [
     "merge_partial_aggs",
     "profile_columns",
     "table_checksum",
+    "funnel_steps",
     "deletion_keys",
     "fuzzy_join",
     "add_global_index",

@@ -3930,6 +3930,48 @@ FROM (SELECT doc_id, text, string_split(text, '') AS cs FROM documents)
 """
 
 
+def q117_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered 4-step funnel (operators/funnel.py:funnel_steps):
+    signup -> view -> click -> purchase, one HOF walk per user after
+    a single shuffle. The oracle is the iterated-min-join
+    formulation (k chained CTEs) — equal counts prove the
+    single-pass walk implements the same semantics."""
+    from .operators.funnel import funnel_steps
+
+    e = load_table(spark, sf, "events")
+    return funnel_steps(
+        e, "user_id", "ts", "event_type",
+        ["signup", "view", "click", "purchase"],
+    )
+
+
+Q117_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'view', count(*) FROM s2
+UNION ALL SELECT 3, 'click', count(*) FROM s3
+UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4063,6 +4105,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
     "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
     "q116_char_entropy": (q116_char_entropy, Q116_SQL),
+    "q117_funnel_steps": (q117_funnel_steps, Q117_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
