@@ -301,6 +301,36 @@ def main() -> None:
 
         return run
 
+    def cohort(sf):
+        def run():
+            from relationalize_spark.operators.timeseries import cohort_retention
+
+            e = spark.read.parquet(f"{sf}/events.parquet")
+            return cohort_retention(e, "user_id", "ts")
+
+        return run
+
+    def funnel(sf):
+        def run():
+            from relationalize_spark.operators.funnel import funnel_steps
+
+            e = spark.read.parquet(f"{sf}/events.parquet")
+            return funnel_steps(
+                e, "user_id", "ts", "event_type",
+                ["signup", "view", "click", "purchase"],
+            )
+
+        return run
+
+    def checksum(sf):
+        def run():
+            from relationalize_spark.operators.audit import table_checksum
+
+            l = spark.read.parquet(f"{sf}/lineitem.parquet")
+            return table_checksum(l, ["l_orderkey", "l_linenumber", "l_returnflag"])
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -320,6 +350,9 @@ def main() -> None:
         "nest_roundtrip_q106shape": nest_rt,
         "group_quota_q107shape": quota,
         "semdedup_q108shape": semdedup,
+        "cohort_retention_q111shape": cohort,
+        "funnel_steps_q117shape": funnel,
+        "table_checksum_q113shape": checksum,
     }
     wanted = None
     for arg in sys.argv[1:]:
