@@ -36,6 +36,10 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+    # The driver's smoke check runs entry() first — replicate it.
+    entry_rows = entry_mod.entry(spark).collect()
+    assert len(entry_rows) >= 0
+
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     bad = []
     for name, fn in qs.items():
