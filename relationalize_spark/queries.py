@@ -3981,14 +3981,87 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark query, duckdb oracle SQL or None)
 #:
 #: ORDER IS LOAD-BEARING: the driver's correctness gate checks only
-#: the FIRST 50 entries (CORRECTNESS_r01/r02 each contain exactly 50
-#: rows, cut in registry order). The registry therefore rotates:
-#: entries without a driver row yet come first; the 48 queries the
-#: round-2 run already recorded full-green stand behind the cap,
-#: with their r02 rows as the durable record. Every entry, either
-#: side of the cap, runs against its oracle in
-#: tests/test_entry_oracle.py on every pytest run.
+#: the FIRST 50 entries (CORRECTNESS_r01/r02/r03 each contain exactly
+#: 50 rows, cut in registry order). The registry therefore rotates
+#: each round: entries without a driver row yet come first. Round 4
+#: fronts the 19 entries added in round 3 (q67, q81, q82, q94,
+#: q103-q117 — locally value-verified but never driver-attested),
+#: then backfills the cap with the 31 oldest entries whose only
+#: driver rows date from round 2, for re-confirmation. Everything
+#: behind the cap carries a full-green r02 or r03 row as its durable
+#: record. Every entry, either side of the cap, runs against its
+#: oracle in tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- never driver-checked (r3 additions): first 19 slots -------------
+    "q81_asof_forward": (q81_asof_forward, Q81_SQL),
+    "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
+    "q67_kmeans_profile": (q67_kmeans_profile, None),  # Lloyd's: rows-only
+    "q94_approx_sketches": (q94_approx_sketches, None),  # engine hash: rows-only
+    "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
+    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
+    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
+    "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
+    "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
+    "q108_semdedup": (q108_semdedup, None),  # k-means: rows-only
+    "q109_scd2_history": (q109_scd2_history, Q109_SQL),
+    "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
+    "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
+    "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
+    "q113_table_checksum": (q113_table_checksum, Q113_SQL),
+    "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
+    "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
+    "q116_char_entropy": (q116_char_entropy, Q116_SQL),
+    "q117_funnel_steps": (q117_funnel_steps, Q117_SQL),
+    # --- oldest driver rows (r2 only): re-confirmation, slots 20-50 ------
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
+    "q04_order_priority": (q04_order_priority, Q04_SQL),
+    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
+    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
+    "q07_global_stats": (q07_global_stats, Q07_SQL),
+    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
+    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
+    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
+    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
+    "q12_setops": (q12_setops, Q12_SQL),
+    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
+    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
+    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
+    "q16_date_functions": (q16_date_functions, Q16_SQL),
+    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
+    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
+    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
+    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
+    "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
+    "q23_text_stats": (q23_text_stats, Q23_SQL),
+    "q24_lang_id": (q24_lang_id, None),  # SQL generated below
+    "q25_quality_score": (q25_quality_score, None),  # SQL generated below
+    "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
+    "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),
+    "q28_jaccard_pairs": (q28_jaccard_pairs, _JACCARD_ORACLE.format(threshold=0.5)),
+    "q29_minhash_lsh_pairs": (q29_minhash_lsh_pairs, _JACCARD_ORACLE.format(threshold=0.8)),
+    "q30_simhash_pairs": (q30_simhash_pairs, None),  # xxhash64: rows-only
+    "q31_ann_topk": (q31_ann_topk, Q31_SQL),
+    "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
+    "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
+    # --- behind the cap: durable r2/r3 full-green rows -------------------
+    "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
+    "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
+    "q36_sql_api": (q36_sql_api, Q36_SQL),
+    "q37_asof_join": (q37_asof_join, Q37_SQL),
+    "q38_range_bucket_join": (q38_range_bucket_join, Q38_SQL),
+    "q39_pivot_status": (q39_pivot_status, Q39_SQL),
+    "q40_promo_revenue": (q40_promo_revenue, Q40_SQL),
+    "q41_disjunctive_predicates": (q41_disjunctive_predicates, Q41_SQL),
+    "q42_customer_distribution": (q42_customer_distribution, Q42_SQL),
+    "q43_above_average_idle": (q43_above_average_idle, Q43_SQL),
+    "q44_percentiles": (q44_percentiles, Q44_SQL),
+    "q45_edit_distance": (q45_edit_distance, Q45_SQL),
+    "q46_pandas_udf": (q46_pandas_udf, Q46_SQL),
+    "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
+    "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
+    "q49_large_orders": (q49_large_orders, Q49_SQL),
+    "q50_returned_revenue": (q50_returned_revenue, Q50_SQL),
     "q02_hypertable_rollup": (q02_hypertable_rollup, Q02_SQL),
     "q18_sessionization": (q18_sessionization, Q18_SQL),
     "q51_signup_purchase_funnel": (q51_signup_purchase_funnel, Q51_SQL),
@@ -4039,73 +4112,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q100_column_profile": (q100_column_profile, Q100_SQL),
     "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
     "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
-    "q04_order_priority": (q04_order_priority, Q04_SQL),
-    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
-    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
-    "q07_global_stats": (q07_global_stats, Q07_SQL),
-    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
-    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
-    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
-    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
-    "q12_setops": (q12_setops, Q12_SQL),
-    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
-    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
-    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
-    "q16_date_functions": (q16_date_functions, Q16_SQL),
-    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
-    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
-    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
-    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
-    "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
-    "q23_text_stats": (q23_text_stats, Q23_SQL),
-    "q24_lang_id": (q24_lang_id, None),  # SQL generated below
-    "q25_quality_score": (q25_quality_score, None),  # SQL generated below
-    "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
-    "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),
-    "q28_jaccard_pairs": (q28_jaccard_pairs, _JACCARD_ORACLE.format(threshold=0.5)),
-    "q29_minhash_lsh_pairs": (q29_minhash_lsh_pairs, _JACCARD_ORACLE.format(threshold=0.8)),
-    "q30_simhash_pairs": (q30_simhash_pairs, None),  # xxhash64: rows-only
-    "q31_ann_topk": (q31_ann_topk, Q31_SQL),
-    "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
-    "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
-    "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
-    "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
-    "q36_sql_api": (q36_sql_api, Q36_SQL),
-    "q37_asof_join": (q37_asof_join, Q37_SQL),
-    "q38_range_bucket_join": (q38_range_bucket_join, Q38_SQL),
-    "q39_pivot_status": (q39_pivot_status, Q39_SQL),
-    "q40_promo_revenue": (q40_promo_revenue, Q40_SQL),
-    "q41_disjunctive_predicates": (q41_disjunctive_predicates, Q41_SQL),
-    "q42_customer_distribution": (q42_customer_distribution, Q42_SQL),
-    "q43_above_average_idle": (q43_above_average_idle, Q43_SQL),
-    "q44_percentiles": (q44_percentiles, Q44_SQL),
-    "q45_edit_distance": (q45_edit_distance, Q45_SQL),
-    "q46_pandas_udf": (q46_pandas_udf, Q46_SQL),
-    "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
-    "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
-    "q49_large_orders": (q49_large_orders, Q49_SQL),
-    "q50_returned_revenue": (q50_returned_revenue, Q50_SQL),
-    "q81_asof_forward": (q81_asof_forward, Q81_SQL),
-    "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
-    "q67_kmeans_profile": (q67_kmeans_profile, None),
-    "q94_approx_sketches": (q94_approx_sketches, None),
-    "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
-    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
-    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
-    "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
-    "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
-    "q108_semdedup": (q108_semdedup, None),  # k-means: rows-only
-    "q109_scd2_history": (q109_scd2_history, Q109_SQL),
-    "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
-    "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
-    "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
-    "q113_table_checksum": (q113_table_checksum, Q113_SQL),
-    "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
-    "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
-    "q116_char_entropy": (q116_char_entropy, Q116_SQL),
-    "q117_funnel_steps": (q117_funnel_steps, Q117_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
