@@ -60,7 +60,13 @@ def assign_clusters(
             np.argmin(half_c2[None, :] - x @ cm.T, axis=1).astype("int32")
         )
 
-    return df.withColumn(out_col, nearest(as_double(vec_col)))
+    # The function is pure, but downstream equi-joins on the cluster
+    # column make Catalyst infer IsNotNull(cluster) and push it into a
+    # separate Filter that re-evaluates the UDF — doubling the matmul
+    # per branch (seen as paired ArrowEvalPython nodes in semdedup's
+    # plan). Declaring it nondeterministic blocks that constraint
+    # pushdown so the assignment runs once per branch.
+    return df.withColumn(out_col, nearest.asNondeterministic()(as_double(vec_col)))
 
 
 def kmeans_fit(

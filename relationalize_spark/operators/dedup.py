@@ -553,29 +553,42 @@ def semdedup_pairs(
     documented trade (boundary pairs), not an implementation limit;
     raise k for finer cells or use ``embedding_dup_pairs`` for
     recall-targeted dedup.
+
+    Shuffle discipline (same split as :func:`embedding_dup_pairs` and
+    the fuzzy join): the cluster-keyed self-join carries only
+    ``(cluster, id)`` longs — candidate generation never ships the
+    vectors. Exact vectors are re-attached afterwards by two id
+    equi-joins for scoring, so at 100 TB the wide ``array<double>``
+    column crosses the wire once per matched side, not once per
+    candidate row on both sides of the hot shuffle.
     """
     from .clustering import assign_clusters, kmeans_fit
 
     centroids = kmeans_fit(df, vec_col, k=k, max_iter=max_iter, id_col=id_col)
-    e = ensure_parallelism(
+    ids = ensure_parallelism(
         assign_clusters(df, centroids, vec_col).select(
-            F.col(id_col).alias("id"), as_double(vec_col).alias("v"), "cluster"
+            F.col(id_col).alias("id"), "cluster"
         )
     )
-    a, b = e.alias("a"), e.alias("b")
-    score = cosine(F.col("a.v"), F.col("b.v"))
+    a, b = ids.alias("a"), ids.alias("b")
+    candidates = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("i"),
+        F.col("b.id").alias("j"),
+        F.col("a.cluster").alias("cluster"),
+    )
+    vecs = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    )
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    score = cosine(F.col("va.v"), F.col("vb.v"))
     return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("i"),
-            F.col("b.id").alias("j"),
-            F.round(score, 6).alias("cos_sim"),
-            F.col("a.cluster").alias("cluster"),
-        )
+        candidates.join(va, F.col("i") == F.col("va.id"))
+        .join(vb, F.col("j") == F.col("vb.id"))
+        .select("i", "j", F.round(score, 6).alias("cos_sim"), "cluster")
         .filter(F.col("cos_sim") >= threshold)
     )
 

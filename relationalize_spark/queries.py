@@ -3625,14 +3625,18 @@ SELECT doc_id, source FROM (
 
 def q108_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (operators/dedup.py): deterministic k-means cells,
-    exact within-cell cosine pairs >= 0.95. Rows-only by declared
-    necessity: Lloyd's iterations are not SQL-expressible; the
-    operator's contracts (pair subset of brute force, threshold,
-    determinism) are pinned in tests/test_semdedup.py instead."""
+    exact within-cell cosine pairs >= 0.45 (the testdata's embeddings
+    have no pairs past ~0.5, so the production-style 0.95 threshold
+    returned 0 rows at gate scale and the count was a vacuous smoke
+    signal; 0.45 matches q32's regime and yields real pairs at both
+    sf0.001 and sf0.01). Rows-only by declared necessity: Lloyd's
+    iterations are not SQL-expressible; the operator's contracts
+    (pair subset of brute force, threshold, determinism) are pinned
+    in tests/test_semdedup.py instead."""
     from .operators.dedup import semdedup_pairs
 
     e = load_table(spark, sf, "embeddings")
-    return semdedup_pairs(e, "vec_id", "embedding", k=16, threshold=0.95)
+    return semdedup_pairs(e, "vec_id", "embedding", k=16, threshold=0.45)
 
 
 def q109_scd2_history(spark: SparkSession, sf: str) -> DataFrame:

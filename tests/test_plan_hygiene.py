@@ -87,3 +87,41 @@ def test_aggregate_derived_sides_never_broadcast(spark):
         assert "BroadcastHashJoin" not in plan, (
             f"{name}: aggregate-derived join side is broadcast"
         )
+
+
+def test_semdedup_self_join_ships_no_vectors(spark):
+    """semdedup's cluster-keyed candidate self-join must shuffle only
+    (cluster, id) — at 100 TB a 768-dim double vector is ~6 KB/row,
+    and shipping it through BOTH aliases of the hot self-join exchange
+    was the repo's last wide-shuffle defect (VERDICT r3). Vectors may
+    only cross the wire in the post-candidate id-keyed re-attach
+    joins. Parse the formatted plan: every Exchange partitioned on
+    the cluster key must have a vector-free input."""
+    import re
+
+    from relationalize_spark.operators.dedup import semdedup_pairs
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = semdedup_pairs(vecs, "vec_id", "embedding", k=4, threshold=0.5)
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # formatted node details: "(n) Exchange\nInput [k]: [...]". The
+    # candidate join may plan as broadcast (small SF) or sort-merge
+    # (scale), so the invariant is strategy-independent: any exchange
+    # whose payload includes the cluster key is on the candidate path
+    # and must be vector-free. (The id-keyed re-attach exchanges carry
+    # v but never cluster.)
+    blocks = re.split(r"\n\(\d+\) ", fmt)
+    cluster_exchanges = [
+        b
+        for b in blocks
+        if b.split("\n", 1)[0].strip() in ("Exchange", "BroadcastExchange")
+        and re.search(r"Input.*cluster#", b)
+    ]
+    assert cluster_exchanges, "expected cluster-carrying exchanges in the plan"
+    for b in cluster_exchanges:
+        inp = next(ln for ln in b.splitlines() if ln.startswith("Input"))
+        assert not re.search(r"\bv#|embedding#", inp), (
+            "cluster-keyed exchange ships vectors:\n" + b
+        )
