@@ -191,6 +191,45 @@ def _kmeans_centroids(
     return centroids.tolist()
 
 
+def _ivf_train(
+    corpus: DataFrame,
+    vec_col: str,
+    n_clusters: int,
+    sample_size: int,
+    seed: int,
+    distributed_train_threshold: int,
+) -> list[list[float]]:
+    """Corpus-representative IVF centroid training, routed on size.
+
+    Up to ``distributed_train_threshold`` rows: a seeded UNIFORM
+    random sample of ~``sample_size`` vectors is collected whole (no
+    ``limit()`` cut — a limit reads only the first partitions, and on
+    a cluster-sorted corpus a prefix sample collapses the centroids
+    onto one region, breaking IVF's O(N*probe/clusters) candidate
+    bound; ``tests/test_pipeline_ops.py::test_ivf_train_balance``
+    pins the failure mode) and clustered on the driver.
+
+    Above the threshold: distributed Lloyd's
+    (:func:`clustering.kmeans_fit`) over a seeded sample capped at
+    ``64 * sample_size`` rows — executor-side scan-fused assignment,
+    k*dim-row shuffles per iteration, nothing corpus-sized ever
+    reaches the driver."""
+    n_corpus = corpus.count()
+    if n_corpus > distributed_train_threshold:
+        from .clustering import kmeans_fit
+
+        cap = 64 * sample_size
+        frac = min(1.0, cap / n_corpus)
+        train = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+        return kmeans_fit(train, vec_col, k=n_clusters, max_iter=8)
+    frac = min(1.0, float(sample_size) / max(n_corpus, 1))
+    sampled = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    sample = [
+        [float(x) for x in r[0]] for r in sampled.select(vec_col).collect()
+    ]
+    return _kmeans_centroids(sample, n_clusters, seed=seed)
+
+
 def _nearest_clusters_udf(centroids: list[list[float]], n: int):
     """pandas_udf: vector column -> array<int> of the n cluster ids
     with highest dot product, ties by cluster id ascending (stable
@@ -222,14 +261,20 @@ def ivf_topk(
     sample_size: int = 2048,
     seed: int = 42,
     round_scores: int | None = 6,
+    distributed_train_threshold: int = 262_144,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a bounded sample trains
-    k-means centroids on the driver; every corpus vector lands in one
-    cluster (its argmax-dot centroid), queries probe their ``n_probe``
-    nearest clusters, and candidates re-rank exactly. The cluster
-    assignment is a pure Catalyst projection, the candidate join is an
-    equi-join on cluster id — O(N * probe/clusters) scored pairs
-    instead of O(Q x N).
+    """IVF (inverted-file) approximate top-k: k-means centroids are
+    trained on a corpus-representative basis (see below); every corpus
+    vector lands in one cluster (its argmax-dot centroid), queries
+    probe their ``n_probe`` nearest clusters, and candidates re-rank
+    exactly. The cluster assignment is a pure Catalyst projection, the
+    candidate join is an equi-join on cluster id — O(N * probe/clusters)
+    scored pairs instead of O(Q x N).
+
+    Centroid training routes on corpus size — driver k-means over a
+    seeded uniform sample below ``distributed_train_threshold``,
+    distributed Lloyd's above it; see :func:`_ivf_train` (the one
+    count it spends is amortized into the one-time index build).
 
     Recall contract: >= 0.9 top-k recall on clustered corpora (pinned
     by test_ivf_recall_on_clustered_data). On isotropic/uniform
@@ -238,11 +283,9 @@ def ivf_topk(
     cloud — inherent to IVF; raise ``n_probe`` (every +1 adds
     ~1/n_clusters of the corpus to the candidate set) or use
     :func:`lsh_topk` for such data."""
-    sample = [
-        [float(x) for x in r[0]]
-        for r in corpus.select(vec_col).limit(sample_size).collect()
-    ]
-    centroids = _kmeans_centroids(sample, n_clusters, seed=seed)
+    centroids = _ivf_train(
+        corpus, vec_col, n_clusters, sample_size, seed, distributed_train_threshold
+    )
 
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))

@@ -215,6 +215,85 @@ def test_ivf_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"IVF recall {recall} below contract"
 
 
+def test_ivf_train_balance(spark):
+    """Training-sample representativeness: a corpus laid out
+    cluster-by-cluster (the natural order after an ETL groupBy or a
+    sorted write) puts only ONE near-duplicate cluster in the first
+    partitions. Training from a limit() prefix — ivf_topk's pre-r4
+    behavior — collapses every centroid onto that region; assignment
+    then degenerates (measured: 100% of the corpus in one cell, i.e.
+    every query re-ranks the whole corpus — IVF's O(N*probe/clusters)
+    candidate bound silently becomes O(Q*N)). Recall looks perfect in
+    that failure mode, so the pinned invariant is CELL BALANCE: with
+    the seeded uniform sample no cell may hold most of the corpus."""
+    import numpy as np
+
+    from relationalize_spark.operators.similarity import (
+        _ivf_train,
+        _nearest_clusters_udf,
+        as_double,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((6, 16)) * 4
+    # first 600 rows: one near-duplicated vector; then 5 spread clusters
+    parts = [centers[0] + rng.standard_normal((600, 16)) * 0.01]
+    for c in centers[1:]:
+        parts.append(c + rng.standard_normal((600, 16)) * 0.5)
+    vecs = np.concatenate(parts)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(2)  # prefix = first partition = the degenerate cluster
+
+    cents = _ivf_train(
+        corpus, "embedding", 6, sample_size=512, seed=42,
+        distributed_train_threshold=262_144,
+    )
+    assign1 = _nearest_clusters_udf(cents, 1)
+    sizes = sorted(
+        r["count"]
+        for r in corpus.select(assign1(as_double("embedding"))[0].alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    assert len(sizes) >= 5, f"centroids collapsed: only {len(sizes)} cells"
+    assert max(sizes) <= 0.5 * sum(sizes), (
+        f"unbalanced cells {sizes}: candidate bound broken"
+    )
+
+
+def test_ivf_distributed_training_path(spark):
+    """Above distributed_train_threshold the centroids come from
+    clustering.kmeans_fit (executor-side Lloyd's) instead of a driver
+    sample; results must still satisfy the planted-neighbor contract."""
+    import numpy as np
+
+    from relationalize_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((4, 8)) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((200, 8)) * 0.3 for c in centers]
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") % 200 == 7)
+    res = ivf_topk(
+        corpus,
+        queries,
+        k=3,
+        n_clusters=4,
+        n_probe=2,
+        distributed_train_threshold=100,  # force the kmeans_fit route
+    )
+    brute = brute_force_topk(corpus, queries, k=3)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    assert len(a & b) / len(b) >= 0.9
+
+
 def test_ivf_topk_finds_planted_neighbor(vectors):
     from relationalize_spark.operators.similarity import ivf_topk
 
