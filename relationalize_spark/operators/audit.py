@@ -72,16 +72,29 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     ``checksum`` is the XOR of a 60-bit md5 chunk of each row's
     ``\\x1f``-joined string rendering — commutative (no sort needed),
     overflow-free, and expressible verbatim in any engine with md5
-    (DuckDB: ``bit_xor(CAST('0x'||substr(md5(r),1,15) AS BIGINT))``).
-    XOR cancels duplicate row PAIRS, so ``n_rows`` (and
+    (DuckDB: ``bit_xor(CAST('0x'||substr(md5(r),1,15) AS BIGINT))``
+    over ``concat_ws(chr(31), coalesce(CAST(c AS VARCHAR), chr(0)),
+    ...)``). XOR cancels duplicate row PAIRS, so ``n_rows`` (and
     ``distinct_rows``) ride along to close that gap.
+
+    Each column renders through ``coalesce(cast(c as string), '\\x00')``
+    because ``concat_ws`` SKIPS nulls: without the sentinel,
+    ``('a', NULL, 'b')`` and ``('a', 'b', NULL)`` both render
+    ``'a\\x1fb'`` and two value-different tables could pass as
+    identical. The ``\\x00`` sentinel is distinct from the ``\\x1f``
+    separator, so NULL position is part of the fingerprint. (A real
+    ``\\x00`` string value still collides with a NULL — acceptable for
+    warehouse text; pick other columns if yours contain NUL bytes.)
 
     Caveat: the row rendering casts values to strings, so use columns
     whose string form is engine-stable (strings, integers, dates);
     floats render differently across engines.
     """
     use = cols or df.columns
-    row = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in use])
+    row = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in use],
+    )
     chunk = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("bigint")
     return df.select(chunk.alias("__c__"), row.alias("__r__")).agg(
         F.count("*").alias("n_rows"),

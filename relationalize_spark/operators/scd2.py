@@ -48,15 +48,26 @@ def scd2_from_snapshots(
     runs, one aggregation folds each run — two shuffles total, both
     on the key columns (the second reuses the first's partitioning
     modulo the version column, and AQE coalesces it).
+
+    Duplicate ``(key, ts)`` snapshots are ordered deterministically
+    by the tracked columns as a tiebreak (and the running sum uses an
+    explicit ROWS frame, so ts-peers never share a frame): the output
+    is a function of the input SET, stable under repartition/rerun.
+    When a key genuinely has two different tracked states at the same
+    instant, which one "wins" the instant is decided by that lexical
+    tiebreak — feed unique (key, ts) data (e.g. pre-aggregate, as
+    q109 does) if your source can emit same-instant conflicts.
     """
     keys = [F.col(k) for k in key_cols]
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    order = [F.col(ts_col)] + [F.col(c) for c in tracked_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     changed = F.lit(False)
     for c in tracked_cols:
         changed = changed | ~_same(F.col(c), F.lag(F.col(c)).over(w))
     first = F.row_number().over(w) == 1
     marked = df.withColumn("__chg__", (first | changed).cast("int"))
-    versioned = marked.withColumn("__ver__", F.sum("__chg__").over(w))
+    versioned = marked.withColumn("__ver__", F.sum("__chg__").over(wsum))
     out = (
         versioned.groupBy(*key_cols, "__ver__")
         .agg(
@@ -64,7 +75,10 @@ def scd2_from_snapshots(
             F.min(ts_col).alias("valid_from"),
         )
     )
-    w2 = Window.partitionBy(*keys).orderBy(F.col("valid_from"))
+    # __ver__ increments in run order, so it breaks valid_from ties
+    # (two runs can share a valid_from when duplicate-ts snapshots
+    # carry different tracked states).
+    w2 = Window.partitionBy(*keys).orderBy(F.col("valid_from"), F.col("__ver__"))
     nxt = F.lead("valid_from").over(w2)
     return (
         out.withColumn("valid_to", F.coalesce(nxt, F.lit(END_OF_TIME).cast(
@@ -91,8 +105,17 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in key_cols]
-    o = old.select(*key_cols, *compare_cols).alias("o")
-    n = new.select(*key_cols, *compare_cols).alias("n")
+    # Explicit presence markers: the join keys use eqNullSafe, so a
+    # legitimately-NULL key column matches across snapshots — deciding
+    # side presence by key nullness would misclassify such rows (an
+    # unchanged NULL-key row looked absent on both sides and came out
+    # as 'insert'; ADVICE r3).
+    o = old.select(
+        *key_cols, *compare_cols, F.lit(True).alias("__o__")
+    ).alias("o")
+    n = new.select(
+        *key_cols, *compare_cols, F.lit(True).alias("__n__")
+    ).alias("n")
     cond = None
     for k in key_cols:
         c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
@@ -100,8 +123,8 @@ def snapshot_diff(
     same_vals = F.lit(True)
     for c in compare_cols:
         same_vals = same_vals & _same(F.col(f"o.{c}"), F.col(f"n.{c}"))
-    o_present = F.col(f"o.{key_cols[0]}").isNotNull()
-    n_present = F.col(f"n.{key_cols[0]}").isNotNull()
+    o_present = F.col("__o__").isNotNull()
+    n_present = F.col("__n__").isNotNull()
     change = (
         F.when(~o_present, F.lit("insert"))
         .when(~n_present, F.lit("delete"))

@@ -47,6 +47,17 @@ def _digest(c: Column, digest: str) -> Column:
     raise ValueError(f"digest must be 'xxhash64' or 'md5', got {digest!r}")
 
 
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens with empties removed: ``split('', '\\s+')``
+    yields ``['']`` (size 1), so without the filter an empty or
+    whitespace-only document produced one empty segment that every
+    such document shared — and segment_dedup then stripped it from
+    all but the first (ADVICE r3). Leading/trailing whitespace
+    likewise no longer injects '' tokens. The q104/q105 oracles
+    mirror this with DuckDB ``list_filter``."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
 def _segments(toks: Column, seg_words: int) -> Column:
     """Split a token array into consecutive ``seg_words``-word
     segments (last one may be short). Empty docs yield zero segments."""
@@ -89,7 +100,9 @@ def segment_dedup(
     given. "First occurrence" is the globally smallest
     ``(id, segment_index)`` — deterministic under any partitioning.
 
-    Returns one row per document:
+    Returns one row per document — including documents with zero
+    segments (empty/whitespace-only text), which come back as
+    ``n_segments = n_kept = 0, cleaned_text = ''``:
     ``id, n_segments, n_kept, cleaned_text`` (kept segments rejoined
     in order).
     """
@@ -97,17 +110,28 @@ def segment_dedup(
     if delimiter is not None:
         segs = F.split(F.col("__t__"), delimiter)
     else:
-        segs = _segments(F.split(F.col("__t__"), r"\s+"), seg_words)
-    exploded = base.select("id", F.posexplode(segs).alias("idx", "seg"))
+        segs = _segments(_tokens(F.col("__t__")), seg_words)
+    # posexplode_outer: a zero-segment doc keeps one NULL row so it
+    # survives to the output (one row per document, contract above).
+    exploded = base.select("id", F.posexplode_outer(segs).alias("idx", "seg"))
     # One shuffle on the segment digest; first copy in (id, idx)
     # order survives. The digest — not the segment text — is the
     # shuffle key, so key width stays bounded at scale.
-    w = Window.partitionBy(_digest(F.col("seg"), digest)).orderBy("id", "idx")
-    marked = exploded.withColumn("__keep__", F.row_number().over(w) == 1)
+    # NULL-seg placeholder rows get a per-id key instead of the shared
+    # digest-of-NULL, so a corpus with many empty docs doesn't funnel
+    # them into one window partition (their __keep__ is forced false
+    # below, so the key value itself is irrelevant).
+    part_key = F.when(
+        F.col("seg").isNotNull(), _digest(F.col("seg"), digest)
+    ).otherwise(_digest(F.col("id").cast("string"), digest))
+    w = Window.partitionBy(part_key).orderBy("id", "idx")
+    marked = exploded.withColumn(
+        "__keep__", (F.row_number().over(w) == 1) & F.col("seg").isNotNull()
+    )
     return (
         marked.groupBy("id")
         .agg(
-            F.count("*").alias("n_segments"),
+            F.count("seg").alias("n_segments"),
             F.sum(F.col("__keep__").cast("int")).alias("n_kept"),
             F.array_join(
                 F.transform(
@@ -154,7 +178,7 @@ def duplicate_span_stats(
     recomputed (at 100x the double computation plus string keys
     exhausted the heap).
     """
-    toks = F.split(F.col("__t__"), r"\s+")
+    toks = _tokens(F.col("__t__"))
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
     pos = base.select(
         "id", F.posexplode(_gram_keys(toks, n, digest)).alias("idx", "g")

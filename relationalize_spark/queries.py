@@ -3501,7 +3501,9 @@ def q104_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q104_SQL = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+           FROM documents),
 seg AS (
   SELECT doc_id, i::BIGINT - 1 AS idx,
          array_to_string(ws[((i-1)*10+1):((i-1)*10+10)], ' ') AS seg
@@ -3512,11 +3514,12 @@ marked AS (
          row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) = 1 AS keep
   FROM seg
 )
-SELECT doc_id, count(*) AS n_segments,
-       CAST(sum(keep::int) AS BIGINT) AS n_kept,
-       coalesce(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE keep), '')
+SELECT w.doc_id, count(m.seg) AS n_segments,
+       CAST(coalesce(sum(m.keep::int), 0) AS BIGINT) AS n_kept,
+       coalesce(string_agg(m.seg, ' ' ORDER BY m.idx) FILTER (WHERE m.keep), '')
          AS cleaned_text
-FROM marked GROUP BY doc_id
+FROM w LEFT JOIN marked m ON w.doc_id = m.doc_id
+GROUP BY w.doc_id
 """
 
 
@@ -3532,7 +3535,9 @@ def q105_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q105_SQL = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+           FROM documents),
 pos AS (
   SELECT doc_id, i::BIGINT AS idx, array_to_string(ws[i:(i+2)], ' ') AS g
   FROM w, LATERAL unnest(range(1, len(ws) - 1)) AS t(i)
@@ -3799,7 +3804,10 @@ Q113_SQL = """
 SELECT count(*) AS n_rows, count(DISTINCT r) AS distinct_rows,
        bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS checksum
 FROM (
-  SELECT concat_ws(chr(31), CAST(c_custkey AS VARCHAR), c_name, c_mktsegment) AS r
+  SELECT concat_ws(chr(31),
+           coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           coalesce(c_name, chr(0)),
+           coalesce(c_mktsegment, chr(0))) AS r
   FROM customer
 )
 """
@@ -3899,7 +3907,9 @@ def q115_streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q115_SQL = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+           FROM documents),
 seg AS (
   SELECT array_to_string(ws[((i-1)*10+1):((i-1)*10+10)], ' ') AS seg
   FROM w, LATERAL unnest(range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)) AS t(i)

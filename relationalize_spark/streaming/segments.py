@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from relationalize_spark.operators.spans import _digest, _segments
+from relationalize_spark.operators.spans import _digest, _segments, _tokens
 
 
 def stream_segment_dedup(
@@ -39,7 +39,7 @@ def stream_segment_dedup(
     if delimiter is not None:
         segs = F.split(F.col(text_col), delimiter)
     else:
-        segs = _segments(F.split(F.col(text_col), r"\s+"), seg_words)
+        segs = _segments(_tokens(F.col(text_col)), seg_words)
     exploded = stream.select(
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("__ts__"),

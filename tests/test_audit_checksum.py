@@ -26,6 +26,44 @@ def test_checksum_detects_single_value_change(spark):
     assert a.checksum != b.checksum
 
 
+def test_checksum_distinguishes_null_placement(spark):
+    """concat_ws silently skips NULLs, so without a per-column NULL
+    sentinel ('a', NULL, 'b') and ('a', 'b', NULL) render identically
+    and two value-different tables pass as checksum-equal (ADVICE r3).
+    The coalesce(cast, chr(0)) rendering makes NULL position part of
+    the fingerprint."""
+    a = spark.createDataFrame(
+        [("a", None, "b")], "x string, y string, z string"
+    )
+    b = spark.createDataFrame(
+        [("a", "b", None)], "x string, y string, z string"
+    )
+    ra, rb = table_checksum(a).first(), table_checksum(b).first()
+    assert (ra.n_rows, ra.distinct_rows) == (rb.n_rows, rb.distinct_rows)
+    assert ra.checksum != rb.checksum
+
+
+def test_checksum_matches_duckdb_rendering(spark):
+    """The docstring's DuckDB recipe (coalesce + chr(0) sentinel) must
+    reproduce the Spark checksum bit for bit, NULLs included — that
+    cross-engine replayability is the operator's whole point."""
+    import duckdb
+
+    rows = [(1, "a", None), (2, None, "b"), (3, "c", "d")]
+    df = spark.createDataFrame(rows, "id long, u string, v string")
+    got = table_checksum(df, ["id", "u", "v"]).first()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, u VARCHAR, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = con.sql(
+        "SELECT count(*), count(DISTINCT r), "
+        "bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) FROM ("
+        "  SELECT concat_ws(chr(31), coalesce(CAST(id AS VARCHAR), chr(0)),"
+        "    coalesce(u, chr(0)), coalesce(v, chr(0))) AS r FROM t)"
+    ).fetchone()
+    assert (got.n_rows, got.distinct_rows, got.checksum) == want
+
+
 def test_checksum_duplicate_pair_caveat_is_visible(spark):
     # XOR cancels a duplicated row PAIR; distinct_rows exposes it.
     base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")

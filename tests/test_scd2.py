@@ -60,6 +60,56 @@ def test_scd2_single_snapshot_is_current(spark, snapshots):
     assert len(hist) == 1 and hist[0].is_current
 
 
+def test_scd2_duplicate_ts_is_deterministic(spark):
+    """Duplicate (key, ts) snapshots: lag/row_number peers are ordered
+    by the tracked-column tiebreak and the running sum uses a ROWS
+    frame, so the history is a pure function of the input set —
+    identical across repartitions/reruns (pre-fix the RANGE frame let
+    ts-peers share run numbers nondeterministically; ADVICE r3)."""
+    rows = [
+        (1, "B", _ts("2024-01-01")),
+        (1, "A", _ts("2024-01-01")),  # same instant, different state
+        (1, "A", _ts("2024-02-01")),
+        (1, "C", _ts("2024-02-01")),
+        (1, "C", _ts("2024-03-01")),
+    ]
+    df = spark.createDataFrame(rows, "k int, attr string, ts timestamp")
+    a = sorted(map(tuple, scd2_from_snapshots(df, ["k"], ["attr"], "ts").collect()))
+    for n in (1, 3, 5):
+        b = sorted(map(tuple, scd2_from_snapshots(
+            df.repartition(n), ["k"], ["attr"], "ts").collect()))
+        assert a == b
+    # lexical tiebreak orders same-instant states ascending, so the
+    # snapshot sequence is A,B @01-01; A,C @02-01; C @03-01 -> four
+    # runs (same-instant conflicts become zero-length intervals):
+    hist = sorted(
+        ((r.attr, r.valid_from, r.valid_to, r.is_current) for r in
+         scd2_from_snapshots(df, ["k"], ["attr"], "ts").collect()),
+        key=lambda t: (t[1], t[0]),
+    )
+    assert [h[0] for h in hist] == ["A", "B", "A", "C"]
+    assert hist[3][3] and not any(h[3] for h in hist[:3])
+
+
+def test_snapshot_diff_null_key_row_not_misclassified(spark):
+    """A row whose key column is legitimately NULL matches across
+    snapshots via eqNullSafe; presence must come from explicit
+    side markers, not key nullness (pre-fix an unchanged NULL-key
+    row came out as 'insert'; ADVICE r3)."""
+    old = spark.createDataFrame(
+        [(None, "a", 1), (2, "b", 2)], "k int, v string, n int"
+    )
+    new_same = spark.createDataFrame(
+        [(None, "a", 1), (2, "b", 2)], "k int, v string, n int"
+    )
+    assert snapshot_diff(old, new_same, ["k"]).count() == 0
+    new_changed = spark.createDataFrame(
+        [(None, "A", 1), (2, "b", 2)], "k int, v string, n int"
+    )
+    out = snapshot_diff(old, new_changed, ["k"]).collect()
+    assert len(out) == 1 and out[0].change == "update" and out[0].k is None
+
+
 def test_snapshot_diff_kinds(spark):
     old = spark.createDataFrame(
         [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"

@@ -45,6 +45,31 @@ def test_segment_dedup_word_windows(spark):
     assert out[20].n_segments == 1 and out[20].n_kept == 0
 
 
+def test_empty_and_whitespace_docs_yield_zero_segments(spark):
+    """The documented contract: empty docs yield zero segments.
+    Pre-fix, split('', '\\s+') produced [''] and every empty or
+    whitespace-only doc shared one empty segment (so all but the
+    first were 'deduped'); leading whitespace likewise injected an
+    '' token that shifted word windows (ADVICE r3)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\n\t "), (4, "  alpha beta")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(df).collect()}
+    for d in (1, 2, 3):
+        assert out[d].n_segments == 0 and out[d].n_kept == 0
+        assert out[d].cleaned_text == ""
+    # leading whitespace does not create an empty leading token
+    assert out[4].n_segments == 1 and out[4].cleaned_text == "alpha beta"
+    # span stats drop docs with zero n-gram positions (both engines:
+    # the oracle's unnest(range(...)) is empty too) — only doc 4 has
+    # tokens, and its leading whitespace must not shift the grams
+    stats = {r.doc_id: r for r in duplicate_span_stats(
+        df, "doc_id", "text", n=2
+    ).collect()}
+    assert set(stats) == {4} and stats[4].n_positions == 1
+
+
 def test_segment_dedup_deterministic_under_repartition(spark, corpus):
     df, _ = corpus
     a = sorted(segment_dedup(df, delimiter=r"\n\n").collect())
