@@ -399,29 +399,40 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
-    sig_bits: int = 64,
+    sig_bits: int | None = None,
 ) -> DataFrame:
     """Pairs within a Hamming ball via band buckets: a pair at distance
     <= max_hamming must agree on at least one of max_hamming+1 disjoint
     bit bands (pigeonhole), so bands >= max_hamming+1 gives recall 1.
 
-    ``sig_bits``: 64 (classic, default) or 128 (two independent hash
-    lanes; hamming is measured over all 128 bits, so max_hamming
-    thresholds are on the finer 128-bit scale). Why 128 exists: with
-    a 64-bit signature, ``bands`` bands leave 64/bands-bit buckets,
+    ``sig_bits``: 64 (classic), 128 (two independent hash lanes;
+    hamming is measured over all 128 bits, so max_hamming thresholds
+    are on the finer 128-bit scale), or None (default) — auto: one
+    corpus count picks 64 below ``2^(64/bands)`` rows (65,536 at the
+    default 4 bands) and 128 at or above it. Why 128 exists: with a
+    64-bit signature, ``bands`` bands leave 64/bands-bit buckets,
     and CHANCE band collisions grow ~ n^2 / 2^(64/bands) — measured
     13.5x wall at 100x corpus vs MinHash's 8x purely from random
     16-bit-bucket collisions at 500k docs. 128-bit lanes double the
     bucket width (32 bits at 4 bands): collision-driven candidate
     pairs drop ~65,000x and the self-join stays linear-ish far past
-    the corpus size where 64-bit banding melts.
+    the corpus size where 64-bit banding melts. The auto switch-over
+    point is where the bucket space stops out-sizing the corpus —
+    past it, chance pairs grow superlinearly. NB the 128-bit lane
+    measures distance over twice the bits with the same max_hamming,
+    i.e. it halves the tolerated fractional disagreement — the right
+    trade at a corpus size where 64-bit chance collisions would bury
+    the true pairs; pass sig_bits=64 explicitly to pin the classic
+    scale regardless of size.
     """
     assert bands >= max_hamming + 1, "pigeonhole requires bands > max_hamming"
-    assert sig_bits in (64, 128), "sig_bits must be 64 or 128"
+    assert sig_bits in (None, 64, 128), "sig_bits must be None, 64, or 128"
 
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     )
+    if sig_bits is None:
+        sig_bits = 128 if base.count() >= 2 ** (64 // bands) else 64
     th1 = F.transform(
         F.array_distinct(F.split(F.col("__text__"), WS)), lambda t: F.xxhash64(t)
     )

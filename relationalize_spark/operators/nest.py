@@ -93,13 +93,15 @@ def _fold_child(child: DataFrame, p: str) -> tuple[DataFrame, bool]:
 
     # Order by the forward transform's position column: collect
     # (index, elem) pairs, sort on index, project the elem back out.
+    # Default array_sort (native struct field-order compare) rather
+    # than a comparator lambda: the index leads the struct and is
+    # unique within a rid, so the ordering is identical, but the
+    # native compare stays inside codegen instead of invoking an
+    # interpreted lambda per comparison.
     pair = F.struct(F.col(_q(index_name)).alias("i"), entry.alias("e"))
     agg = child.groupBy(F.col(_q(rid_name)).alias("__rid__")).agg(
         F.transform(
-            F.array_sort(
-                F.collect_list(pair),
-                lambda a, b: F.when(a.i < b.i, -1).when(a.i > b.i, 1).otherwise(0),
-            ),
+            F.array_sort(F.collect_list(pair)),
             lambda x: x.e,
         ).alias("__arr__")
     )

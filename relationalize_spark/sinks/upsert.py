@@ -43,6 +43,42 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def _staging_dir(path: str) -> str:
+    return path.rstrip("/") + ".__staging__"
+
+
+def _hadoop_path(spark, p: str):
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hp
+
+
+def _delete_dir(spark, p: str) -> None:
+    fs, hp = _hadoop_path(spark, p)
+    fs.delete(hp, True)
+
+
+def staged_upsert_pending(spark, path: str) -> bool:
+    """True when a previous :func:`upsert_keys` wrote its staging dir
+    but died before (or during) the final overwrite — call
+    :func:`recover_staged_upsert` to complete it."""
+    fs, hp = _hadoop_path(spark, _staging_dir(path) + "/_SUCCESS")
+    return bool(fs.exists(hp))
+
+
+def recover_staged_upsert(spark, path: str, partition_col: str) -> None:
+    """Complete an interrupted :func:`upsert_keys`: replay the final
+    dynamic-partition overwrite from the durable staging copy, then
+    drop it. Idempotent — the staged data IS the merged result, so
+    replaying over partially-written partitions converges to the same
+    final state no matter how far the first attempt got."""
+    staging = _staging_dir(path)
+    staged = spark.read.parquet(staging)
+    overwrite_partitions(staged, path, [partition_col])
+    _delete_dir(spark, staging)
+
+
 def upsert_keys(
     batch: DataFrame,
     path: str,
@@ -56,6 +92,18 @@ def upsert_keys(
     The anti-join runs only over the touched partitions (partition
     pruning via the ``isin`` filter), and the rewrite is the dynamic
     partition overwrite of exactly those partitions.
+
+    Fault tolerance: the merged rows are first written to a staging
+    directory next to the table (``<path>.__staging__``), and the
+    final overwrite reads from that durable copy — never from the
+    partitions it is truncating (the self-overwrite trap), and unlike
+    an eager ``localCheckpoint`` (the pre-r4 answer) the staged data
+    survives executor loss. If the job dies mid-overwrite the table
+    may hold partially-rewritten partitions, but
+    :func:`staged_upsert_pending` detects the leftover staging dir
+    and :func:`recover_staged_upsert` replays the overwrite from it,
+    converging to the exact merged result. Staging is deleted only
+    after the final write completes.
     """
     spark = batch.sparkSession
     parts = [r[0] for r in batch.select(partition_col).distinct().collect()]
@@ -64,8 +112,6 @@ def upsert_keys(
         batch.select(*key_cols).distinct(), on=key_cols, how="left_anti"
     )
     merged = keep.select(*batch.columns).unionByName(batch)
-    # localCheckpoint materializes the merged rows BEFORE the overwrite
-    # truncates the very partitions the plan reads (self-overwrite trap).
-    overwrite_partitions(
-        merged.localCheckpoint(eager=True), path, [partition_col]
-    )
+    staging = _staging_dir(path)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    recover_staged_upsert(spark, path, partition_col)

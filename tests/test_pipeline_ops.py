@@ -114,6 +114,25 @@ def test_simhash_udf_matches_catalyst_expr(spark, docs):
     assert all(r.ref == r.got for r in out)
 
 
+def test_simhash_auto_escalation_switchover(spark, docs):
+    """sig_bits=None (the default) routes on corpus size: below
+    2^(64/bands) rows the result is bit-identical to explicit
+    sig_bits=64; at/above it, to explicit sig_bits=128. Pinned with
+    bands=32 so the threshold (2^2 = 4 rows) straddles the fixture."""
+    small = docs.limit(3)  # 3 < 4 -> stays 64-bit
+    auto_small = sorted(map(tuple, simhash_pairs(
+        small, max_hamming=31, bands=32).collect()))
+    explicit64 = sorted(map(tuple, simhash_pairs(
+        small, max_hamming=31, bands=32, sig_bits=64).collect()))
+    assert auto_small == explicit64
+    # full fixture (>= 4 docs) -> escalates to the 128-bit lanes
+    auto_big = sorted(map(tuple, simhash_pairs(
+        docs, max_hamming=31, bands=32).collect()))
+    explicit128 = sorted(map(tuple, simhash_pairs(
+        docs, max_hamming=31, bands=32, sig_bits=128).collect()))
+    assert auto_big == explicit128
+
+
 def test_simhash_128bit_lanes(spark, docs):
     """128-bit mode: identical docs collide at hamming 0; the planted
     near-dup stays within the scaled threshold; unrelated docs do not

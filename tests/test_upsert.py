@@ -5,6 +5,8 @@ import pyspark.sql.functions as F
 
 from relationalize_spark.sinks.upsert import (
     overwrite_partitions,
+    recover_staged_upsert,
+    staged_upsert_pending,
     upsert_keys,
     write_partitioned,
 )
@@ -56,6 +58,49 @@ def test_upsert_keys_merges_within_touched_partitions(spark, tmp_path):
     assert after[(6, "d0")] == 60           # same-partition survivor kept
     assert after[(1, "d1")] == 10           # untouched partition intact
     assert len(after) == 31
+
+
+def test_upsert_staging_cleaned_after_success(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_partitioned(_base(spark), path, ["day"])
+    batch = spark.createDataFrame([(3, "d0", 777)], "k int, day string, v int")
+    upsert_keys(batch, path, "day", ["k", "day"])
+    assert not staged_upsert_pending(spark, path)
+    assert not (tmp_path / "t.__staging__").exists()
+
+
+def test_upsert_recovers_from_failed_final_write(spark, tmp_path):
+    """Simulate executor/job loss mid-overwrite: the staging copy is
+    durable, so replaying the final write from it converges to the
+    exact merged result even when a touched partition was left
+    half-destroyed (the failure the pre-r4 localCheckpoint approach
+    could not survive — its materialized rows die with the executors)."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    write_partitioned(_base(spark), path, ["day"])
+    batch = spark.createDataFrame(
+        [(3, "d0", 777), (100, "d0", 888)], "k int, day string, v int"
+    )
+    # Phase 1 only: write the staging copy (what upsert_keys stages).
+    existing = spark.read.parquet(path).filter(F.col("day").isin(["d0"]))
+    keep = existing.join(
+        batch.select("k", "day").distinct(), on=["k", "day"], how="left_anti"
+    )
+    merged = keep.select(*batch.columns).unionByName(batch)
+    merged.write.mode("overwrite").partitionBy("day").parquet(path + ".__staging__")
+    # Simulate dying mid-overwrite: the d0 partition dir is truncated.
+    shutil.rmtree(tmp_path / "t" / "day=d0")
+
+    assert staged_upsert_pending(spark, path)
+    recover_staged_upsert(spark, path, "day")
+    after = _rows(spark, path)
+    assert after[(3, "d0")] == 777
+    assert after[(100, "d0")] == 888
+    assert after[(6, "d0")] == 60
+    assert after[(1, "d1")] == 10
+    assert len(after) == 31
+    assert not staged_upsert_pending(spark, path)
 
 
 def test_upsert_read_back_is_partition_pruned(spark, tmp_path):
