@@ -103,6 +103,52 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    z_thresh: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rows whose value is a robust outlier within its group, by the
+    Iglewicz-Hoaglin modified z-score ``0.6745 * (x - median) / MAD``
+    (median absolute deviation). Median/MAD resist the very outliers
+    they hunt, unlike mean/stddev z-scores where one extreme value
+    inflates sigma and hides itself — the standard data-quality screen
+    before a load.
+
+    Shape: two exact-percentile aggregations (median, then MAD of the
+    residuals) — each one shuffle on the group key, the per-group
+    stats frames are group-cardinality-sized and joined back (AQE
+    broadcasts them when small). Groups with ``MAD = 0`` (over half
+    the group shares one value) yield NULL scores and are excluded —
+    by construction nothing deviates robustly there.
+
+    Output: the original row plus ``robust_z`` (rounded, and the
+    threshold compares the ROUNDED value so any SQL engine replays
+    the same row set).
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(v, 0.5).alias("__med__")
+    )
+    with_med = df.join(med, group_cols)
+    mad = with_med.groupBy(*group_cols).agg(
+        F.percentile(F.abs(v - F.col("__med__")), 0.5).alias("__mad__")
+    )
+    z = F.round(
+        F.lit(0.6745) * (v - F.col("__med__")) / F.nullif("__mad__", F.lit(0.0)),
+        round_to,
+    )
+    return (
+        with_med.join(mad, group_cols)
+        .withColumn("robust_z", z)
+        .where(F.abs(F.col("robust_z")) > z_thresh)
+        .drop("__med__", "__mad__")
+    )
+
+
 def merge_partial_aggs(
     partials: DataFrame,
     group_cols: list[str],

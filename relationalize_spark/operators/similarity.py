@@ -106,6 +106,61 @@ def brute_force_topk(
     )
 
 
+def knn_label_eval(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-quality evaluation by k-NN label agreement: for each
+    query vector, do its ``k`` exact nearest neighbors (cosine,
+    self excluded) vote its own label back? High agreement means the
+    embedding space clusters the labels — the standard cheap probe of
+    an embedding column before spending on it (curation by embedding,
+    SemDeDup, ANN retrieval all inherit its geometry).
+
+    ``queries`` must be a BOUNDED frame (an eval sample — defaults to
+    the whole corpus, only sensible for small ones): neighbors come
+    from :func:`brute_force_topk`, which streams the corpus once per
+    Arrow batch against the collected query matrix, so the corpus
+    side scales but the query side rides in memory.
+
+    Majority vote with deterministic tiebreaks: count desc, then
+    label asc — replayable in any SQL engine (no float order enters
+    the vote). Returns
+    ``(query_id, true_label, pred_label, match)``.
+    """
+    q = queries if queries is not None else corpus
+    topk = brute_force_topk(corpus, q, k=k, id_col=id_col, vec_col=vec_col)
+    neigh_labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl__")
+    )
+    votes = (
+        topk.join(neigh_labels, "neighbor_id")
+        .groupBy("query_id", "__nl__")
+        .agg(F.count("*").alias("__n__"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__n__"), F.asc("__nl__")
+    )
+    pred = (
+        votes.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("query_id", F.col("__nl__").alias("pred_label"))
+    )
+    truth = q.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        (F.col("true_label") == F.col("pred_label")).alias("match"),
+    )
+
+
 def vector_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     """Embedding dimension from the first row (the testdata has
     shipped schema changes between driver regenerations; inferring

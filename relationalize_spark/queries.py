@@ -3986,6 +3986,135 @@ UNION ALL SELECT 4, 'purchase', count(*) FROM s4
 """
 
 
+def q118_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-stability-index drift (operators/drift.py): order
+    totals before vs since 1998, 10 equi-width bins over the
+    baseline's exact [min, max] (no quantile interpolation, so every
+    engine bins identically); per-bin PSI terms sum to the headline
+    drift score."""
+    from .operators.drift import psi_drift
+
+    o = load_table(spark, sf, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast(o.schema["o_orderdate"].dataType)
+    base = o.where(F.col("o_orderdate") < cut)
+    cur = o.where(F.col("o_orderdate") >= cut)
+    return psi_drift(base, cur, "o_totalprice", n_bins=10)
+
+
+Q118_SQL = """
+WITH b AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+),
+c AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+),
+s AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+bins AS (SELECT CAST(i AS INT) AS bin FROM range(0, 10) t(i)),
+bb AS (
+  SELECT least(9, greatest(0, CAST(floor((v - lo) / (hi - lo) * 10) AS INT))) AS bin,
+         count(*) AS n
+  FROM b, s GROUP BY 1
+),
+cc AS (
+  SELECT least(9, greatest(0, CAST(floor((v - lo) / (hi - lo) * 10) AS INT))) AS bin,
+         count(*) AS n
+  FROM c, s GROUP BY 1
+),
+j AS (
+  SELECT bins.bin, coalesce(bb.n, 0) AS base_n, coalesce(cc.n, 0) AS cur_n
+  FROM bins LEFT JOIN bb ON bins.bin = bb.bin LEFT JOIN cc ON bins.bin = cc.bin
+)
+SELECT bin, base_n, cur_n,
+  round(base_n / (sum(base_n) OVER ()), 9) AS base_frac,
+  round(cur_n / (sum(cur_n) OVER ()), 9) AS cur_frac,
+  round(
+    (greatest(cur_n / (sum(cur_n) OVER ()), 1e-6)
+     - greatest(base_n / (sum(base_n) OVER ()), 1e-6))
+    * ln(greatest(cur_n / (sum(cur_n) OVER ()), 1e-6)
+         / greatest(base_n / (sum(base_n) OVER ()), 1e-6)), 9) AS psi_term
+FROM j
+"""
+
+
+def q119_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust median/MAD outlier screen (operators/audit.py:
+    robust_outliers): per-event-type modified z-scores over event
+    values; |z| > 3.5 rows survive. The oracle replays the exact
+    two-level quantile_cont + Iglewicz-Hoaglin formula; the threshold
+    compares the 6-dp-rounded score in both engines."""
+    from .operators.audit import robust_outliers
+
+    e = load_table(spark, sf, "events")
+    return robust_outliers(e, ["event_type"], "value", z_thresh=3.5).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value"),
+        "robust_z",
+    )
+
+
+Q119_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(CAST(e.value AS DOUBLE) - med.m), 0.5) AS d
+  FROM events e JOIN med ON e.event_type = med.event_type GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+  round(0.6745 * (CAST(e.value AS DOUBLE) - med.m) / nullif(mad.d, 0), 6) AS robust_z
+FROM events e
+JOIN med ON e.event_type = med.event_type
+JOIN mad ON e.event_type = mad.event_type
+WHERE abs(round(0.6745 * (CAST(e.value AS DOUBLE) - med.m) / nullif(mad.d, 0), 6)) > 3.5
+"""
+
+
+def q120_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-quality probe (operators/similarity.py:
+    knn_label_eval): do a query vector's 5 exact nearest neighbors
+    vote its own label back? The oracle replays the cross-join
+    cosine top-5 (rounded scores, id tiebreak — the q31 pattern) and
+    the count-desc/label-asc majority vote."""
+    from .operators.similarity import knn_label_eval
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") % 40 == 0)
+    return knn_label_eval(e, queries=q, k=5)
+
+
+Q120_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS true_label
+  FROM embeddings WHERE vec_id % 40 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label FROM embeddings
+),
+top AS (
+  SELECT query_id, neighbor_id, label FROM (
+    SELECT q.query_id, c.neighbor_id, c.label,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+                 c.neighbor_id ASC) AS rn
+    FROM q JOIN c ON q.query_id != c.neighbor_id
+  ) WHERE rn <= 5
+),
+votes AS (SELECT query_id, label, count(*) AS n FROM top GROUP BY 1, 2),
+pred AS (
+  SELECT query_id, label AS pred_label FROM (
+    SELECT query_id, label,
+      row_number() OVER (PARTITION BY query_id ORDER BY n DESC, label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT p.query_id, q.true_label, p.pred_label,
+       (q.true_label = p.pred_label) AS match
+FROM pred p JOIN q ON p.query_id = q.query_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4126,6 +4255,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q100_column_profile": (q100_column_profile, Q100_SQL),
     "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
     "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
+    # --- round-4 additions (behind the cap; rotate forward in r5) --------
+    "q118_psi_drift": (q118_psi_drift, Q118_SQL),
+    "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
+    "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
