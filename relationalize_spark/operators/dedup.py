@@ -308,29 +308,36 @@ def minhash_lsh_pairs(
     )
     # Exact verification via the inverted index: count common shingles
     # by joining candidate pairs to the exploded posting table twice.
-    # Only (id, shingle) longs ride the shuffles — the per-document
-    # shingle ARRAYS never leave their partition, unlike an
-    # array_intersect join which ships whole sets per candidate pair.
-    sh_tab = sig.select("id", F.explode("sh").alias("shingle"))
-    sizes = sig.select("id", F.size("sh").alias("n_sh"))
+    # Only (id, shingle, set-size) longs ride the shuffles — the
+    # per-document shingle ARRAYS never leave their partition, unlike
+    # an array_intersect join which ships whole sets per candidate
+    # pair. Each posting row carries its document's set size (2 ints
+    # wider), so the Jaccard denominator falls out of the same
+    # groupBy — no extra corpus-frame joins to re-attach sizes.
+    sh_tab = sig.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
     common = (
         candidates.join(
-            sh_tab.select(F.col("id").alias("i"), "shingle"), "i"
+            sh_tab.select(F.col("id").alias("i"), F.col("n_sh").alias("na"), "shingle"),
+            "i",
         )
-        .join(sh_tab.select(F.col("id").alias("j"), "shingle"), ["j", "shingle"])
+        .join(
+            sh_tab.select(F.col("id").alias("j"), F.col("n_sh").alias("nb"), "shingle"),
+            ["j", "shingle"],
+        )
         .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("i"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("j"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        common.join(sa, "i")
-        .join(sb, "j")
-        .select("i", "j", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return common.select("i", "j", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
