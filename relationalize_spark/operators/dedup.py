@@ -800,22 +800,32 @@ def minhash_incremental_pairs(
         )
         .distinct()
     )
-    c_post = cs.select(F.col("id").alias("corpus_id"), F.explode("sh").alias("shingle"))
-    n_post = ns.select(F.col("id").alias("new_id"), F.explode("sh").alias("shingle"))
+    # Posting rows carry their document's set size (same fold as
+    # minhash_lsh_pairs), so the Jaccard denominator falls out of the
+    # verify groupBy — no corpus/batch-frame joins to re-attach sizes.
+    c_post = cs.select(
+        F.col("id").alias("corpus_id"),
+        F.size("sh").alias("na"),
+        F.explode("sh").alias("shingle"),
+    )
+    n_post = ns.select(
+        F.col("id").alias("new_id"),
+        F.size("sh").alias("nb"),
+        F.explode("sh").alias("shingle"),
+    )
     common = (
         candidates.join(c_post, "corpus_id")
         .join(n_post, ["new_id", "shingle"])
         .groupBy("corpus_id", "new_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
-    ca = cs.select(F.col("id").alias("corpus_id"), F.size("sh").alias("na"))
-    nb = ns.select(F.col("id").alias("new_id"), F.size("sh").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        common.join(ca, "corpus_id")
-        .join(nb, "new_id")
-        .select("corpus_id", "new_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return common.select("corpus_id", "new_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
