@@ -4115,6 +4115,69 @@ FROM pred p JOIN q ON p.query_id = q.query_id
 """
 
 
+def q121_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over the
+    customer<->supplier interaction graph (reverse edges added, so no
+    dangling mass and the walk is ergodic), 3 iterations, damping
+    0.85. The oracle replays the identical computation as chained
+    CTEs — per-iteration 12-dp quantization makes the float fixpoint
+    engine-replayable. Exercises the iterative-join family with a
+    true value oracle (unlike k-means/sketches, which are rows-only)."""
+    from .operators.graph import pagerank
+
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, max_iter=3)
+
+
+Q121_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+r0 AS (SELECT id, round(1.0 / (SELECT n FROM params), 12) AS r FROM nodes),
+r1 AS (
+  SELECT nodes.id,
+    round((1 - 0.85) / (SELECT n FROM params) + 0.85 * coalesce(s.v, 0), 12) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, sum(r0.r / deg.d) AS v
+    FROM edges e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+    GROUP BY e.dst) s ON nodes.id = s.id
+),
+r2 AS (
+  SELECT nodes.id,
+    round((1 - 0.85) / (SELECT n FROM params) + 0.85 * coalesce(s.v, 0), 12) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, sum(r1.r / deg.d) AS v
+    FROM edges e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+    GROUP BY e.dst) s ON nodes.id = s.id
+),
+r3 AS (
+  SELECT nodes.id,
+    round((1 - 0.85) / (SELECT n FROM params) + 0.85 * coalesce(s.v, 0), 12) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, sum(r2.r / deg.d) AS v
+    FROM edges e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
+    GROUP BY e.dst) s ON nodes.id = s.id
+)
+SELECT id, r AS "rank" FROM r3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4259,6 +4322,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q118_psi_drift": (q118_psi_drift, Q118_SQL),
     "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
     "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
+    "q121_pagerank": (q121_pagerank, Q121_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
