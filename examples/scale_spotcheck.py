@@ -331,6 +331,60 @@ def main() -> None:
 
         return run
 
+    def prank(sf):
+        def run():
+            from relationalize_spark.operators.graph import pagerank
+
+            li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+                F.col("l_linenumber") == 1
+            )
+            pairs = li.select(
+                F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+            )
+            edges = pairs.union(
+                pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            return pagerank(edges, max_iter=3)
+
+        return run
+
+    def psi(sf):
+        def run():
+            from relationalize_spark.operators.drift import psi_drift
+
+            e = spark.read.parquet(f"{sf}/events.parquet")
+            return psi_drift(
+                e.filter(F.col("user_id") % 2 == 0),
+                e.filter(F.col("user_id") % 2 == 1),
+                "value",
+                n_bins=10,
+            )
+
+        return run
+
+    def outliers(sf):
+        def run():
+            from relationalize_spark.operators.audit import robust_outliers
+
+            e = spark.read.parquet(f"{sf}/events.parquet")
+            return robust_outliers(e, ["event_type"], "value", z_thresh=3.5)
+
+        return run
+
+    def knn(sf):
+        def run():
+            from relationalize_spark.operators.similarity import knn_label_eval
+
+            e = spark.read.parquet(f"{sf}/embeddings.parquet")
+            # fixed 13-query panel at both scales (vec_id < 500 hits
+            # replica 0 only): measures corpus-side scaling, not a
+            # 100x-larger eval set
+            q = e.filter((F.col("vec_id") < 500) & (F.col("vec_id") % 40 == 0))
+            return knn_label_eval(e, queries=q, k=5)
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -353,6 +407,10 @@ def main() -> None:
         "cohort_retention_q111shape": cohort,
         "funnel_steps_q117shape": funnel,
         "table_checksum_q113shape": checksum,
+        "pagerank_q121shape": prank,
+        "psi_drift_q118shape": psi,
+        "robust_outliers_q119shape": outliers,
+        "knn_label_eval_q120shape": knn,
     }
     wanted = None
     for arg in sys.argv[1:]:
