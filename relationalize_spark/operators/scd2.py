@@ -141,6 +141,65 @@ def snapshot_diff(
     )
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time join: attach to each fact row the dimension
+    version that was valid at the fact's timestamp — the query every
+    SCD2 dimension exists to answer (feature stores call it a
+    time-travel join; warehouses FOR SYSTEM_TIME AS OF).
+
+    Built on the union-sort-window as-of join (one shuffle on the
+    business key, no inequality-join candidate blowup): backward
+    as-of on ``valid_from``, then a ``ts < valid_to`` guard that
+    nulls the match when the found version had already been closed —
+    for well-formed contiguous histories the guard never fires
+    except before a key's first version, but it keeps gapped
+    histories (e.g. post-delete re-inserts) correct.
+
+    ``value_cols`` defaults to every dimension column that is not a
+    key or validity column. Facts with no valid version (before the
+    key's first snapshot, in a gap, or an unknown key) keep NULLs.
+    """
+    from .asof import asof_join
+
+    if value_cols is None:
+        value_cols = [
+            c
+            for c in dim.columns
+            if c not in (*key_cols, "valid_from", "valid_to", "is_current")
+        ]
+    d = dim.select(
+        *key_cols,
+        F.col("valid_from").alias(ts_col),
+        "valid_to",
+        *value_cols,
+    )
+    out = asof_join(
+        facts,
+        d,
+        list(key_cols),
+        ts_col,
+        right_cols=[*value_cols, "valid_to"],
+        direction="backward",
+        suffix=suffix,
+    )
+    out_names = {
+        c: (c if c not in facts.columns else f"{c}{suffix}")
+        for c in [*value_cols, "valid_to"]
+    }
+    in_interval = F.col(ts_col) < F.col(out_names["valid_to"])
+    for c in value_cols:
+        name = out_names[c]
+        out = out.withColumn(name, F.when(in_interval, F.col(name)))
+    return out.drop(out_names["valid_to"])
+
+
 def scd2_merge(
     dim: DataFrame,
     changes: DataFrame,

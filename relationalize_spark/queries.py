@@ -4178,6 +4178,63 @@ SELECT id, r AS "rank" FROM r3
 """
 
 
+def q122_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (time-travel) join (operators/scd2.py:
+    scd2_lookup): each purchase event gets the SCD2 state version
+    that was valid at its timestamp — backward as-of on valid_from
+    with a valid_to guard, one shuffle on the business key. The
+    oracle rebuilds the identical dimension and replays the lookup
+    with DuckDB's ASOF JOIN."""
+    from .operators.scd2 import scd2_from_snapshots, scd2_lookup
+
+    e = load_table(spark, sf, "events")
+    snap = e.groupBy("user_id", "ts").agg(F.min("event_type").alias("state"))
+    dim = scd2_from_snapshots(snap, ["user_id"], ["state"], "ts")
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").cast("double").alias("value")
+    )
+    out = scd2_lookup(facts, dim, ["user_id"], "ts", value_cols=["state"])
+    return out.select("event_id", "user_id", "ts", "value", "state")
+
+
+Q122_SQL = """
+WITH snap AS (
+  SELECT user_id, ts, min(event_type) AS state
+  FROM events GROUP BY user_id, ts
+),
+s AS (
+  SELECT user_id, state, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR state IS DISTINCT FROM lag(state) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+v AS (
+  SELECT user_id, state, ts,
+    sum(chg) OVER (PARTITION BY user_id ORDER BY ts) AS ver
+  FROM s
+),
+runs AS (
+  SELECT user_id, ver, min(state) AS state, min(ts) AS valid_from
+  FROM v GROUP BY user_id, ver
+),
+hist AS (
+  SELECT user_id, state, valid_from,
+    lead(valid_from) OVER w2 AS valid_to
+  FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+),
+facts AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, f.value,
+  CASE WHEN f.ts < coalesce(h.valid_to, TIMESTAMP '9999-12-31 23:59:59')
+       THEN h.state END AS state
+FROM facts f ASOF LEFT JOIN hist h
+  ON f.user_id = h.user_id AND f.ts >= h.valid_from
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4323,6 +4380,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
     "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
     "q121_pagerank": (q121_pagerank, Q121_SQL),
+    "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -7,6 +7,7 @@ import pytest
 
 from relationalize_spark.operators.scd2 import (
     scd2_from_snapshots,
+    scd2_lookup,
     scd2_merge,
     snapshot_diff,
 )
@@ -89,6 +90,38 @@ def test_scd2_duplicate_ts_is_deterministic(spark):
     )
     assert [h[0] for h in hist] == ["A", "B", "A", "C"]
     assert hist[3][3] and not any(h[3] for h in hist[:3])
+
+
+def test_scd2_lookup_point_in_time(spark):
+    """Facts get the version valid AT their timestamp: before the
+    first version -> NULL; inside a version -> its value; at a
+    boundary -> the newly-opened version (valid_from inclusive,
+    valid_to exclusive); unknown keys -> NULL. A gapped history
+    (valid_to before the next valid_from) yields NULL in the gap."""
+    dim = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01"), _ts("2024-02-01"), False),
+            # gap: nothing valid in [02-01, 03-01)
+            (1, "B", _ts("2024-03-01"), _ts("9999-12-31"), True),
+        ],
+        "k int, state string, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, _ts("2023-12-25")),  # before first version
+            (11, 1, _ts("2024-01-15")),  # inside A
+            (12, 1, _ts("2024-02-01")),  # boundary: A closed, gap begins
+            (13, 1, _ts("2024-02-15")),  # in the gap
+            (14, 1, _ts("2024-03-01")),  # boundary: B opens (inclusive)
+            (15, 2, _ts("2024-01-15")),  # unknown key
+        ],
+        "fid int, k int, ts timestamp",
+    )
+    out = {r.fid: r.state for r in scd2_lookup(
+        facts, dim, ["k"], "ts", value_cols=["state"]
+    ).collect()}
+    assert out == {10: None, 11: "A", 12: None, 13: None, 14: "B", 15: None}
 
 
 def test_snapshot_diff_null_key_row_not_misclassified(spark):
