@@ -98,5 +98,66 @@ SPARK_SQL = SQLDialect(
     quote="`",
 )
 
-DIALECTS = {d.name: d for d in (POSTGRES, REDSHIFT, DUCKDB, SPARK_SQL)}
+MYSQL = SQLDialect(
+    name="mysql",
+    type_map={
+        T.INT: "BIGINT",
+        T.FLOAT: "DOUBLE",
+        # TEXT rather than VARCHAR(65535): MySQL row-size limit (64KB
+        # across ALL columns) makes wide VARCHAR tables un-creatable.
+        T.STR: "TEXT",
+        T.BOOL: "TINYINT(1)",
+        T.DATETIME: "DATETIME(6)",
+        T.DATE: "DATE",
+        T.BINARY: "LONGBLOB",
+        T.NONE: "TINYINT(1)",
+    },
+    create_template=(
+        "CREATE TABLE IF NOT EXISTS `{schema}`.`{table}` (\n    {columns}\n);"
+    ),
+    quote="`",
+)
+
+BIGQUERY = SQLDialect(
+    name="bigquery",
+    type_map={
+        T.INT: "INT64",
+        T.FLOAT: "FLOAT64",
+        T.STR: "STRING",
+        T.BOOL: "BOOL",
+        # DATETIME, not TIMESTAMP: the engine's inferred datetimes are
+        # zone-less wall-clock values (the reference's epoch-or-string
+        # ambiguity, reference README.md:43); BigQuery TIMESTAMP would
+        # re-interpret them as UTC instants on load.
+        T.DATETIME: "DATETIME",
+        T.DATE: "DATE",
+        T.BINARY: "BYTES",
+        T.NONE: "BOOL",
+    },
+    create_template=(
+        "CREATE TABLE IF NOT EXISTS `{schema}`.`{table}` (\n    {columns}\n);"
+    ),
+    quote="`",
+)
+
+SQLITE = SQLDialect(
+    name="sqlite",
+    type_map={
+        T.INT: "INTEGER",
+        T.FLOAT: "REAL",
+        T.STR: "TEXT",
+        # SQLite has no BOOLEAN/DATETIME storage classes; INTEGER and
+        # TEXT are the documented affinities for them.
+        T.BOOL: "INTEGER",
+        T.DATETIME: "TEXT",
+        T.DATE: "TEXT",
+        T.BINARY: "BLOB",
+        T.NONE: "INTEGER",
+    },
+)
+
+DIALECTS = {
+    d.name: d
+    for d in (POSTGRES, REDSHIFT, DUCKDB, SPARK_SQL, MYSQL, BIGQUERY, SQLITE)
+}
 DEFAULT_DIALECT = POSTGRES

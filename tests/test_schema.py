@@ -180,3 +180,62 @@ def test_bool_before_int():
 
 def test_unsupported_type_tag():
     assert T.tag_of_value({"x": 1}).startswith("unsupported:")
+
+
+def test_golden_ddl_new_dialects():
+    """MySQL / BigQuery / SQLite dialects (beyond the reference's
+    Postgres-only layer, reference sql_dialects.py:12-71): backtick
+    or double-quote identifier rules and engine-correct type maps
+    (MySQL TEXT not wide VARCHAR - 64KB row limit; BigQuery DATETIME
+    not TIMESTAMP - inferred datetimes are zone-less wall clock;
+    SQLite storage-class affinities)."""
+    from relationalize_spark.dialects import DIALECTS
+
+    s = Schema(dialect=DIALECTS["mysql"])
+    s.observe(CASE_1)
+    assert s.generate_ddl("test") == (
+        "CREATE TABLE IF NOT EXISTS `public`.`test` (\n"
+        "    `1` BIGINT\n"
+        "    , `2` TEXT\n"
+        "    , `3` TINYINT(1)\n"
+        "    , `4` DOUBLE\n"
+        ");"
+    )
+    s = Schema(dialect=DIALECTS["bigquery"])
+    s.observe(CASE_1)
+    assert s.generate_ddl("test") == (
+        "CREATE TABLE IF NOT EXISTS `public`.`test` (\n"
+        "    `1` INT64\n"
+        "    , `2` STRING\n"
+        "    , `3` BOOL\n"
+        "    , `4` FLOAT64\n"
+        ");"
+    )
+    s = Schema(dialect=DIALECTS["sqlite"])
+    s.observe(CASE_1)
+    assert s.generate_ddl("test") == (
+        'CREATE TABLE IF NOT EXISTS "public"."test" (\n'
+        '    "1" INTEGER\n'
+        '    , "2" TEXT\n'
+        '    , "3" INTEGER\n'
+        '    , "4" REAL\n'
+        ");"
+    )
+
+
+def test_sqlite_ddl_is_valid():
+    """SQLite ships with Python - execute the generated DDL for real
+    (the only dialect whose engine exists in this container besides
+    DuckDB)."""
+    import sqlite3
+
+    from relationalize_spark.dialects import DIALECTS
+
+    s = Schema(dialect=DIALECTS["sqlite"])
+    s.observe(CASE_1)
+    s.observe(CASE_2)
+    ddl = s.generate_ddl("test", schema="main")
+    con = sqlite3.connect(":memory:")
+    con.execute(ddl)
+    cols = [r[1] for r in con.execute("PRAGMA table_info(test)")]
+    assert cols == ["1_int", "1_str", "2_float", "2_str", "3", "4"]
