@@ -385,6 +385,25 @@ def main() -> None:
 
         return run
 
+    def pit_lookup(sf):
+        def run():
+            from relationalize_spark.operators.scd2 import (
+                scd2_from_snapshots,
+                scd2_lookup,
+            )
+
+            e = spark.read.parquet(f"{sf}/events.parquet")
+            snap = e.groupBy("user_id", "ts").agg(
+                F.min("event_type").alias("state")
+            )
+            dim = scd2_from_snapshots(snap, ["user_id"], ["state"], "ts")
+            facts = e.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts"
+            )
+            return scd2_lookup(facts, dim, ["user_id"], "ts", value_cols=["state"])
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -411,6 +430,7 @@ def main() -> None:
         "psi_drift_q118shape": psi,
         "robust_outliers_q119shape": outliers,
         "knn_label_eval_q120shape": knn,
+        "scd2_lookup_q122shape": pit_lookup,
     }
     wanted = None
     for arg in sys.argv[1:]:
