@@ -400,6 +400,23 @@ def simhash_from_hashes():
     return sim
 
 
+def _token_hash(tok: Column, kind: str, seed: int = 0) -> Column:
+    """64-bit token hash for the SimHash lanes. ``xxhash64`` (default)
+    is the fast JVM path; ``md5_60`` derives a 60-bit lane from the
+    first 15 md5 hex chars (the ``table_checksum`` trick) — slower,
+    but md5 exists in every SQL engine, so an md5_60 SimHash is
+    value-replayable by the DuckDB oracle (q123), turning an
+    otherwise rows-only family hash-green. Bits 60-63 of an md5_60
+    lane vote negative for every token and stay 0 in the signature —
+    identical on both engines, so banding over them is harmless."""
+    if kind == "xxhash64":
+        return F.xxhash64(tok) if seed == 0 else F.xxhash64(tok, F.lit(seed))
+    if kind == "md5_60":
+        salted = tok if seed == 0 else F.concat(tok, F.lit("\x01" * seed))
+        return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"token_hash must be 'xxhash64' or 'md5_60', got {kind!r}")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -407,6 +424,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     sig_bits: int | None = None,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Pairs within a Hamming ball via band buckets: a pair at distance
     <= max_hamming must agree on at least one of max_hamming+1 disjoint
@@ -441,7 +459,8 @@ def simhash_pairs(
     if sig_bits is None:
         sig_bits = 128 if base.count() >= 2 ** (64 // bands) else 64
     th1 = F.transform(
-        F.array_distinct(F.split(F.col("__text__"), WS)), lambda t: F.xxhash64(t)
+        F.array_distinct(F.split(F.col("__text__"), WS)),
+        lambda t: _token_hash(t, token_hash, 0),
     )
     sim = simhash_from_hashes()
     if sig_bits == 64:
@@ -450,7 +469,7 @@ def simhash_pairs(
     else:
         th2 = F.transform(
             F.array_distinct(F.split(F.col("__text__"), WS)),
-            lambda t: F.xxhash64(t, F.lit(1)),
+            lambda t: _token_hash(t, token_hash, 1),
         )
         sigs = base.select("id", sim(th1).alias("sig"), sim(th2).alias("sig2"))
         lanes = ["sig", "sig2"]

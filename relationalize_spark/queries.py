@@ -4235,6 +4235,59 @@ FROM facts f ASOF LEFT JOIN hist h
 """
 
 
+def q123_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5_60 token hash
+    (operators/dedup.py:_token_hash): same banding/pigeonhole
+    machinery as q30, but the token hash is 60 bits of md5 — which
+    DuckDB can compute — so this registry entry carries a FULL
+    value-hash oracle replaying signature, bands, and hamming
+    verbatim. q30 (xxhash64, the fast production path) stays
+    rows-only; this entry proves the family's correctness at value
+    level."""
+    from .operators.dedup import simhash_pairs
+
+    d = load_table(spark, sf, "documents")
+    return simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, bands=4, sig_bits=64,
+        token_hash="md5_60",
+    )
+
+
+Q123_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS v
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, j, sum(((v >> j) & 1) * 2 - 1) AS s
+  FROM h, LATERAL unnest(range(0, 60)) t(j)
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, bd, (sig >> (CAST(bd AS INT) * 16)) & 65535 AS bucket, sig
+  FROM sig, LATERAL unnest(range(0, 4)) t(bd)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.sig AS sa, b.sig AS sb
+  FROM bands a JOIN bands b
+    ON a.bd = b.bd AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT i, j, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4381,6 +4434,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
     "q121_pagerank": (q121_pagerank, Q121_SQL),
     "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
+    "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
