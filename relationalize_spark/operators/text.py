@@ -163,21 +163,53 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def winnow_fingerprint(
-    text: Column | str, k: int = 8, window: int = 4
+    text: Column | str, k: int = 8, window: int = 4, gram_hash: str = "xxhash64"
 ) -> Column:
     """Winnowing-style robust fingerprint: hash all character k-grams,
     take the min hash of each sliding window, fingerprint = md5 over
     the distinct sorted window-minima. Local edits only perturb nearby
-    windows, so near-identical documents mostly collide."""
+    windows, so near-identical documents mostly collide.
+
+    ``gram_hash='md5_60'`` swaps the k-gram hash for 60 bits of md5
+    (slower; exists in every SQL engine) — with it the whole
+    fingerprint, including the final ``md5(to_json(sorted minima))``
+    (both engines render a bigint list as ``[1,2,3]``), replays
+    verbatim in DuckDB: q124's full value oracle. xxhash64 stays the
+    production default (q33, rows-only)."""
     t = F.lower(F.trim(F.regexp_replace(_c(text), WS, " ")))
     n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
+    if gram_hash == "xxhash64":
+        gh = lambda s: F.xxhash64(s)  # noqa: E731
+    elif gram_hash == "md5_60":
+        gh = lambda s: F.conv(  # noqa: E731
+            F.substring(F.md5(s), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"gram_hash must be 'xxhash64' or 'md5_60', got {gram_hash!r}")
     grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(t.substr(i, F.lit(k)))
+        F.sequence(F.lit(1), n_grams), lambda i: gh(t.substr(i, F.lit(k)))
     )
-    n_windows = F.greatest(F.size(grams) - window + 1, F.lit(1))
-    minima = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(grams, i, window)),
+    # Sliding-window minima WITHOUT capturing `grams` inside a
+    # per-window lambda: Catalyst does no CSE inside higher-order
+    # lambdas, so `transform(sequence(1, n_windows), i ->
+    # array_min(slice(grams, i, window)))` — the previous formulation
+    # — re-built the ENTIRE gram array (n hashes + the normalization
+    # regex) once PER WINDOW: O(n^2) hashing, ~1 s/document, hidden
+    # for two rounds because the rows-only gate only count()s and
+    # Catalyst prunes the unprojected fingerprint. Same defect class
+    # as round 3's per-bit SimHash re-tokenization. The fix: `window`
+    # shifted slices zip_with'd pairwise by least() — `grams` is
+    # evaluated a constant ~window+2 times per row instead of
+    # n_windows times.
+    n = F.size(grams)
+    nw = n - (window - 1)
+    full = F.slice(grams, 1, nw)
+    for j in range(1, window):
+        full = F.zip_with(
+            full, F.slice(grams, 1 + j, nw), lambda a, b: F.least(a, b)
+        )
+    minima = F.when(n >= window, full).otherwise(
+        F.array(F.array_min(grams))
     )
     return F.md5(F.to_json(F.array_sort(F.array_distinct(minima))))
 

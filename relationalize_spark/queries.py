@@ -926,7 +926,7 @@ def q33_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     oracle (rows-only check); robustness is unit-tested."""
     from .operators import text as TX
 
-    d = load_table(spark, sf, "documents")
+    d = ensure_parallelism(load_table(spark, sf, "documents"))
     return d.select("doc_id", TX.winnow_fingerprint("text").alias("winnow_fp"))
 
 
@@ -4288,6 +4288,49 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
+def q124_winnow_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints with the md5_60 gram hash
+    (operators/text.py:winnow_fingerprint): DuckDB replays the full
+    pipeline — normalize, char 8-grams, 60-bit md5 gram hashes,
+    4-wide window minima, md5 over the JSON of the sorted distinct
+    minima — so this entry has a complete value oracle; q33
+    (xxhash64 fast path) stays rows-only."""
+    from .operators.text import winnow_fingerprint
+
+    d = ensure_parallelism(load_table(spark, sf, "documents"))
+    return d.select(
+        "doc_id",
+        winnow_fingerprint("text", gram_hash="md5_60").alias("winnow_fp"),
+    )
+
+
+Q124_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t,
+    list_transform(
+      range(1, greatest(length(t) - 8 + 1, 1) + 1),
+      i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+    ) AS grams
+  FROM norm
+),
+m AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(len(grams) - 4 + 1, 1) + 1),
+      i -> list_min(grams[CAST(i AS INT):CAST(i AS INT) + 3])
+    ) AS minima
+  FROM g
+)
+SELECT doc_id, md5(to_json(list_sort(list_distinct(minima)))) AS winnow_fp
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4435,6 +4478,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q121_pagerank": (q121_pagerank, Q121_SQL),
     "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
     "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
+    "q124_winnow_md5": (q124_winnow_md5, Q124_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
