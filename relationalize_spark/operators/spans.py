@@ -60,13 +60,34 @@ def _tokens(text: Column) -> Column:
 
 def _segments(toks: Column, seg_words: int) -> Column:
     """Split a token array into consecutive ``seg_words``-word
-    segments (last one may be short). Empty docs yield zero segments."""
-    n_segs = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
-    arr = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.array_join(F.slice(toks, i * seg_words + 1, seg_words), " "),
+    segments (last one may be short). Empty docs yield zero segments.
+
+    Linear-cost formulation: the old ``transform(sequence(...),
+    i -> array_join(slice(toks, ...)))`` captured ``toks`` inside the
+    per-segment lambda, and Catalyst re-evaluates captured
+    expressions per element (no CSE inside higher-order functions) —
+    quadratic in document length. Instead: build all ``seg_words``-
+    wide word windows by zip_with-folding shifted slices (constant
+    ``seg_words + 2`` evaluations of ``toks``), keep every
+    ``seg_words``-th window via an indexed ``filter`` (its argument
+    is evaluated once), and append the partial tail segment when the
+    token count is not a multiple of ``seg_words``."""
+    w = seg_words
+    n = F.size(toks)
+    n_grams = F.greatest(n - (w - 1), F.lit(0))
+    acc = F.slice(toks, 1, n_grams)
+    for k in range(1, w):
+        acc = F.zip_with(
+            acc, F.slice(toks, 1 + k, n_grams), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    # windows start at token positions 1, 1+w, 1+2w, ... -> full segments
+    strided = F.filter(acc, lambda _x, i: i % w == 0)
+    tail_start = (n / w).cast("int") * w + 1
+    tail = F.array_join(F.slice(toks, tail_start, w), " ")
+    segs = F.when(n % w == 0, strided).otherwise(
+        F.concat(strided, F.array(tail))
     )
-    return F.when(n_segs >= 1, arr).otherwise(F.array().cast("array<string>"))
+    return F.when(n >= 1, segs).otherwise(F.array().cast("array<string>"))
 
 
 def _gram_keys(toks: Column, n: int, digest: str) -> Column:

@@ -306,16 +306,26 @@ def word_ngrams(text: Column | str, n: int = 4) -> Column:
     """Array of space-joined word ``n``-grams in string form — the
     reporting surface for boilerplate/contamination inspection (the
     dedup family joins on *hashed* shingles instead; see
-    ``dedup.shingle_hashes``)."""
+    ``dedup.shingle_hashes``).
+
+    Built from ``n`` shifted slices zip_with-folded by string concat,
+    NOT ``transform(sequence(...), i -> slice(toks, i, n))``: Catalyst
+    does no CSE inside higher-order lambdas, so the captured ``toks``
+    (a split over the whole document) would be re-evaluated once per
+    gram — measured quadratic in document length (4k->8k tokens:
+    14.4 s -> 60 s for 8 docs). Same defect class as the winnowing
+    window stage fixed this round; here ``toks`` evaluates a constant
+    ``n + 1`` times per row."""
     toks = tokens(text)
     n_grams = F.size(toks) - (n - 1)
-    arr = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    # sequence(1, stop) counts DOWN when stop < 1; short documents
-    # must yield an empty array, not [1, 0, ...]-indexed garbage.
-    return F.when(n_grams >= 1, arr).otherwise(
+    acc = F.slice(toks, 1, F.greatest(n_grams, F.lit(0)))
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + k, F.greatest(n_grams, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(n_grams >= 1, acc).otherwise(
         F.array().cast("array<string>")
     )
 
