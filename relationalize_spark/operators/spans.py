@@ -91,14 +91,21 @@ def _segments(toks: Column, seg_words: int) -> Column:
 
 
 def _gram_keys(toks: Column, n: int, digest: str) -> Column:
-    """Digest of each word n-gram position, via flat element_at
-    chains (no per-position array slicing)."""
-    def one(i: Column) -> Column:
-        parts = [F.element_at(toks, i + j) for j in range(n)]
-        return _digest(F.concat_ws(_SEP, *parts), digest)
-
-    n_pos = F.size(toks) - (n - 1)
-    keys = F.transform(F.sequence(F.lit(1), n_pos), one)
+    """Digest of each word n-gram position. Same linear construction
+    as :func:`_segments`: n shifted slices zip_with-folded by
+    concat_ws, digested in one final map — the prior
+    ``transform(sequence, i -> element_at(toks, i+j)...)`` captured
+    ``toks`` per position (no CSE inside HOF lambdas), re-splitting
+    the document once per gram."""
+    n_pos = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, n_pos)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + k, n_pos),
+            lambda a, b: F.concat_ws(_SEP, a, b),
+        )
+    keys = F.transform(acc, lambda g: _digest(g, digest))
     empty = F.array().cast(
         "array<bigint>" if digest == "xxhash64" else "array<string>"
     )

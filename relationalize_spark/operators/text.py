@@ -477,6 +477,16 @@ def chunk_documents(
     Catalyst: tokens -> sequence of window starts -> slice/join ->
     posexplode, so chunking fuses into the scan — no Python, no
     shuffle, output rows ~ tokens / (chunk_tokens - overlap) per doc.
+
+    Cost bound: the per-start lambda captures the token array, which
+    Catalyst re-evaluates per chunk (no CSE inside HOF lambdas) —
+    cost ~ n_tokens^2 / step per document. Unlike the n-gram/segment
+    shapes (stride 1 and 10 — fixed to linear in r4), the stride here
+    IS the large chunk size, so the quadratic term only matters for
+    documents of ~10^5+ tokens; chunk such corpora after a length
+    screen, or raise ``chunk_tokens``. (The linear zip_with-fold fix
+    is off the table here: it would nest ``chunk_tokens`` deep in the
+    expression tree.)
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
