@@ -66,28 +66,29 @@ def _segments(toks: Column, seg_words: int) -> Column:
     i -> array_join(slice(toks, ...)))`` captured ``toks`` inside the
     per-segment lambda, and Catalyst re-evaluates captured
     expressions per element (no CSE inside higher-order functions) —
-    quadratic in document length. Instead: build all ``seg_words``-
-    wide word windows by zip_with-folding shifted slices (constant
-    ``seg_words + 2`` evaluations of ``toks``), keep every
-    ``seg_words``-th window via an indexed ``filter`` (its argument
-    is evaluated once), and append the partial tail segment when the
-    token count is not a multiple of ``seg_words``."""
+    quadratic in document length. Instead, decompose the token array
+    into ``seg_words`` strided parts (``part_k`` = tokens at
+    positions k, k+w, k+2w, ... via one indexed ``filter`` each —
+    a filter's ARGUMENT is evaluated once) and zip_with-fold the
+    parts with concat_ws: segment j is exactly
+    ``part_0[j] .. part_{w-1}[j]``. zip_with null-pads the shorter
+    side and concat_ws skips nulls, which is precisely the partial
+    tail segment. ``toks`` evaluates ``w + 1`` times per row and no
+    wasted intermediate strings are built (the first linear attempt
+    built every 1-shifted window and kept one in ``w`` — 10x excess
+    concatenation)."""
     w = seg_words
-    n = F.size(toks)
-    n_grams = F.greatest(n - (w - 1), F.lit(0))
-    acc = F.slice(toks, 1, n_grams)
-    for k in range(1, w):
-        acc = F.zip_with(
-            acc, F.slice(toks, 1 + k, n_grams), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    # windows start at token positions 1, 1+w, 1+2w, ... -> full segments
-    strided = F.filter(acc, lambda _x, i: i % w == 0)
-    tail_start = (n / w).cast("int") * w + 1
-    tail = F.array_join(F.slice(toks, tail_start, w), " ")
-    segs = F.when(n % w == 0, strided).otherwise(
-        F.concat(strided, F.array(tail))
-    )
-    return F.when(n >= 1, segs).otherwise(F.array().cast("array<string>"))
+
+    def stride(k: int):
+        # separate factory: a default-arg lambda would have arity 3
+        # and PySpark maps lambda arity onto the HOF's parameters
+        return lambda _x, i: i % w == k
+
+    parts = [F.filter(toks, stride(k)) for k in range(w)]
+    segs = parts[0]
+    for p in parts[1:]:
+        segs = F.zip_with(segs, p, lambda a, b: F.concat_ws(" ", a, b))
+    return segs
 
 
 def _gram_keys(toks: Column, n: int, digest: str) -> Column:
