@@ -177,7 +177,6 @@ def winnow_fingerprint(
     verbatim in DuckDB: q124's full value oracle. xxhash64 stays the
     production default (q33, rows-only)."""
     t = F.lower(F.trim(F.regexp_replace(_c(text), WS, " ")))
-    n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
     if gram_hash == "xxhash64":
         gh = lambda s: F.xxhash64(s)  # noqa: E731
     elif gram_hash == "md5_60":
@@ -186,9 +185,28 @@ def winnow_fingerprint(
         ).cast("long")
     else:
         raise ValueError(f"gram_hash must be 'xxhash64' or 'md5_60', got {gram_hash!r}")
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: gh(t.substr(i, F.lit(k)))
-    )
+    # Gram strings from k shifted slices of the char array, zip_with-
+    # folded by concat — NOT transform(sequence, i -> t.substr(i, k)):
+    # the captured `t` would re-run the normalization regex once per
+    # gram (quadratic; measured ~20 ms/doc even after the window-stage
+    # fix). Slices evaluate `chars` (and thus the regex) a constant
+    # ~k+2 times per row. Only FULL k-char grams exist (substr(i, k)
+    # for i <= n-k+1 was always full in the old form too), so plain
+    # slices of length n-k+1 reproduce it exactly — verified
+    # bit-identical across the corpus plus empty/short/whitespace
+    # edge docs.
+    chars = F.split(t, "")
+    n_chars = F.size(chars)
+    n_full = F.greatest(n_chars - (k - 1), F.lit(0))
+    acc = F.slice(chars, 1, n_full)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(chars, 1 + j, n_full), lambda a, b: F.concat(a, b)
+        )
+    # short docs (< k chars): one whole-text gram, matching the old
+    # greatest(n_grams, 1) fallback
+    gram_strs = F.when(n_full >= 1, acc).otherwise(F.array(t))
+    grams = F.transform(gram_strs, lambda g: gh(g))
     # Sliding-window minima WITHOUT capturing `grams` inside a
     # per-window lambda: Catalyst does no CSE inside higher-order
     # lambdas, so `transform(sequence(1, n_windows), i ->
