@@ -404,6 +404,22 @@ def main() -> None:
 
         return run
 
+    def winnow_op(sf):
+        def run():
+            from relationalize_spark.operators.text import winnow_fingerprint
+            from relationalize_spark.plans.scale import ensure_parallelism
+
+            # like q33: single-row-group input scans as ONE task
+            d = ensure_parallelism(spark.read.parquet(f"{sf}/documents.parquet"))
+            # noop sink MATERIALIZES the fingerprints — a count() would
+            # let Catalyst prune the whole computation (how the O(n^2)
+            # window-stage recompute stayed invisible for two rounds)
+            return d.select(
+                "doc_id", winnow_fingerprint("text").alias("fp")
+            )
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -431,6 +447,7 @@ def main() -> None:
         "robust_outliers_q119shape": outliers,
         "knn_label_eval_q120shape": knn,
         "scd2_lookup_q122shape": pit_lookup,
+        "winnow_q33shape": winnow_op,
     }
     wanted = None
     for arg in sys.argv[1:]:
