@@ -217,26 +217,39 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
     """Array of ``num_hashes`` minima of a double-hashing family over
     the shingle set — a (1/num_hashes)-resolution Jaccard sketch.
 
-    Each shingle is string-hashed exactly twice (xxhash64 with two
-    seeds); hash function i is the standard double-hashing combination
-    ``h1 + i*h2``, so widening the signature costs integer math, not
-    extra string hashing. Both hashes are masked to 31 bits so the
-    combination never overflows a long (Spark 4 runs ANSI mode and
-    would throw, not wrap). NB: the inner lambdas must stay one-arg —
-    a two-parameter lambda binds transform's (element, index) overload
-    and the index silently shadows the captured variable."""
+    Each shingle is hashed exactly twice (xxhash64 with two seeds,
+    JVM-side); hash function i is the standard double-hashing
+    combination ``(h1 + i*h2) % 2^31``, so widening the signature
+    costs integer math, not extra hashing. The per-i minima run as
+    ONE numpy broadcast per Arrow batch: the previous Catalyst form
+    (``transform(sequence(0, n-1), i -> array_min(zip_with(h1, h2,
+    ...)))``) captured h1/h2 inside the per-i lambda, and Catalyst
+    re-evaluates captured expressions per element — every shingle was
+    re-hashed ``num_hashes`` times (the r4 lambda-capture defect
+    class). Here h1/h2 are UDF ARGUMENTS, evaluated once; arithmetic
+    is bit-identical (all values < 2^36, far from int64 overflow —
+    the pmod keeps i*h2 from degenerating every hash function to the
+    same min-h2 shingle)."""
+    import numpy as np
+
     m = F.lit(2**31)
     h1 = F.transform(shingle_arr, lambda s: F.pmod(F.xxhash64(s), m))
     h2 = F.transform(shingle_arr, lambda s: F.pmod(F.xxhash64(s, F.lit(1)), m))
-    # The outer pmod is essential: without the modular wrap, i*h2
-    # dominates the sum for i >= 2 and every "hash function" would
-    # select the same min-h2 shingle, degenerating the whole family.
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.zip_with(h1, h2, lambda a, b: F.pmod(a + i * b, m))
-        ),
-    )
+    coeff = np.arange(num_hashes, dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def mins(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or len(x) == 0:
+                out.append([None] * num_hashes)
+                continue
+            x = np.asarray(x, dtype=np.int64)[None, :]
+            y = np.asarray(y, dtype=np.int64)[None, :]
+            out.append(((x + coeff * y) % (2**31)).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return mins(h1, h2)
 
 
 def _band_entries(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
