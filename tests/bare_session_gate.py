@@ -9,7 +9,7 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 4 — BARE-SESSION GATE: ALL 120 OK.
+Last full run: round 4 (final) — BARE-SESSION GATE: ALL 124 OK.
 """
 
 import os
