@@ -4344,12 +4344,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round: entries without a driver row yet come first. Round 4
 #: fronts the 19 entries added in round 3 (q67, q81, q82, q94,
-#: q103-q117 — locally value-verified but never driver-attested),
-#: then backfills the cap with the 31 oldest entries whose only
-#: driver rows date from round 2, for re-confirmation. Everything
-#: behind the cap carries a full-green r02 or r03 row as its durable
-#: record. Every entry, either side of the cap, runs against its
-#: oracle in tests/test_entry_oracle.py on every pytest run.
+#: q103-q117 — locally value-verified but never driver-attested) and
+#: the 7 added this round (q118-q124), then backfills the cap with
+#: the 24 oldest entries whose only driver rows date from round 2,
+#: for re-confirmation. Everything behind the cap carries a
+#: full-green r02 or r03 row as its durable record. Every entry,
+#: either side of the cap, runs against its oracle in
+#: tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-checked (r3 additions): first 19 slots -------------
     "q81_asof_forward": (q81_asof_forward, Q81_SQL),
@@ -4371,7 +4372,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
     "q116_char_entropy": (q116_char_entropy, Q116_SQL),
     "q117_funnel_steps": (q117_funnel_steps, Q117_SQL),
-    # --- oldest driver rows (r2 only): re-confirmation, slots 20-50 ------
+    # --- new this round (r4): slots 20-26 --------------------------------
+    "q118_psi_drift": (q118_psi_drift, Q118_SQL),
+    "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
+    "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
+    "q121_pagerank": (q121_pagerank, Q121_SQL),
+    "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
+    "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
+    "q124_winnow_md5": (q124_winnow_md5, Q124_SQL),
+    # --- oldest driver rows (r2 only): re-confirmation, slots 27-50 ------
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
     "q04_order_priority": (q04_order_priority, Q04_SQL),
@@ -4396,6 +4405,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q24_lang_id": (q24_lang_id, None),  # SQL generated below
     "q25_quality_score": (q25_quality_score, None),  # SQL generated below
     "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
+    # --- behind the cap: durable r2/r3 full-green rows -------------------
     "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),
     "q28_jaccard_pairs": (q28_jaccard_pairs, _JACCARD_ORACLE.format(threshold=0.5)),
     "q29_minhash_lsh_pairs": (q29_minhash_lsh_pairs, _JACCARD_ORACLE.format(threshold=0.8)),
@@ -4403,7 +4413,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q31_ann_topk": (q31_ann_topk, Q31_SQL),
     "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
     "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
-    # --- behind the cap: durable r2/r3 full-green rows -------------------
     "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
     "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
     "q36_sql_api": (q36_sql_api, Q36_SQL),
@@ -4471,14 +4480,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q100_column_profile": (q100_column_profile, Q100_SQL),
     "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
     "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
-    # --- round-4 additions (behind the cap; rotate forward in r5) --------
-    "q118_psi_drift": (q118_psi_drift, Q118_SQL),
-    "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
-    "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
-    "q121_pagerank": (q121_pagerank, Q121_SQL),
-    "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
-    "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
-    "q124_winnow_md5": (q124_winnow_md5, Q124_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark
