@@ -175,38 +175,49 @@ def winnow_fingerprint(
     fingerprint, including the final ``md5(to_json(sorted minima))``
     (both engines render a bigint list as ``[1,2,3]``), replays
     verbatim in DuckDB: q124's full value oracle. xxhash64 stays the
-    production default (q33, rows-only)."""
+    production default (q33, rows-only). (A char-level polynomial
+    rolling hash — the shingle_hashes design — was tried and measured
+    2.4× SLOWER despite ~k× less hashing: per-element interpreted
+    zip_with overhead dominates, and it needs 16 lane folds vs the
+    7 concat folds here.)"""
     t = F.lower(F.trim(F.regexp_replace(_c(text), WS, " ")))
-    if gram_hash == "xxhash64":
-        gh = lambda s: F.xxhash64(s)  # noqa: E731
-    elif gram_hash == "md5_60":
-        gh = lambda s: F.conv(  # noqa: E731
-            F.substring(F.md5(s), 1, 15), 16, 10
-        ).cast("long")
-    else:
-        raise ValueError(f"gram_hash must be 'xxhash64' or 'md5_60', got {gram_hash!r}")
-    # Gram strings from k shifted slices of the char array, zip_with-
-    # folded by concat — NOT transform(sequence, i -> t.substr(i, k)):
-    # the captured `t` would re-run the normalization regex once per
-    # gram (quadratic; measured ~20 ms/doc even after the window-stage
-    # fix). Slices evaluate `chars` (and thus the regex) a constant
-    # ~k+2 times per row. Only FULL k-char grams exist (substr(i, k)
-    # for i <= n-k+1 was always full in the old form too), so plain
-    # slices of length n-k+1 reproduce it exactly — verified
-    # bit-identical across the corpus plus empty/short/whitespace
-    # edge docs.
     chars = F.split(t, "")
     n_chars = F.size(chars)
     n_full = F.greatest(n_chars - (k - 1), F.lit(0))
-    acc = F.slice(chars, 1, n_full)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc, F.slice(chars, 1 + j, n_full), lambda a, b: F.concat(a, b)
+
+    # All formulations slice the char array (regex evaluated a
+    # constant ~k+2 times per row) and zip_with-fold k shifted
+    # slices — NOT transform(sequence, i -> t.substr(i, k)): the
+    # captured `t` would re-run the normalization regex once per gram
+    # (quadratic; measured ~20 ms/doc even after the window-stage
+    # fix). Only FULL k-char grams exist (substr(i, k) for
+    # i <= n-k+1 was always full in the original form too).
+    def _shifted(base: Column):
+        return [F.slice(base, 1 + j, n_full) for j in range(k)]
+
+    if gram_hash in ("xxhash64", "md5_60"):
+        # String-gram variants: build the gram strings by concat fold.
+        # xxhash64 keeps the pre-r4 fingerprint values bit-for-bit;
+        # md5_60 (60 bits of md5) exists so q124's DuckDB oracle can
+        # replay the whole pipeline value-level.
+        if gram_hash == "xxhash64":
+            gh = lambda s: F.xxhash64(s)  # noqa: E731
+        else:
+            gh = lambda s: F.conv(  # noqa: E731
+                F.substring(F.md5(s), 1, 15), 16, 10
+            ).cast("long")
+        parts = _shifted(chars)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = F.zip_with(acc, p, lambda a, b: F.concat(a, b))
+        # short docs (< k chars): one whole-text gram, matching the
+        # original greatest(n_grams, 1) fallback
+        gram_strs = F.when(n_full >= 1, acc).otherwise(F.array(t))
+        grams = F.transform(gram_strs, lambda g: gh(g))
+    else:
+        raise ValueError(
+            f"gram_hash must be 'xxhash64' or 'md5_60', got {gram_hash!r}"
         )
-    # short docs (< k chars): one whole-text gram, matching the old
-    # greatest(n_grams, 1) fallback
-    gram_strs = F.when(n_full >= 1, acc).otherwise(F.array(t))
-    grams = F.transform(gram_strs, lambda g: gh(g))
     # Sliding-window minima WITHOUT capturing `grams` inside a
     # per-window lambda: Catalyst does no CSE inside higher-order
     # lambdas, so `transform(sequence(1, n_windows), i ->
