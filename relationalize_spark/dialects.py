@@ -34,8 +34,15 @@ class SQLDialect:
         return f"{q}{escaped}{q} {sql_type}"
 
     def create_table(self, schema: str, table: str, column_defs: list[str]) -> str:
+        # A relationalized table name can contain any character the
+        # source JSON keys had — escape embedded quote chars the same
+        # way column_def does, so the name cannot break out of (or
+        # inject into) the statement.
+        q = self.quote
         return self.create_template.format(
-            schema=schema, table=table, columns=_COLUMN_JOINER.join(column_defs)
+            schema=schema.replace(q, q * 2),
+            table=table.replace(q, q * 2),
+            columns=_COLUMN_JOINER.join(column_defs),
         )
 
 

@@ -436,18 +436,22 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
-    sig_bits: int | None = None,
+    sig_bits: int | str = 64,
     token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Pairs within a Hamming ball via band buckets: a pair at distance
     <= max_hamming must agree on at least one of max_hamming+1 disjoint
     bit bands (pigeonhole), so bands >= max_hamming+1 gives recall 1.
 
-    ``sig_bits``: 64 (classic), 128 (two independent hash lanes;
-    hamming is measured over all 128 bits, so max_hamming thresholds
-    are on the finer 128-bit scale), or None (default) — auto: one
-    corpus count picks 64 below ``2^(64/bands)`` rows (65,536 at the
-    default 4 bands) and 128 at or above it. Why 128 exists: with a
+    ``sig_bits``: 64 (classic, the default — stable: the same corpus
+    content always yields the same pairs regardless of row count),
+    128 (two independent hash lanes; hamming is measured over all 128
+    bits, so max_hamming thresholds are on the finer 128-bit scale),
+    or ``"auto"`` (opt-in — costs one eager corpus count, and makes
+    the signature width, hence the tolerated fractional disagreement,
+    row-count-dependent): one corpus count picks 64 below
+    ``2^(64/bands)`` rows (65,536 at the default 4 bands) and 128 at
+    or above it. Why 128 exists: with a
     64-bit signature, ``bands`` bands leave 64/bands-bit buckets,
     and CHANCE band collisions grow ~ n^2 / 2^(64/bands) — measured
     13.5x wall at 100x corpus vs MinHash's 8x purely from random
@@ -460,16 +464,16 @@ def simhash_pairs(
     measures distance over twice the bits with the same max_hamming,
     i.e. it halves the tolerated fractional disagreement — the right
     trade at a corpus size where 64-bit chance collisions would bury
-    the true pairs; pass sig_bits=64 explicitly to pin the classic
-    scale regardless of size.
+    the true pairs, but a *semantic* switch, which is why auto is
+    opt-in rather than the default.
     """
     assert bands >= max_hamming + 1, "pigeonhole requires bands > max_hamming"
-    assert sig_bits in (None, 64, 128), "sig_bits must be None, 64, or 128"
+    assert sig_bits in ("auto", 64, 128), "sig_bits must be 64, 128, or 'auto'"
 
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     )
-    if sig_bits is None:
+    if sig_bits == "auto":
         sig_bits = 128 if base.count() >= 2 ** (64 // bands) else 64
     th1 = F.transform(
         F.array_distinct(F.split(F.col("__text__"), WS)),

@@ -30,10 +30,19 @@ EPS = 1e-6
 
 
 def _bin_index(x: Column, lo: Column, hi: Column, n_bins: int) -> Column:
-    raw = F.floor((x - lo) / (hi - lo) * F.lit(float(n_bins)))
-    return F.least(
-        F.lit(n_bins - 1), F.greatest(F.lit(0), raw.cast("int"))
+    # Clamp in the double domain BEFORE floor/narrowing: a current-batch
+    # value far outside the baseline [lo, hi] (corrupt sentinel like
+    # 1e300) would otherwise overflow the int (or even bigint) cast and
+    # throw under ANSI mode — crashing the monitor on exactly the drift
+    # it exists to report. Clamping the scaled double to
+    # [0, n_bins - 1] yields the identical bin for every in-range value
+    # (floor∘clamp == clamp∘floor on that interval) and saturates the
+    # edge bins for outliers.
+    scaled = (x - lo) / (hi - lo) * F.lit(float(n_bins))
+    clamped = F.least(
+        F.lit(float(n_bins - 1)), F.greatest(F.lit(0.0), scaled)
     )
+    return F.floor(clamped).cast("int")
 
 
 def psi_drift(

@@ -68,23 +68,30 @@ def pagerank(
     link = e.join(deg, "src").persist()
 
     base = (1.0 - damping) / n_nodes
-    ranks = nodes.select(
-        "id", F.lit(round(1.0 / n_nodes, quantize)).alias("rank")
-    )
-    for i in range(max_iter):
-        contribs = (
-            link.join(ranks.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") / F.col("__deg__")).alias("__in__"))
+    try:
+        ranks = nodes.select(
+            "id", F.lit(round(1.0 / n_nodes, quantize)).alias("rank")
         )
-        ranks = nodes.join(contribs, "id", "left").select(
-            "id",
-            F.round(
-                F.lit(base) + F.lit(damping) * F.coalesce("__in__", F.lit(0.0)),
-                quantize,
-            ).alias("rank"),
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
-            # Bound lineage/plan growth across iterations.
-            ranks = ranks.localCheckpoint(eager=False)
+        for i in range(max_iter):
+            contribs = (
+                link.join(ranks.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") / F.col("__deg__")).alias("__in__"))
+            )
+            ranks = nodes.join(contribs, "id", "left").select(
+                "id",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce("__in__", F.lit(0.0)),
+                    quantize,
+                ).alias("rank"),
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
+                # Bound lineage/plan growth across iterations.
+                ranks = ranks.localCheckpoint(eager=False)
+        # Materialize the result BEFORE dropping the cached inputs its
+        # lazy plan depends on (mirrors kmeans_fit's finally-unpersist).
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        nodes.unpersist()
+        link.unpersist()
     return ranks

@@ -4019,12 +4019,12 @@ c AS (
 s AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
 bins AS (SELECT CAST(i AS INT) AS bin FROM range(0, 10) t(i)),
 bb AS (
-  SELECT least(9, greatest(0, CAST(floor((v - lo) / (hi - lo) * 10) AS INT))) AS bin,
+  SELECT CAST(floor(least(9.0, greatest(0.0, (v - lo) / (hi - lo) * 10))) AS INT) AS bin,
          count(*) AS n
   FROM b, s GROUP BY 1
 ),
 cc AS (
-  SELECT least(9, greatest(0, CAST(floor((v - lo) / (hi - lo) * 10) AS INT))) AS bin,
+  SELECT CAST(floor(least(9.0, greatest(0.0, (v - lo) / (hi - lo) * 10))) AS INT) AS bin,
          count(*) AS n
   FROM c, s GROUP BY 1
 ),

@@ -50,6 +50,12 @@ def load_tables_to_duckdb(
     dialect = dialect or DIALECTS["duckdb"]
     counts: dict[str, int] = {}
     base = tmp_dir or tempfile.mkdtemp(prefix="rs_duck_load_")
+
+    def q(ident: str) -> str:
+        # Double-quote identifier escaping: a relationalized table name
+        # can contain any character the source JSON had, including '"'.
+        return '"' + ident.replace('"', '""') + '"'
+
     for name, df in tables.items():
         s = schema_of_dataframe(df)
         bad = {c: t for c, t in s.columns.items() if t.startswith(T.UNSUPPORTED_PREFIX)}
@@ -64,11 +70,16 @@ def load_tables_to_duckdb(
         df.write.mode("overwrite").parquet(path)
         # BY NAME: the DDL sorts column defs (reference behavior), the
         # parquet keeps frame order — let the engine align them.
+        glob = path.replace("\\", "/") + "/*.parquet"
+        # The path goes through a prepared-statement parameter, not
+        # string interpolation — a tmp dir containing a quote cannot
+        # break (or inject into) the statement.
         con.execute(
-            f'INSERT INTO "{schema}"."{name}" BY NAME '
-            f"SELECT * FROM read_parquet('{path}/*.parquet')"
+            f"INSERT INTO {q(schema)}.{q(name)} BY NAME "
+            "SELECT * FROM read_parquet(?)",
+            [glob],
         )
         counts[name] = con.execute(
-            f'SELECT count(*) FROM "{schema}"."{name}"'
+            f"SELECT count(*) FROM {q(schema)}.{q(name)}"
         ).fetchone()[0]
     return counts

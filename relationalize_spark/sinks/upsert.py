@@ -67,15 +67,37 @@ def staged_upsert_pending(spark, path: str) -> bool:
     return bool(fs.exists(hp))
 
 
-def recover_staged_upsert(spark, path: str, partition_col: str) -> None:
+def recover_staged_upsert(spark, path: str, partition_col: str, schema=None) -> None:
     """Complete an interrupted :func:`upsert_keys`: replay the final
     dynamic-partition overwrite from the durable staging copy, then
     drop it. Idempotent — the staged data IS the merged result, so
     replaying over partially-written partitions converges to the same
-    final state no matter how far the first attempt got."""
+    final state no matter how far the first attempt got.
+
+    ``schema`` (when known, as in the :func:`upsert_keys` call) pins
+    the staged read's types exactly. Without it, partition-column type
+    inference on the staged read could *normalize* a non-canonical
+    string partition value (``'01'`` → ``1``, ``'1.10'`` → ``1.1``),
+    making the final overwrite target a differently-named partition
+    directory than the live table's — leaving the old partition's rows
+    in place as duplicates. For the crash-recovery path (no schema in
+    hand) the read instead disables
+    ``spark.sql.sources.partitionColumnTypeInference.enabled`` so the
+    partition value round-trips verbatim from the directory name.
+    """
     staging = _staging_dir(path)
-    staged = spark.read.parquet(staging)
-    overwrite_partitions(staged, path, [partition_col])
+    if schema is not None:
+        staged = spark.read.schema(schema).parquet(staging)
+        overwrite_partitions(staged, path, [partition_col])
+    else:
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            staged = spark.read.parquet(staging)
+            overwrite_partitions(staged, path, [partition_col])
+        finally:
+            spark.conf.set(key, prev)
     _delete_dir(spark, staging)
 
 
@@ -107,11 +129,21 @@ def upsert_keys(
     """
     spark = batch.sparkSession
     parts = [r[0] for r in batch.select(partition_col).distinct().collect()]
-    existing = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    # Read the live table under the batch's schema: partition-column
+    # type inference would otherwise normalize non-canonical string
+    # partition values ('01' -> 1.0), silently re-keying the merge and
+    # the rewrite onto differently-named partition directories.
+    existing = (
+        spark.read.schema(batch.schema)
+        .parquet(path)
+        .filter(F.col(partition_col).isin(parts))
+    )
     keep = existing.join(
         batch.select(*key_cols).distinct(), on=key_cols, how="left_anti"
     )
     merged = keep.select(*batch.columns).unionByName(batch)
     staging = _staging_dir(path)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-    recover_staged_upsert(spark, path, partition_col)
+    # Pass the known schema so the staged read-back cannot re-infer
+    # (and normalize) partition values — see recover_staged_upsert.
+    recover_staged_upsert(spark, path, partition_col, schema=merged.schema)

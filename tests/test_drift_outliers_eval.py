@@ -33,6 +33,19 @@ def test_psi_detects_shift(spark):
     assert out[4].cur_n > out[4].base_n
 
 
+def test_psi_extreme_outlier_does_not_overflow(spark):
+    """A corrupt sentinel far outside the baseline range (ratio beyond
+    2^31/n_bins) must clamp into the edge bin, not throw an ANSI
+    CAST_OVERFLOW — the monitor has to survive exactly the drift it
+    exists to report. Regression for the r4 advisory: the bin index
+    was narrowed to int BEFORE the clamp."""
+    base = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    cur = spark.createDataFrame([(1e300,), (-1e300,), (50.0,)], "x double")
+    out = {r.bin: r for r in psi_drift(base, cur, "x", n_bins=10).collect()}
+    assert sum(r.cur_n for r in out.values()) == 3
+    assert out[9].cur_n == 1 and out[0].cur_n == 1  # saturate the edges
+
+
 def test_psi_handles_empty_bins_and_nulls(spark):
     base = spark.createDataFrame(
         [(float(i),) for i in range(50)] + [(None,)], "x double"

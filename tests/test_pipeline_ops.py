@@ -115,19 +115,27 @@ def test_simhash_udf_matches_catalyst_expr(spark, docs):
 
 
 def test_simhash_auto_escalation_switchover(spark, docs):
-    """sig_bits=None (the default) routes on corpus size: below
-    2^(64/bands) rows the result is bit-identical to explicit
-    sig_bits=64; at/above it, to explicit sig_bits=128. Pinned with
-    bands=32 so the threshold (2^2 = 4 rows) straddles the fixture."""
+    """sig_bits='auto' (opt-in; the default is a stable 64) routes on
+    corpus size: below 2^(64/bands) rows the result is bit-identical
+    to explicit sig_bits=64; at/above it, to explicit sig_bits=128.
+    Pinned with bands=32 so the threshold (2^2 = 4 rows) straddles the
+    fixture."""
     small = docs.limit(3)  # 3 < 4 -> stays 64-bit
     auto_small = sorted(map(tuple, simhash_pairs(
-        small, max_hamming=31, bands=32).collect()))
+        small, max_hamming=31, bands=32, sig_bits="auto").collect()))
     explicit64 = sorted(map(tuple, simhash_pairs(
         small, max_hamming=31, bands=32, sig_bits=64).collect()))
     assert auto_small == explicit64
-    # full fixture (>= 4 docs) -> escalates to the 128-bit lanes
-    auto_big = sorted(map(tuple, simhash_pairs(
+    # default (no sig_bits) == explicit 64 even on the full fixture:
+    # the stable default never silently changes width with row count.
+    default_big = sorted(map(tuple, simhash_pairs(
         docs, max_hamming=31, bands=32).collect()))
+    explicit64_big = sorted(map(tuple, simhash_pairs(
+        docs, max_hamming=31, bands=32, sig_bits=64).collect()))
+    assert default_big == explicit64_big
+    # full fixture (>= 4 docs) -> auto escalates to the 128-bit lanes
+    auto_big = sorted(map(tuple, simhash_pairs(
+        docs, max_hamming=31, bands=32, sig_bits="auto").collect()))
     explicit128 = sorted(map(tuple, simhash_pairs(
         docs, max_hamming=31, bands=32, sig_bits=128).collect()))
     assert auto_big == explicit128

@@ -103,6 +103,58 @@ def test_upsert_recovers_from_failed_final_write(spark, tmp_path):
     assert not staged_upsert_pending(spark, path)
 
 
+def test_upsert_preserves_noncanonical_partition_values(spark, tmp_path):
+    """String partition values that LOOK numeric ('01', '1.10') must
+    round-trip the staging read verbatim: partition-column type
+    inference would normalize them ('01'->1), making the final
+    overwrite write a differently-named partition directory and leave
+    the old rows in place as duplicates. Regression for the r4
+    advisory — upsert_keys now reads staging with an explicit schema,
+    and crash recovery disables inference."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "01", 10), (2, "01", 20), (3, "1.10", 30)],
+        "k int, day string, v int",
+    )
+    write_partitioned(base, path, ["day"])
+    assert (tmp_path / "t" / "day=01").exists()
+
+    batch = spark.createDataFrame([(1, "01", 111)], "k int, day string, v int")
+    upsert_keys(batch, path, "day", ["k", "day"])
+
+    # No normalized twin directory, and no duplicate key rows. (The
+    # verification read pins the schema too — this test is about what
+    # the SINK wrote, not about read-time inference.)
+    def rows_pinned():
+        return {
+            (r.k, r.day): r.v
+            for r in spark.read.schema("k int, v int, day string")
+            .parquet(path)
+            .collect()
+        }
+
+    assert (tmp_path / "t" / "day=01").exists()
+    assert not (tmp_path / "t" / "day=1").exists()
+    assert rows_pinned() == {(1, "01"): 111, (2, "01"): 20, (3, "1.10"): 30}
+
+    # Crash-recovery lane: stage a merged copy by hand, then recover
+    # WITHOUT a schema in hand — inference must stay disabled.
+    batch2 = spark.createDataFrame([(2, "01", 222)], "k int, day string, v int")
+    existing = (
+        spark.read.schema("k int, v int, day string")
+        .parquet(path)
+        .filter(F.col("day").isin(["01"]))
+    )
+    keep = existing.join(
+        batch2.select("k", "day").distinct(), on=["k", "day"], how="left_anti"
+    )
+    merged = keep.select(*batch2.columns).unionByName(batch2)
+    merged.write.mode("overwrite").partitionBy("day").parquet(path + ".__staging__")
+    recover_staged_upsert(spark, path, "day")
+    assert not (tmp_path / "t" / "day=1").exists()
+    assert rows_pinned() == {(1, "01"): 111, (2, "01"): 222, (3, "1.10"): 30}
+
+
 def test_upsert_read_back_is_partition_pruned(spark, tmp_path):
     path = str(tmp_path / "t")
     write_partitioned(_base(spark), path, ["day"])
