@@ -33,12 +33,30 @@ from pyspark.sql import functions as F
 from ..functions.vectors import as_double
 from ..plans.scale import ensure_parallelism
 
+#: Engine-replayable ("replayable") mode constants — the PageRank
+#: quantization trick (operators/graph.py) applied to Lloyd's:
+#: REPLAY_FP: input coordinates enter the centroid update as
+#: ``floor(x * 10^REPLAY_FP)`` BIGINTs, so per-cluster sums are exact
+#: integer arithmetic — order-independent, hence bit-identical in any
+#: engine — and the mean is ONE double division.
+#: REPLAY_SCORE: assignment scores are compared as
+#: ``floor(score * 10^REPLAY_SCORE)`` BIGINTs; float summation-order
+#: drift (~1e-15) only flips a floored score when the true value sits
+#: within drift of a 1e-9 boundary AND another centroid's score lands
+#: inside that same quantum — two independent ~1e-6-scale
+#: coincidences, so cross-engine divergence probability is ~1e-12 per
+#: (row, centroid). ``floor`` (not ``round``) dodges the
+#: half-even-vs-half-away rounding split between numpy and SQL.
+REPLAY_FP = 6
+REPLAY_SCORE = 9
+
 
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "cluster",
+    replayable: bool = False,
 ) -> DataFrame:
     """Nearest-centroid (squared-L2) assignment, one matmul per Arrow
     batch: dist2 = |x|^2 - 2 x.C^T + |c|^2 and |x|^2 is constant per
@@ -46,7 +64,13 @@ def assign_clusters(
     lowest cluster index (numpy argmin takes the first minimum), so
     assignment is deterministic. Same vectorization rationale as
     ``similarity.plane_signatures``: k*dim interpreted literal-array
-    lambdas per row — per Lloyd's iteration — are the slow path."""
+    lambdas per row — per Lloyd's iteration — are the slow path.
+
+    ``replayable=True`` floors the score to ``REPLAY_SCORE`` decimals
+    before the argmin so an ANSI-SQL engine replaying the same
+    centroids computes the identical assignment (see module
+    constants); the extra ``np.floor`` is one vectorized pass over
+    the k-score matrix — same plan, same single ArrowEvalPython."""
     import numpy as np
 
     cm = np.asarray(centroids, dtype=np.float64)  # (k, dim)
@@ -56,9 +80,10 @@ def assign_clusters(
     def nearest(vecs: pd.Series) -> pd.Series:
         x = np.stack(vecs.to_numpy()).astype(np.float64)
         # argmin_k |x-c|^2 == argmin_k (|c|^2/2 - x.c)
-        return pd.Series(
-            np.argmin(half_c2[None, :] - x @ cm.T, axis=1).astype("int32")
-        )
+        scores = half_c2[None, :] - x @ cm.T
+        if replayable:
+            scores = np.floor(scores * (10.0 ** REPLAY_SCORE))
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
 
     # The function is pure, but downstream equi-joins on the cluster
     # column make Catalyst infer IsNotNull(cluster) and push it into a
@@ -76,6 +101,7 @@ def kmeans_fit(
     max_iter: int = 10,
     id_col: str | None = None,
     tol: float = 1e-9,
+    replayable: bool = False,
 ) -> list[list[float]]:
     """Fit k centroids with Lloyd's iterations; returns the k x dim
     centroid matrix.
@@ -84,6 +110,19 @@ def kmeans_fit(
     smallest ``id_col`` values (or the first k rows if no id is
     given). Empty clusters keep their previous centroid. Stops early
     when the max squared centroid shift drops below ``tol``.
+
+    ``replayable=True`` makes the whole fit a pure, engine-replayable
+    function of (data, parameters): assignment scores are floored to
+    ``REPLAY_SCORE`` decimals, the centroid update sums
+    ``floor(x * 10^REPLAY_FP)`` BIGINTs (exact, order-independent)
+    instead of doubles, each new coordinate is the single double
+    division ``s / (n * 10^REPLAY_FP)``, and early stopping is
+    disabled so the iteration count is part of the contract. The cost
+    is one extra int64 array per row in the update shuffle — the
+    shuffle is still at most ``k * dim`` rows after map-side partial
+    aggregation. This is what gives Lloyd's a TRUE chained-CTE SQL
+    value oracle (see queries q67/q108) rather than a rows-only
+    check.
     """
     init_df = df.orderBy(id_col).limit(k) if id_col else df.limit(k)
     centroids = [
@@ -93,25 +132,34 @@ def kmeans_fit(
         raise ValueError(f"need at least k={k} rows, got {len(centroids)}")
     dim = len(centroids[0])
 
+    fp = float(10 ** REPLAY_FP)
     base = ensure_parallelism(df.select(as_double(vec_col).alias("v"))).persist()
     try:
         for _ in range(max_iter):
+            assigned = assign_clusters(
+                base, centroids, "v", "cluster", replayable=replayable
+            )
+            if replayable:
+                x_col = F.transform("v", lambda x: F.floor(x * F.lit(fp)))
+            else:
+                x_col = F.col("v")
             stats = (
-                assign_clusters(base, centroids, "v", "cluster")
-                .select("cluster", F.posexplode("v").alias("dim", "x"))
+                assigned.select(
+                    "cluster", F.posexplode(x_col).alias("dim", "x")
+                )
                 .groupBy("cluster", "dim")
                 .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
                 .collect()
             )
             new = [list(c) for c in centroids]
             for r in stats:
-                new[r.cluster][r.dim] = r.s / r.n
+                new[r.cluster][r.dim] = r.s / (r.n * fp) if replayable else r.s / r.n
             shift = max(
                 sum((a - b) * (a - b) for a, b in zip(oc, nc))
                 for oc, nc in zip(centroids, new)
             )
             centroids = new
-            if shift < tol:
+            if not replayable and shift < tol:
                 break
     finally:
         base.unpersist()
@@ -125,7 +173,8 @@ def kmeans(
     max_iter: int = 10,
     id_col: str | None = None,
     out_col: str = "cluster",
+    replayable: bool = False,
 ) -> DataFrame:
     """Fit + assign: ``df`` with an ``out_col`` cluster id column."""
-    centroids = kmeans_fit(df, vec_col, k, max_iter, id_col)
-    return assign_clusters(df, centroids, vec_col, out_col)
+    centroids = kmeans_fit(df, vec_col, k, max_iter, id_col, replayable=replayable)
+    return assign_clusters(df, centroids, vec_col, out_col, replayable=replayable)

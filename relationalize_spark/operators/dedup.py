@@ -589,6 +589,7 @@ def semdedup_pairs(
     k: int = 32,
     threshold: float = 0.95,
     max_iter: int = 10,
+    replayable: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): k-means the embedding space,
     then exact within-cluster cosine pairs above ``threshold``.
@@ -618,9 +619,11 @@ def semdedup_pairs(
     """
     from .clustering import assign_clusters, kmeans_fit
 
-    centroids = kmeans_fit(df, vec_col, k=k, max_iter=max_iter, id_col=id_col)
+    centroids = kmeans_fit(
+        df, vec_col, k=k, max_iter=max_iter, id_col=id_col, replayable=replayable
+    )
     ids = ensure_parallelism(
-        assign_clusters(df, centroids, vec_col).select(
+        assign_clusters(df, centroids, vec_col, replayable=replayable).select(
             F.col(id_col).alias("id"), "cluster"
         )
     )

@@ -2012,18 +2012,96 @@ GROUP BY s_suppkey, s_name
 """
 
 
+def _kmeans_replay_ctes(k: int, iters: int, dim: int = 64) -> str:
+    """Chained-CTE DuckDB replay of ``clustering.kmeans(replayable=
+    True)`` — the PageRank-quantization trick (q121) applied to
+    Lloyd's. Ends in ``asg(vec_id, label, cluster)``. Why this is a
+    TRUE value oracle for an iterative float algorithm: centroid
+    updates sum ``floor(x * 10^REPLAY_FP)`` BIGINTs (exact integer
+    arithmetic — order-independent, so bit-identical in any engine)
+    and each coordinate is the single IEEE division
+    ``s / (n * 10^REPLAY_FP)``; assignment compares
+    ``floor(score * 10^REPLAY_SCORE)`` BIGINTs with ties to the
+    lowest cluster, so the ~1e-15 summation-order drift between
+    numpy's matmul and SQL's list_inner_product only diverges when a
+    true score sits within drift of a quantum boundary AND another
+    centroid lands inside that same 1e-9 quantum — two independent
+    coincidences (~1e-12 joint per row x centroid). ``floor`` (not
+    round) dodges numpy-vs-SQL half-rounding semantics."""
+
+    def score(ci: str) -> str:
+        return (
+            f"CAST(floor((0.5 * list_inner_product({ci}.c, {ci}.c)"
+            f" - list_inner_product(v.e, {ci}.c)) * 1000000000.0) AS BIGINT)"
+        )
+
+    parts = [
+        f"""v AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, e AS c
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, f, cluster FROM (
+    SELECT v.vec_id, v.f, c{i}.cluster,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {score(f'c{i}')}, c{i}.cluster) AS rk
+    FROM v CROSS JOIN c{i}
+  ) WHERE rk = 1
+),
+s{i} AS MATERIALIZED (
+  SELECT cluster, di AS dim, sum(f[di + 1]) AS s, count(*) AS n
+  FROM a{i} CROSS JOIN range({dim}) t(di)
+  GROUP BY cluster, di
+),
+c{i + 1} AS MATERIALIZED (
+  SELECT c{i}.cluster, coalesce(u.c, c{i}.c) AS c
+  FROM c{i} LEFT JOIN (
+    SELECT cluster, list(s / (n * 1000000.0) ORDER BY dim) AS c
+    FROM s{i} GROUP BY cluster
+  ) u ON c{i}.cluster = u.cluster
+)"""
+        )
+    parts.append(
+        f"""asg AS MATERIALIZED (
+  SELECT vec_id, label, cluster FROM (
+    SELECT v.vec_id, v.label, c{iters}.cluster,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {score(f'c{iters}')}, c{iters}.cluster) AS rk
+    FROM v CROSS JOIN c{iters}
+  ) WHERE rk = 1
+)"""
+    )
+    return ",\n".join(parts)
+
+
 def q67_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
     """K-means (k=10, 5 Lloyd's iterations, deterministic lowest-id
     init) over the embeddings table, profiled per cluster: size,
     majority ground-truth label, and purity (low here — the synthetic
     embeddings are near-uniform, so geometric clusters don't track
-    labels; the profile reports that honestly). Iterative — no SQL
-    oracle; the driver records a rows-only check (10 rows) and
-    tests/test_clustering.py pins Lloyd's invariants."""
+    labels; the profile reports that honestly). Runs in replayable
+    mode (clustering.py REPLAY_FP/REPLAY_SCORE): integer-exact
+    centroid sums + floored assignment scores make the whole fit a
+    pure engine-replayable function, so as of r5 this iterative
+    algorithm carries a FULL chained-CTE value oracle (the q121
+    PageRank quantization trick) instead of the former rows-only
+    check."""
     from .operators.clustering import kmeans
 
     e = load_table(spark, sf, "embeddings")
-    assigned = kmeans(e, "embedding", k=10, max_iter=5, id_col="vec_id")
+    assigned = kmeans(
+        e, "embedding", k=10, max_iter=5, id_col="vec_id", replayable=True
+    )
     cl = assigned.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
     top = (
@@ -2042,6 +2120,26 @@ def q67_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
         "majority_label",
         (F.col("n_majority").cast("double") / F.col("n_vecs")).alias("purity"),
     )
+
+
+Q67_SQL = (
+    "WITH "
+    + _kmeans_replay_ctes(10, 5)
+    + """,
+cl AS (SELECT cluster, label, count(*) AS n FROM asg GROUP BY cluster, label),
+maj AS (
+  SELECT cluster, label AS majority_label, n AS n_majority FROM (
+    SELECT cluster, label, n,
+      row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label ASC) AS rk
+    FROM cl
+  ) WHERE rk = 1
+),
+tot AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_vecs FROM cl GROUP BY cluster)
+SELECT t.cluster, t.n_vecs, m.majority_label,
+       CAST(m.n_majority AS DOUBLE) / t.n_vecs AS purity
+FROM tot t JOIN maj m ON t.cluster = m.cluster
+"""
+)
 
 
 def q68_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
@@ -3640,14 +3738,42 @@ def q108_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     have no pairs past ~0.5, so the production-style 0.95 threshold
     returned 0 rows at gate scale and the count was a vacuous smoke
     signal; 0.45 matches q32's regime and yields real pairs at both
-    sf0.001 and sf0.01). Rows-only by declared necessity: Lloyd's
-    iterations are not SQL-expressible; the operator's contracts
-    (pair subset of brute force, threshold, determinism) are pinned
-    in tests/test_semdedup.py instead."""
+    sf0.001 and sf0.01). As of r5 this runs the replayable k-means
+    (see q67), so the cell assignment is engine-replayable and the
+    whole operator — assignment + within-cell pairs + 6-dp cosine —
+    carries a FULL value oracle; tests/test_semdedup.py still pins
+    the operator contracts (pair subset of brute force, threshold,
+    determinism)."""
     from .operators.dedup import semdedup_pairs
 
     e = load_table(spark, sf, "embeddings")
-    return semdedup_pairs(e, "vec_id", "embedding", k=16, threshold=0.45)
+    return semdedup_pairs(
+        e, "vec_id", "embedding", k=16, threshold=0.45, replayable=True
+    )
+
+
+Q108_SQL = (
+    "WITH "
+    + _kmeans_replay_ctes(16, 10)
+    + """,
+pairs AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, a.cluster
+  FROM asg a JOIN asg b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT p.i, p.j,
+  round(list_inner_product(va.e, vb.e)
+        / (sqrt(list_inner_product(va.e, va.e))
+           * sqrt(list_inner_product(vb.e, vb.e))), 6) AS cos_sim,
+  p.cluster
+FROM pairs p
+JOIN v va ON p.i = va.vec_id
+JOIN v vb ON p.j = vb.vec_id
+WHERE round(list_inner_product(va.e, vb.e)
+        / (sqrt(list_inner_product(va.e, va.e))
+           * sqrt(list_inner_product(vb.e, vb.e))), 6) >= 0.45
+"""
+)
 
 
 def q109_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
@@ -4361,14 +4487,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-checked (r3 additions): first 19 slots -------------
     "q81_asof_forward": (q81_asof_forward, Q81_SQL),
     "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
-    "q67_kmeans_profile": (q67_kmeans_profile, None),  # Lloyd's: rows-only
+    "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),  # replayable Lloyd's (r5)
     "q94_approx_sketches": (q94_approx_sketches, None),  # engine hash: rows-only
     "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
     "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
     "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
     "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
     "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
-    "q108_semdedup": (q108_semdedup, None),  # k-means: rows-only
+    "q108_semdedup": (q108_semdedup, Q108_SQL),  # replayable k-means (r5)
     "q109_scd2_history": (q109_scd2_history, Q109_SQL),
     "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
     "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
