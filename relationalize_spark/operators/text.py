@@ -1,9 +1,12 @@
 """Text analysis for large-scale document pipelines.
 
-All operators are pure Catalyst expressions (split / regexp /
-higher-order functions) — no Python in the hot path, so they run at
-scan speed over any number of documents. Each has a matching ANSI-SQL
-oracle in :mod:`relationalize_spark.queries`.
+Operators are pure Catalyst expressions (split / regexp /
+higher-order functions) running at scan speed over any number of
+documents — except where an Arrow-batched pandas UDF is measurably
+faster than the interpreted-HOF form (winnowing's gram/minima core),
+the same trade ``dedup.minhash_signature`` makes. Each operator has
+a matching ANSI-SQL oracle in :mod:`relationalize_spark.queries`
+(winnowing via its md5_60 twin, q124).
 
 Operators: tokenization + counts, quality scoring (stopword/digit/
 length signals), n-gram-heuristic language ID, and document
@@ -11,6 +14,8 @@ fingerprinting (normalized md5 + winnowing-style rolling hash).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -162,24 +167,105 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(_c(text), WS, " "))))
 
 
-def winnow_fingerprint(
-    text: Column | str, k: int = 8, window: int = 4, gram_hash: str = "xxhash64"
-) -> Column:
-    """Winnowing-style robust fingerprint: hash all character k-grams,
-    take the min hash of each sliding window, fingerprint = md5 over
-    the distinct sorted window-minima. Local edits only perturb nearby
-    windows, so near-identical documents mostly collide.
+def _winnow_minima_fast(k: int, window: int):
+    """Arrow-batch winnowing core: normalized text in, sorted distinct
+    window-minima (``array<long>``) out. Grams are byte-level rolling
+    polynomials over the UTF-8 bytes (Horner with an odd 64-bit
+    multiplier, wrapping mod 2^64) finished with the splitmix64
+    avalanche, so gram values are well-distributed regardless of the
+    input alphabet; the sliding-window minimum is ``window``
+    ``np.minimum`` passes over shifted views — everything is
+    whole-array numpy, ~k+window vector ops per document instead of
+    ~13 interpreted lambda evaluations per character (the r4 JVM
+    form). Signed-int64 minima keep ``least``-compatible ordering.
 
-    ``gram_hash='md5_60'`` swaps the k-gram hash for 60 bits of md5
-    (slower; exists in every SQL engine) — with it the whole
-    fingerprint, including the final ``md5(to_json(sorted minima))``
-    (both engines render a bigint list as ``[1,2,3]``), replays
-    verbatim in DuckDB: q124's full value oracle. xxhash64 stays the
-    production default (q33, rows-only). (A char-level polynomial
-    rolling hash — the shingle_hashes design — was tried and measured
-    2.4× SLOWER despite ~k× less hashing: per-element interpreted
-    zip_with overhead dominates, and it needs 16 lane folds vs the
-    7 concat folds here.)"""
+    Scale shape: one Arrow transfer of the normalized strings per
+    batch (no per-char hash arrays crossing the boundary), zero
+    shuffles — fuses into the scan like every other text operator.
+    """
+    import numpy as np
+
+    mult = np.uint64(0x9E3779B97F4A7C15)  # odd golden-gamma multiplier
+
+    def mix64(x: "np.ndarray") -> "np.ndarray":
+        # splitmix64 finalizer (public domain constant set): full
+        # avalanche so low-entropy ASCII bytes still give uniform
+        # 64-bit gram values.
+        x = x ^ (x >> np.uint64(30))
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x = x ^ (x >> np.uint64(27))
+        x = x * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    @F.pandas_udf("array<long>")
+    def minima(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if s is None:
+                out.append(None)
+                continue
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            n = b.size
+            if n >= k:
+                g = b[: n - k + 1].copy()
+                for j in range(1, k):
+                    g *= mult
+                    g += b[j : j + n - k + 1]
+            else:
+                # short doc: one whole-text gram (matches the legacy
+                # paths' greatest(n_grams, 1) fallback)
+                acc = np.uint64(0)
+                for v in b:
+                    acc = acc * mult + v
+                g = np.array([acc], dtype=np.uint64)
+            gi = mix64(g).view(np.int64)
+            nw = gi.size - (window - 1)
+            if nw >= 1:
+                m = gi[:nw].copy()
+                for j in range(1, window):
+                    np.minimum(m, gi[j : j + nw], out=m)
+            else:
+                m = gi.min(keepdims=True)
+            out.append(np.unique(m).tolist())
+        return pd.Series(out)
+
+    return minima
+
+
+def winnow_fingerprint(
+    text: Column | str, k: int = 8, window: int = 4, gram_hash: str = "fast64"
+) -> Column:
+    """Winnowing-style robust fingerprint: hash all k-grams of the
+    normalized text, take the min hash of each sliding window,
+    fingerprint = md5 over the distinct sorted window-minima. Local
+    edits only perturb nearby windows, so near-identical documents
+    mostly collide.
+
+    ``gram_hash`` picks the gram-hash stage:
+
+    - ``'fast64'`` (production default as of r5): byte-level rolling
+      grams + sliding minima computed in ONE vectorized numpy pass
+      per Arrow batch (:func:`_winnow_minima_fast`) — the
+      minhash_signature treatment (dedup.py) applied here. The two
+      prior JVM formulations were interpreted-HOF-bound: ~13
+      per-element lambda evaluations per char (k concat folds + hash
+      + window least folds); a JVM char-level rolling hash was also
+      tried and measured 2.4× SLOWER than the concat folds
+      (per-element zip_with overhead dominates — commit-logged
+      negative result). The Arrow batch path does the same
+      arithmetic as ~k+window whole-array numpy ops.
+    - ``'xxhash64'``: the r2-r4 production path (JVM concat-fold gram
+      strings + xxhash64), kept bit-stable for continuity.
+    - ``'md5_60'``: 60 bits of md5 per gram string (slowest; exists
+      in every SQL engine) — with it the whole fingerprint,
+      including the final ``md5(to_json(sorted minima))`` (both
+      engines render a bigint list as ``[1,2,3]``), replays verbatim
+      in DuckDB: q124's full value oracle. The twin that proves the
+      window/minima/md5 machinery value-level while fast64/xxhash64
+      stay rows-only (q33)."""
+    if gram_hash == "fast64":
+        t = F.lower(F.trim(F.regexp_replace(_c(text), WS, " ")))
+        return F.md5(F.to_json(_winnow_minima_fast(k, window)(t)))
     t = F.lower(F.trim(F.regexp_replace(_c(text), WS, " ")))
     chars = F.split(t, "")
     n_chars = F.size(chars)
@@ -216,7 +302,7 @@ def winnow_fingerprint(
         grams = F.transform(gram_strs, lambda g: gh(g))
     else:
         raise ValueError(
-            f"gram_hash must be 'xxhash64' or 'md5_60', got {gram_hash!r}"
+            f"gram_hash must be 'fast64', 'xxhash64' or 'md5_60', got {gram_hash!r}"
         )
     # Sliding-window minima WITHOUT capturing `grams` inside a
     # per-window lambda: Catalyst does no CSE inside higher-order
@@ -502,45 +588,56 @@ def chunk_documents(
     (id, chunk_id, chunk_text, n_tokens).
 
     Windows start every ``chunk_tokens - overlap`` tokens; the last
-    window is the remainder (>= 1 token, possibly shorter). Pure
-    Catalyst: tokens -> sequence of window starts -> slice/join ->
-    posexplode, so chunking fuses into the scan — no Python, no
-    shuffle, output rows ~ tokens / (chunk_tokens - overlap) per doc.
+    window is the remainder (>= 1 token, possibly shorter).
 
-    Cost bound: the per-start lambda captures the token array, which
-    Catalyst re-evaluates per chunk (no CSE inside HOF lambdas) —
-    cost ~ n_tokens^2 / step per document. Unlike the n-gram/segment
-    shapes (stride 1 and 10 — fixed to linear in r4), the stride here
-    IS the large chunk size, so the quadratic term only matters for
-    documents of ~10^5+ tokens; chunk such corpora after a length
-    screen, or raise ``chunk_tokens``. (The linear zip_with-fold fix
-    is off the table here: it would nest ``chunk_tokens`` deep in the
-    expression tree.)
+    Arrow-batch formulation (r5): one pandas UDF splits, windows, and
+    rejoins per batch, then ``F.inline`` explodes the returned
+    ``array<struct>``. Output-identical to the original Catalyst form
+    (the split regex is the exact Java ``\\s`` class, so token
+    boundaries match Spark's ``split``) and measured 46× faster at
+    20k-token documents — the Catalyst form captured the token array
+    in the per-start lambda, which Catalyst re-evaluates per chunk
+    (no CSE inside HOF lambdas): ~n²/step per document. The r4
+    zip_with strided-fold cure was ALSO tried and measured 2.7-5.8×
+    SLOWER than even the quadratic form at 2k-20k tokens (the
+    ``chunk/g × g`` fold constant: every window prefix is rebuilt at
+    every fold depth) — commit-logged negative result; chunking's
+    output is a near-copy of the text, so the string assembly belongs
+    in Python/Arrow, not in an expression fold. No shuffle; chunking
+    still fuses into the scan (scan -> ArrowEvalPython -> generate).
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    import math
+    import re
+
     step = chunk_tokens - overlap
-    toks = tokens(text_col)
-    n = F.size(toks)
-    # window starts: 1, 1+step, ... while start <= max(n - overlap, 1)
-    # (a start past n - overlap would produce a pure-overlap chunk)
-    last_start = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
-    starts = F.sequence(
-        F.lit(0), F.ceil(last_start.cast("double") / step).cast("long") * step, F.lit(step)
-    )
-    pieces = F.transform(
-        starts, lambda s: F.slice(toks, s + 1, chunk_tokens)
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(pieces).alias("chunk_id", "piece"),
-    ).filter(F.size("piece") > 0)
-    return base.select(
-        "id",
-        "chunk_id",
-        F.array_join("piece", " ").alias("chunk_text"),
-        F.size("piece").cast("long").alias("n_tokens"),
-    )
+    # Exact Java-regex \s class (ASCII-only, \x0b = Java \x0B): token
+    # boundaries — and so chunk contents — match F.split(text, '\s+')
+    # byte-for-byte, which is what the q77 DuckDB oracle replays.
+    ws_java = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @F.pandas_udf("array<struct<chunk_id:int,chunk_text:string,n_tokens:bigint>>")
+    def chunks(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if s is None:
+                # null text -> no chunks (inline drops the row), same
+                # as posexplode over a null array in the old form
+                out.append(None)
+                continue
+            toks = ws_java.split(s)
+            n = len(toks)
+            smax = math.ceil(max(n - chunk_tokens, 0) / step) * step
+            rows = []
+            for cid, st in enumerate(range(0, smax + 1, step)):
+                piece = toks[st:st + chunk_tokens]
+                if piece:
+                    rows.append((cid, " ".join(piece), len(piece)))
+            out.append(rows)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), F.inline(chunks(text_col)))
 
 
 def pack_shards(

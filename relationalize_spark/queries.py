@@ -922,17 +922,20 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45
 
 
 def q33_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints. xxhash64-based — no SQL
-    oracle (rows-only check); robustness is unit-tested, and q124
-    value-proves the same machinery via the md5_60 gram hash. Pinned
-    to gram_hash='xxhash64' so the registered fingerprint values stay
-    stable across rounds (the library default is the faster poly62)."""
+    """Winnowing rolling-hash fingerprints, production path — the
+    r5 'fast64' Arrow-batch core (text.py:_winnow_minima_fast): one
+    vectorized numpy pass per batch instead of ~13 interpreted HOF
+    lambda evaluations per character. No SQL oracle (rows-only
+    check — one row per document, so the count contract is
+    hash-family-independent); robustness is unit-tested, and q124
+    value-proves the same window/minima/md5 machinery via the md5_60
+    gram hash."""
     from .operators import text as TX
 
     d = ensure_parallelism(load_table(spark, sf, "documents"))
     return d.select(
         "doc_id",
-        TX.winnow_fingerprint("text", gram_hash="xxhash64").alias("winnow_fp"),
+        TX.winnow_fingerprint("text").alias("winnow_fp"),
     )
 
 

@@ -210,8 +210,46 @@ def test_winnow_fingerprint_robust_to_case_and_ws(spark):
         [(1, "The Quick   Brown Fox"), (2, "the quick brown fox")],
         "id long, text string",
     )
-    fps = [r.fp for r in df.select(TX.winnow_fingerprint("text").alias("fp")).collect()]
-    assert fps[0] == fps[1]
+    for gh in ("fast64", "xxhash64", "md5_60"):
+        fps = [
+            r.fp
+            for r in df.select(
+                TX.winnow_fingerprint("text", gram_hash=gh).alias("fp")
+            ).collect()
+        ]
+        assert fps[0] == fps[1], gh
+
+
+def test_winnow_fast64_edge_cases_and_determinism(spark):
+    """The r5 Arrow-batch production path: null text -> null
+    fingerprint, empty and shorter-than-k texts still fingerprint
+    (single whole-text gram, like the legacy paths' fallback),
+    distinct documents get distinct fingerprints, and the value is a
+    pure function of the text — identical across partitionings."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "abc"),  # < k chars
+        (4, "a perfectly ordinary sentence about winnowing documents"),
+        (5, "a perfectly ordinary sentence about winnowing documents"),
+        (6, "an entirely different body of text with other words"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    fp = {
+        r.id: r.fp
+        for r in df.select("id", TX.winnow_fingerprint("text").alias("fp")).collect()
+    }
+    assert fp[1] is None
+    assert fp[2] is not None and fp[3] is not None
+    assert fp[4] == fp[5]
+    assert fp[4] != fp[6]
+    fp_repart = {
+        r.id: r.fp
+        for r in df.repartition(7)
+        .select("id", TX.winnow_fingerprint("text").alias("fp"))
+        .collect()
+    }
+    assert fp_repart == fp
 
 
 def test_ivf_recall_on_clustered_data(spark):
