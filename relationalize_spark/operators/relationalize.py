@@ -51,6 +51,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, MapType, StructType
 
+try:  # Spark >= 4: VARIANT columns carry per-row dynamic JSON typing
+    from pyspark.sql.types import VariantType
+except ImportError:  # pragma: no cover - older Spark
+    class VariantType:  # type: ignore[no-redef]
+        pass
+
 DELIM = "_"
 RID = f"{DELIM}rid{DELIM}"      # column suffix: {path}__rid_
 VAL = f"{DELIM}val{DELIM}"      # column suffix: {path}__val_
@@ -91,6 +97,133 @@ def _hash_rid(table: str, path: str) -> Column:
     return F.concat(F.lit("R"), F.lit(DELIM), F.md5(seed))
 
 
+def _is_arr(c: str) -> Column:
+    return F.schema_of_variant(F.col(_q(c))).startswith("ARRAY")
+
+
+def _is_obj(c: str) -> Column:
+    return F.schema_of_variant(F.col(_q(c))).startswith("OBJECT")
+
+
+def _obj_prefix(c: str) -> str:
+    """Flatten prefix for a variant column's object branch. The
+    reference flattens an exploded element dict with the ARRAY PATH as
+    prefix (``recs`` -> ``recs_p``, reference relationalize.py:95-119),
+    and this engine parks exploded variant elements in ``{path}__val_``
+    — so the element-column suffix is stripped before prefixing, while
+    a top-level dynamic key keeps its own name (``b`` -> ``b_k``)."""
+    suffix = f"{DELIM}{VAL}"  # "__val_"
+    return c[: -len(suffix)] if c.endswith(suffix) else c
+
+
+def _expand_variants(tdf: DataFrame) -> tuple[DataFrame, dict[str, bool]]:
+    """Per-row dynamic typing for VARIANT columns — the reference's
+    row-walk semantics (reference relationalize.py:48-119) recovered
+    on top of plan-time relationalize.
+
+    A VARIANT column exists exactly where the corpus-wide schema merge
+    conflicted (e.g. ``b`` is a list in one row, a scalar in another,
+    an object in a third). The reference handles that per row; a
+    static plan cannot — unless the plan itself is derived from the
+    data. This function runs ONE combined aggregate job per nesting
+    level over all variant columns at that level, computing per
+    column: does any row hold an array / an object / a scalar, plus
+    the merged schema of the object rows only. It then
+
+    - flattens the object branch into ``{prefix}_{field}`` columns
+      (conflicted fields come back as VARIANT and are handled by the
+      next loop iteration — nesting depth bounds the iteration),
+    - keeps the scalar + array branches in the original column (the
+      array branch is split out by the caller's normal child-table
+      machinery, elements staying VARIANT so grandchildren recurse),
+    - drops the column entirely when no row holds a scalar or array
+      (the reference's flatten consumes pure-object keys — no column
+      remains).
+
+    Returns the expanded frame and ``{column: has_array_branch}``.
+
+    Scale shape: the aggregate is a scan + partial-agg (flags are
+    ``max`` of codegen'd predicates; the object-schema merge is the
+    same ``schema_of_variant_agg`` the top-level pass uses) and runs
+    only when conflicted leaves exist at this level. The pipeline's
+    persisted parsed input (sources/jsonl.py) keeps these passes from
+    re-parsing JSON.
+    """
+    from ..sources.jsonl import _cast_ddl, parse_variant_schema
+
+    arr_flags: dict[str, bool] = {}
+    analyzed: set[str] = set()
+    while True:
+        tdf = _flatten_structs(tdf)
+        vcols = [
+            f.name
+            for f in tdf.schema.fields
+            if isinstance(f.dataType, VariantType)
+            and f.name != _ROW_KEY
+            and f.name not in analyzed
+        ]
+        if not vcols:
+            return tdf, arr_flags
+        aggs = []
+        for i, c in enumerate(vcols):
+            scalar = (
+                (~_is_arr(c)) & (~_is_obj(c)) & F.col(_q(c)).isNotNull()
+            )
+            aggs.append(
+                F.max(_is_arr(c).cast("int")).alias(f"__a{i}__")
+            )
+            aggs.append(
+                F.max(_is_obj(c).cast("int")).alias(f"__o{i}__")
+            )
+            aggs.append(F.max(scalar.cast("int")).alias(f"__s{i}__"))
+            aggs.append(
+                F.schema_of_variant_agg(
+                    F.when(_is_obj(c), F.col(_q(c)))
+                ).alias(f"__os{i}__")
+            )
+        stats = tdf.agg(*aggs).first()
+
+        keep: dict[str, Column] = {}
+        obj_tmp: dict[str, str] = {}  # tmp struct col -> flatten prefix
+        idx = {c: i for i, c in enumerate(vcols)}
+        for f in tdf.schema.fields:
+            c = f.name
+            if c not in idx:
+                keep[c] = F.col(_q(c))
+                continue
+            i = idx[c]
+            any_arr = bool(stats[f"__a{i}__"])
+            any_obj = bool(stats[f"__o{i}__"])
+            any_scalar = bool(stats[f"__s{i}__"])
+            analyzed.add(c)
+            if any_arr or any_scalar:
+                # strip the object branch; arrays/scalars stay put
+                keep[c] = F.when(~_is_obj(c), F.col(_q(c)))
+                arr_flags[c] = any_arr
+            if any_obj:
+                node = parse_variant_schema(stats[f"__os{i}__"])
+                if node.kind == "object" and node.fields:
+                    tmp = f"__vobj{DELIM}{i}__"
+                    keep[tmp] = F.try_variant_get(
+                        F.col(_q(c)), "$", _cast_ddl(node)
+                    )
+                    obj_tmp[tmp] = _obj_prefix(c)
+        tdf = tdf.select(*[col.alias(n) for n, col in keep.items()])
+        if obj_tmp:
+            cols: dict[str, Column] = {}
+            for f in tdf.schema.fields:
+                if f.name in obj_tmp:
+                    prefix = obj_tmp[f.name]
+                    for sub in f.dataType.fields:  # type: ignore[union-attr]
+                        flat = f"{prefix}{DELIM}{sub.name}"
+                        cols[flat] = F.col(
+                            f"{_q(f.name)}.{_q(sub.name)}"
+                        ).alias(flat)
+                else:
+                    cols[f.name] = F.col(_q(f.name))
+            tdf = tdf.select(*[c.alias(n) for n, c in cols.items()])
+
+
 def relationalize(
     df: DataFrame,
     name: str,
@@ -123,6 +256,27 @@ def relationalize(
     return out
 
 
+def _union_aligned(a: DataFrame, b: DataFrame) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` that first lifts
+    columns whose types disagree between the two sides to VARIANT —
+    the same branch-vs-branch type conflict the per-row dynamic walk
+    creates (one parent's merged object schema saw only BIGINTs at a
+    field, the other saw mixed types and kept VARIANT). The type
+    inference step downstream tags variant scalars identically, so
+    the lift is observationally free."""
+    at = {f.name: f.dataType for f in a.schema.fields}
+    bt = {f.name: f.dataType for f in b.schema.fields}
+    conflicted = [c for c in at if c in bt and at[c] != bt[c]]
+    if conflicted:
+        a = a.withColumns(
+            {c: F.col(_q(c)).cast("variant") for c in conflicted}
+        )
+        b = b.withColumns(
+            {c: F.col(_q(c)).cast("variant") for c in conflicted}
+        )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 def _process(
     tdf: DataFrame,
     table: str,
@@ -133,13 +287,18 @@ def _process(
 ) -> None:
     if depth_left <= 0:
         raise ValueError(f"nesting exceeds max_depth while planning table {table!r}")
-    tdf = _flatten_structs(tdf)
+    tdf, var_arr = _expand_variants(tdf)
 
     array_paths = [
         f.name
         for f in tdf.schema.fields
         if isinstance(f.dataType, ArrayType) and f.name != _ROW_KEY
     ]
+    # VARIANT columns whose rows include arrays: per-row dynamic
+    # split-out (the reference's row-walk — a key can be a list in one
+    # row and a scalar in another; the scalar rows keep their value,
+    # the list rows get a rid into the child table).
+    variant_array_paths = [c for c, has_arr in var_arr.items() if has_arr]
     # Spark-native extension (the reference's JSON model has no maps):
     # a MapType column — the dynamic-keys object — splits out exactly
     # like an array, into a child table of (rid, index, key, value)
@@ -150,10 +309,12 @@ def _process(
         for f in tdf.schema.fields
         if isinstance(f.dataType, MapType) and f.name != _ROW_KEY
     ]
-    link_paths = array_paths + map_paths
+    link_paths = array_paths + map_paths + variant_array_paths
 
     # Materialize one rid column per array/map path on the working
-    # frame so parent and child plans agree on the value.
+    # frame so parent and child plans agree on the value. A variant
+    # path gets its rid only on rows where the value actually IS an
+    # array (other rows keep their scalar).
     rid_col = {p: f"__rid{DELIM}{i}__" for i, p in enumerate(link_paths)}
     for p in link_paths:
         if rid_mode == "hash":
@@ -162,9 +323,8 @@ def _process(
             rid = F.concat(
                 F.lit("R"), F.lit(DELIM), F.regexp_replace(F.expr("uuid()"), "-", "")
             )
-        tdf = tdf.withColumn(
-            rid_col[p], F.when(F.col(_q(p)).isNotNull(), rid)
-        )
+        has_rid = _is_arr(p) if p in variant_array_paths else F.col(_q(p)).isNotNull()
+        tdf = tdf.withColumn(rid_col[p], F.when(has_rid, rid))
     if rid_mode == "uuid" and link_paths:
         # uuid() is nondeterministic: parent and child are separate
         # actions, so pin the values once.
@@ -174,11 +334,37 @@ def _process(
     for f in tdf.schema.fields:
         if f.name == _ROW_KEY or f.name in rid_col.values():
             continue
-        if f.name in rid_col:
+        if f.name in variant_array_paths:
+            # dynamic column: list rows -> rid (as a VARIANT string so
+            # the column stays one type), scalar rows keep their value
+            # — the reference's row-walk output exactly; the rid later
+            # lands in the choice column's `_str` lane like any other
+            # observed string.
+            ridv = F.parse_json(
+                F.concat(F.lit('"'), F.col(_q(rid_col[f.name])), F.lit('"'))
+            )
+            parent_cols.append(
+                F.when(F.col(_q(rid_col[f.name])).isNotNull(), ridv)
+                .otherwise(F.col(_q(f.name)))
+                .alias(f.name)
+            )
+        elif f.name in rid_col:
             parent_cols.append(F.col(_q(rid_col[f.name])).alias(f.name))
         else:
             parent_cols.append(F.col(_q(f.name)))
-    out[table] = tdf.select(*parent_cols)
+    parent_df = tdf.select(*parent_cols)
+    if table in out:
+        # The same flattened path can surface from different parents
+        # (e.g. key "b_items" both as an object-branch field of a
+        # top-level "b" object and as a field of "b"'s list elements
+        # — both name the child table {root}_b_items). The reference
+        # APPENDS to one output file per table name (reference
+        # relationalize.py:57-66, outputs keyed by name), so
+        # same-named tables union; missing columns null-fill, exactly
+        # like the reference's absent keys.
+        out[table] = _union_aligned(out[table], parent_df)
+    else:
+        out[table] = parent_df
 
     for p in array_paths:
         elem_type = next(
@@ -197,9 +383,18 @@ def _process(
             ":", F.col(_q(rid_name)), F.col(_q(index_name)).cast("string")
         )
         if isinstance(elem_type, StructType):
+            # A user field named `_rid_`/`_index_` inside a list-element
+            # dict would flatten to exactly the generated child columns
+            # (`{p}__rid_`/`{p}__index_`). The reference resolves this
+            # by mutating its injected keys INTO the element dict
+            # (reference relationalize.py:82-93 — last write wins, so
+            # the generated values overwrite the user's); mirror that
+            # by dropping the colliding user fields rather than
+            # failing analysis with an ambiguous reference.
             elem_cols = [
                 F.col(f"{_q(_ELEM)}.{_q(sub.name)}").alias(f"{p}{DELIM}{sub.name}")
                 for sub in elem_type.fields
+                if f"{p}{DELIM}{sub.name}" not in (rid_name, index_name)
             ]
         else:
             # scalar or nested array element: value column {p}__val_;
@@ -207,6 +402,30 @@ def _process(
             elem_cols = [F.col(_q(_ELEM)).alias(f"{p}{DELIM}{VAL}")]
         child = exploded.select(
             *elem_cols,
+            F.col(_q(rid_name)),
+            F.col(_q(index_name)),
+            child_key.alias(_ROW_KEY),
+        )
+        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1)
+
+    for p in variant_array_paths:
+        rid_name = f"{p}{DELIM}{RID}"
+        index_name = f"{p}{DELIM}{INDEX}"
+        exploded = tdf.where(_is_arr(p)).select(
+            F.col(_q(rid_col[p])).alias(rid_name),
+            F.posexplode(
+                F.try_variant_get(F.col(_q(p)), "$", "array<variant>")
+            ).alias(index_name, _ELEM),
+        )
+        child_key = F.concat_ws(
+            ":", F.col(_q(rid_name)), F.col(_q(index_name)).cast("string")
+        )
+        # elements stay VARIANT: the child's _expand_variants spreads
+        # object elements into `{p}_{field}` columns and keeps
+        # scalar/array elements in `{p}__val_` — per-row, like the
+        # reference's recursion.
+        child = exploded.select(
+            F.col(_q(_ELEM)).alias(f"{p}{DELIM}{VAL}"),
             F.col(_q(rid_name)),
             F.col(_q(index_name)),
             child_key.alias(_ROW_KEY),
