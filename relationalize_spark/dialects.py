@@ -26,6 +26,12 @@ class SQLDialect:
         'CREATE TABLE IF NOT EXISTS "{schema}"."{table}" (\n    {columns}\n);'
     )
     quote: str = '"'
+    #: Overrides for ``createTableColumnTypes`` (sinks/jdbc.py): that
+    #: option is parsed by SPARK's SQL parser, so entries must be
+    #: Spark-parseable type names; the JDBC dialect then maps them to
+    #: engine DDL itself (e.g. Derby: STRING -> CLOB). Only needed
+    #: where ``type_map`` uses an engine-only name like CLOB/BLOB.
+    jdbc_overrides: dict[str, str] = field(default_factory=dict)
 
     def column_def(self, column: str, tag: str) -> str:
         sql_type = self.type_map[tag]
@@ -147,6 +153,26 @@ BIGQUERY = SQLDialect(
     quote="`",
 )
 
+DERBY = SQLDialect(
+    name="derby",
+    type_map={
+        T.INT: "BIGINT",
+        T.FLOAT: "DOUBLE",
+        # CLOB, not VARCHAR: Spark's built-in DerbyDialect binds
+        # StringType parameters (incl. setNull) as CLOB, and Derby
+        # rejects CLOB bindings against a VARCHAR column — verified by
+        # executing the lane (tests/test_jdbc_derby.py). Derby's
+        # VARCHAR also caps at 32672, which CLOB sidesteps.
+        T.STR: "CLOB",
+        T.BOOL: "BOOLEAN",
+        T.DATETIME: "TIMESTAMP",
+        T.DATE: "DATE",
+        T.BINARY: "BLOB",
+        T.NONE: "BOOLEAN",
+    },
+    jdbc_overrides={T.STR: "STRING", T.BINARY: "BINARY"},
+)
+
 SQLITE = SQLDialect(
     name="sqlite",
     type_map={
@@ -165,6 +191,6 @@ SQLITE = SQLDialect(
 
 DIALECTS = {
     d.name: d
-    for d in (POSTGRES, REDSHIFT, DUCKDB, SPARK_SQL, MYSQL, BIGQUERY, SQLITE)
+    for d in (POSTGRES, REDSHIFT, DUCKDB, SPARK_SQL, MYSQL, BIGQUERY, SQLITE, DERBY)
 }
 DEFAULT_DIALECT = POSTGRES

@@ -12,11 +12,19 @@ This container has no image codec libraries; what is real vs stubbed:
   and resize with pure-numpy bilinear/nearest sampling — actual
   pixels, no PIL. ``audio_features`` decodes PCM WAV via the stdlib
   ``wave`` module. Compressed payloads (JPEG/PNG/MP3) yield NULL
-  rather than failing the job; swap PIL/ffmpeg into ``decode_raster``
-  / ``_decode_wav_pcm`` where available.
-- STUB (clearly marked): ``image_features``' ``_fake_decode``
-  byte-arithmetic path (kept for the SQL-oracle-checkable driver
-  query q35) and ``sample_frames``' chunk-split keyframe fake.
+  rather than failing the job.
+- GUARDED-REAL (r5): ``image_features(decoder="auto")`` decodes with
+  PIL when it is importable on the executors (``_pil_decode``), and
+  ``sample_frames(mode="auto")`` extracts real keyframes via PyAV
+  (``_av_keyframes``); neither library ships in this container, so
+  here both fall back per-payload to the deterministic paths below —
+  the library-present branches are exercised in tests through
+  injected fake modules.
+- STUB (clearly marked, also selectable explicitly for
+  engine-replayable oracles): ``image_features``' ``_fake_decode``
+  byte-arithmetic path (pinned by the driver query q35 via
+  ``decoder="stub"``) and ``sample_frames``' chunk-split keyframe
+  fake (``mode="chunk"``).
 
 The Spark-side contract — schemas, Arrow batching, column pruning
 before the Python boundary, executor parallelism — is identical for
@@ -62,14 +70,54 @@ def _fake_decode(data: bytes) -> tuple[int, int, float, list[float]]:
     return width, height, mean_byte, features
 
 
+def _pil_decode(Image, data: bytes) -> tuple[int, int, float, list[float]]:
+    """Real compressed-image decode via PIL (guarded optional import —
+    absent in this container, exercised in tests through an injected
+    fake module): width/height from the codec, mean and 8-bucket
+    normalized histogram over the grayscale pixels. Same output
+    contract as :func:`_fake_decode`."""
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(data)) as im:
+        g = np.asarray(im.convert("L"), dtype=np.uint8)
+    hist = np.bincount(g.ravel() >> 5, minlength=FEATURE_DIM)[:FEATURE_DIM]
+    total = max(int(g.size), 1)
+    return (
+        int(g.shape[1]),
+        int(g.shape[0]),
+        float(g.mean()) if g.size else 0.0,
+        (hist / total).astype(float).tolist(),
+    )
+
+
+def _load_pil():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def image_features(
     df: DataFrame,
     binary_col: str = "content",
     id_cols: tuple[str, ...] = ("doc_id",),
+    decoder: str = "auto",
 ) -> DataFrame:
     """Decode + featurize a binary image column. One Python pass over
     Arrow batches; upstream columns are pruned to ids + payload before
-    the Python boundary so only necessary bytes cross it."""
+    the Python boundary so only necessary bytes cross it.
+
+    ``decoder``: ``"auto"`` uses PIL when importable on the executors
+    (real codec decode, per-payload fallback to the stub on corrupt
+    bytes so rows never fail the job), ``"pil"`` requires it,
+    ``"stub"`` pins the deterministic byte-derived geometry — the
+    engine-replayable mode q35's SQL oracle replays."""
+    if decoder not in ("auto", "pil", "stub"):
+        raise ValueError(f"decoder must be auto|pil|stub, got {decoder!r}")
     src = df.select(*id_cols, binary_col)
     id_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -79,9 +127,21 @@ def image_features(
     out_schema = f"{id_schema}, {IMAGE_FEATURES_FIELDS}"
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _load_pil() if decoder in ("auto", "pil") else None
+        if decoder == "pil" and Image is None:
+            raise ImportError("decoder='pil' but PIL is not importable")
+
+        def one(data: bytes):
+            if Image is not None:
+                try:
+                    return _pil_decode(Image, data)
+                except Exception:
+                    return _fake_decode(data)  # corrupt payload: keep the row
+            return _fake_decode(data)
+
         for pdf in batches:
             decoded = [
-                _fake_decode(bytes(b)) if b is not None else (None, None, None, None)
+                one(bytes(b)) if b is not None else (None, None, None, None)
                 for b in pdf[binary_col]
             ]
             out = pdf[list(id_cols)].copy()
@@ -97,16 +157,51 @@ def image_features(
     return src.mapInPandas(decode_batches, schema=out_schema)
 
 
+def _load_av():
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
+
+
+def _av_keyframes(av, data: bytes, n_frames: int) -> list[bytes]:
+    """Real keyframe extraction via PyAV (guarded optional import —
+    absent in this container; exercised in tests through an injected
+    fake module): decode only keyframes (``skip_frame=NONKEY``) and
+    return up to ``n_frames`` of them as raw RGB24 byte planes."""
+    import io
+
+    frames: list[bytes] = []
+    with av.open(io.BytesIO(data)) as container:
+        stream = container.streams.video[0]
+        stream.codec_context.skip_frame = "NONKEY"
+        for frame in container.decode(stream):
+            frames.append(frame.to_ndarray(format="rgb24").tobytes())
+            if len(frames) >= n_frames:
+                break
+    return frames
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "content",
     id_cols: tuple[str, ...] = ("doc_id",),
     n_frames: int = 4,
+    mode: str = "auto",
 ) -> DataFrame:
-    """Fake video frame sampling: splits the payload into n_frames
-    equal chunks (STUB for real keyframe extraction); output is one
-    row per (item, frame_idx) with the frame bytes — the row-explosion
-    plumbing a real sampler needs."""
+    """Video frame sampling: one output row per (item, frame_idx)
+    with the frame bytes — the row-explosion plumbing a real sampler
+    needs.
+
+    ``mode``: ``"auto"`` extracts real keyframes via PyAV when it is
+    importable on the executors (per-payload fallback to chunking on
+    undecodable bytes), ``"av"`` requires PyAV, ``"chunk"`` pins the
+    deterministic stub (payload split into ``n_frames`` equal chunks
+    — the engine-replayable mode)."""
+    if mode not in ("auto", "av", "chunk"):
+        raise ValueError(f"mode must be auto|av|chunk, got {mode!r}")
     src = df.select(*id_cols, binary_col)
     id_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -116,13 +211,26 @@ def sample_frames(
     out_schema = f"{id_schema}, frame_idx int, frame binary, frame_bytes int"
 
     def split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = _load_av() if mode in ("auto", "av") else None
+        if mode == "av" and av is None:
+            raise ImportError("mode='av' but PyAV is not importable")
+
+        def frames_of(data: bytes) -> list[bytes]:
+            if av is not None:
+                try:
+                    got = _av_keyframes(av, data, n_frames)
+                    if got:
+                        return got
+                except Exception:
+                    pass  # undecodable payload: fall through to chunks
+            step = max(len(data) // n_frames, 1)
+            return [data[i * step : (i + 1) * step] for i in range(n_frames)]
+
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row[binary_col]) if row[binary_col] is not None else b""
-                step = max(len(data) // n_frames, 1)
-                for i in range(n_frames):
-                    chunk = data[i * step : (i + 1) * step]
+                for i, chunk in enumerate(frames_of(data)):
                     rows.append(
                         {
                             **{c: row[c] for c in id_cols},

@@ -980,7 +980,10 @@ def q35_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
-    feats = image_features(d, binary_col="content", id_cols=("doc_id",))
+    # decoder pinned to the deterministic stub so the oracle replays
+    # regardless of whether PIL happens to be importable (r5: "auto"
+    # uses a real codec when present).
+    feats = image_features(d, binary_col="content", id_cols=("doc_id",), decoder="stub")
     return feats.select("doc_id", "n_bytes", "width", "height")
 
 

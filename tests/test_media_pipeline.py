@@ -58,3 +58,134 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     )
     af = spark.read.parquet(str(out / "audio_features")).first()
     assert af.sample_rate == 8000 and af.n_samples == 800 and af.rms > 0.1
+
+
+# -- guarded optional codecs (r5) ------------------------------------------
+
+def test_pil_decode_via_injected_module():
+    """The library-present branch of image_features: _pil_decode run
+    against a minimal fake PIL Image module (the container has no
+    PIL). Verifies the geometry/mean/histogram contract on known
+    pixels."""
+    from relationalize_spark.operators.multimodal import FEATURE_DIM, _pil_decode
+
+    class FakeGray:
+        def __init__(self, arr):
+            self._a = arr
+
+        def __array__(self, dtype=None):
+            a = np.asarray(self._a)
+            return a.astype(dtype) if dtype is not None else a
+
+    class FakeIm:
+        def __init__(self, arr):
+            self._a = arr
+
+        def convert(self, mode):
+            assert mode == "L"
+            return FakeGray(self._a)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    arr = np.array([[0, 32, 64], [96, 128, 255]], dtype=np.uint8)
+
+    class FakeImage:
+        @staticmethod
+        def open(bio):
+            assert bio.read(4) == b"xyz1"
+            return FakeIm(arr)
+
+    w, h, mean, feats = _pil_decode(FakeImage, b"xyz1rest")
+    assert (w, h) == (3, 2)
+    assert abs(mean - arr.mean()) < 1e-9
+    assert len(feats) == FEATURE_DIM and abs(sum(feats) - 1.0) < 1e-9
+    # bucket = pixel >> 5: 0,1,2,3,4,7 each once
+    assert [round(f * 6) for f in feats] == [1, 1, 1, 1, 1, 0, 0, 1]
+
+
+def test_av_keyframes_via_injected_module():
+    """The library-present branch of sample_frames: _av_keyframes run
+    against a minimal fake PyAV module."""
+    from relationalize_spark.operators.multimodal import _av_keyframes
+
+    class FakeFrame:
+        def __init__(self, payload):
+            self._p = payload
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return np.frombuffer(self._p, dtype=np.uint8)
+
+    class FakeCodecCtx:
+        skip_frame = None
+
+    class FakeStream:
+        codec_context = FakeCodecCtx()
+
+    class FakeStreams:
+        video = [FakeStream()]
+
+    class FakeContainer:
+        streams = FakeStreams()
+
+        def decode(self, stream):
+            assert stream.codec_context.skip_frame == "NONKEY"
+            return iter([FakeFrame(b"k0"), FakeFrame(b"k1"), FakeFrame(b"k2")])
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeAv:
+        @staticmethod
+        def open(bio):
+            return FakeContainer()
+
+    assert _av_keyframes(FakeAv, b"video-bytes", 2) == [b"k0", b"k1"]
+
+
+def test_image_features_decoder_modes(spark):
+    """decoder='stub' and (PIL-less) 'auto' agree byte-for-byte;
+    decoder='pil' raises here because the library is genuinely
+    absent."""
+    import pytest
+
+    from relationalize_spark.operators.multimodal import image_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, None)], "doc_id long, content binary"
+    )
+    stub = {r.doc_id: (r.width, r.height, r.features) for r in
+            image_features(df, decoder="stub").collect()}
+    auto = {r.doc_id: (r.width, r.height, r.features) for r in
+            image_features(df, decoder="auto").collect()}
+    assert stub == auto
+    assert stub[2] == (None, None, None)
+    with pytest.raises(Exception, match="PIL"):
+        image_features(df, decoder="pil").collect()
+    with pytest.raises(ValueError):
+        image_features(df, decoder="imagemagick")
+
+
+def test_sample_frames_modes(spark):
+    import pytest
+
+    from relationalize_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"0123456789ab"))],
+                               "doc_id long, content binary")
+    chunk = [(r.frame_idx, bytes(r.frame)) for r in
+             sample_frames(df, n_frames=3, mode="chunk").collect()]
+    auto = [(r.frame_idx, bytes(r.frame)) for r in
+            sample_frames(df, n_frames=3, mode="auto").collect()]
+    assert sorted(chunk) == sorted(auto) == [(0, b"0123"), (1, b"4567"), (2, b"89ab")]
+    with pytest.raises(Exception, match="PyAV"):
+        sample_frames(df, mode="av").collect()
+    with pytest.raises(ValueError):
+        sample_frames(df, mode="ffmpeg")

@@ -70,7 +70,7 @@ def test_jdbc_plan(small):
     s = Schema({"a": "c-int-str", "b": "bool", "z": "none"})
     assert (
         jdbc_column_types(s)
-        == '"a_int" BIGINT, "a_str" VARCHAR(65535), "b" BOOLEAN, "z" BOOLEAN'
+        == "`a_int` BIGINT, `a_str` VARCHAR(65535), `b` BOOLEAN, `z` BOOLEAN"
     )
     w = write_jdbc(small, "jdbc:postgresql://h/db", "t", s)
     assert w is not None  # plan assembles without a driver
