@@ -4469,6 +4469,80 @@ FROM m
 """
 
 
+def q125_relationalize_dynamic(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-row dynamic relationalize (r5,
+    operators/relationalize.py:_expand_variants): the key ``v`` is an
+    int in one row, a list in the next, an object in the third — the
+    reference's row-walk semantics (reference
+    relationalize/relationalize.py:48-119) on a plan-time engine.
+    Scalar rows keep their value (``v_int``), list rows put the rid in
+    the choice column's str lane (``v_str``) with the elements in a
+    child table, object rows flatten to ``v_a``/``v_b``. The oracle
+    replays EVERYTHING value-level — including the rid strings, since
+    hash-mode rids are ``R_ + md5(table \\x1f path \\x1f row-key)``
+    (operators/relationalize.py:_hash_rid) and DuckDB computes the
+    identical md5 — plus the child-table linkage via per-rid count and
+    sum re-aggregated back onto the parent."""
+    from .sources.jsonl import relationalize_json
+
+    o = load_table(spark, sf, "orders")
+    line = F.concat(
+        F.lit('{"k": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "v": '),
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_custkey").cast("string"))
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(
+                F.lit("["),
+                (F.col("o_custkey") % 100).cast("string"),
+                F.lit(", "),
+                (F.col("o_orderkey") % 7).cast("string"),
+                F.lit("]"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"a": '),
+                (F.col("o_custkey") % 1000).cast("string"),
+                F.lit(', "b": "'),
+                F.col("o_orderpriority"),
+                F.lit('"}'),
+            )
+        ),
+        F.lit("}"),
+    )
+    vdf = ensure_parallelism(o.select(F.parse_json(line).alias("v")))
+    res = relationalize_json(vdf, "dyn", key_cols=["k"])
+    root, child = res["dyn"], res["dyn_v"]
+    stats = child.groupBy(F.col("v__rid_").alias("rid")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("v__val_").alias("sum_items"),
+    )
+    return root.join(stats, root["v_str"] == stats["rid"], "left").select(
+        "k", "v_int", "v_str", "v_a", "v_b", "n_items", "sum_items"
+    )
+
+
+Q125_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey, o_orderpriority,
+         o_orderkey % 3 AS m
+  FROM orders
+)
+SELECT k,
+  CASE WHEN m = 0 THEN o_custkey END AS v_int,
+  CASE WHEN m = 1
+       THEN 'R_' || md5('dyn' || chr(31) || 'v' || chr(31) || '{"k":' || k || '}')
+  END AS v_str,
+  CASE WHEN m = 2 THEN CAST(o_custkey % 1000 AS BIGINT) END AS v_a,
+  CASE WHEN m = 2 THEN o_orderpriority END AS v_b,
+  CASE WHEN m = 1 THEN CAST(2 AS BIGINT) END AS n_items,
+  CASE WHEN m = 1 THEN CAST((o_custkey % 100) + (k % 7) AS BIGINT) END AS sum_items
+FROM base
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4478,72 +4552,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark query, duckdb oracle SQL or None)
 #:
 #: ORDER IS LOAD-BEARING: the driver's correctness gate checks only
-#: the FIRST 50 entries (CORRECTNESS_r01/r02/r03 each contain exactly
+#: the FIRST 50 entries (CORRECTNESS_r01-r04 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
-#: each round: entries without a driver row yet come first. Round 4
-#: fronts the 19 entries added in round 3 (q67, q81, q82, q94,
-#: q103-q117 — locally value-verified but never driver-attested) and
-#: the 7 added this round (q118-q124), then backfills the cap with
-#: the 24 oldest entries whose only driver rows date from round 2,
-#: for re-confirmation. Everything behind the cap carries a
-#: full-green r02 or r03 row as its durable record. Every entry,
-#: either side of the cap, runs against its oracle in
-#: tests/test_entry_oracle.py on every pytest run.
+#: each round so every entry's newest driver row stays <= 2 rounds
+#: old. Round 5 fronts the new q125 (per-row dynamic relationalize),
+#: then the 23 entries whose only driver rows were r2 (q27-q33,
+#: q35-q50 — behind the cap in both r3 and r4), then the 26 oldest
+#: r3-attested entries (q02, q18, q51-q66, q68-q75). Everything
+#: behind the cap carries a full-green r3 or r4 driver row as its
+#: durable record. Every entry, either side of the cap, runs against
+#: its oracle in tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- never driver-checked (r3 additions): first 19 slots -------------
-    "q81_asof_forward": (q81_asof_forward, Q81_SQL),
-    "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
-    "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),  # replayable Lloyd's (r5)
-    "q94_approx_sketches": (q94_approx_sketches, None),  # engine hash: rows-only
-    "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
-    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
-    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
-    "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
-    "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
-    "q108_semdedup": (q108_semdedup, Q108_SQL),  # replayable k-means (r5)
-    "q109_scd2_history": (q109_scd2_history, Q109_SQL),
-    "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
-    "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
-    "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
-    "q113_table_checksum": (q113_table_checksum, Q113_SQL),
-    "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
-    "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
-    "q116_char_entropy": (q116_char_entropy, Q116_SQL),
-    "q117_funnel_steps": (q117_funnel_steps, Q117_SQL),
-    # --- new this round (r4): slots 20-26 --------------------------------
-    "q118_psi_drift": (q118_psi_drift, Q118_SQL),
-    "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
-    "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
-    "q121_pagerank": (q121_pagerank, Q121_SQL),
-    "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
-    "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
-    "q124_winnow_md5": (q124_winnow_md5, Q124_SQL),
-    # --- oldest driver rows (r2 only): re-confirmation, slots 27-50 ------
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
-    "q04_order_priority": (q04_order_priority, Q04_SQL),
-    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
-    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
-    "q07_global_stats": (q07_global_stats, Q07_SQL),
-    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
-    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
-    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
-    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
-    "q12_setops": (q12_setops, Q12_SQL),
-    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
-    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
-    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
-    "q16_date_functions": (q16_date_functions, Q16_SQL),
-    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
-    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
-    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
-    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
-    "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
-    "q23_text_stats": (q23_text_stats, Q23_SQL),
-    "q24_lang_id": (q24_lang_id, None),  # SQL generated below
-    "q25_quality_score": (q25_quality_score, None),  # SQL generated below
-    "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
-    # --- behind the cap: durable r2/r3 full-green rows -------------------
+    # --- r5 window (first 50 = the driver's correctness gate) --------
+    # new this round:
+    "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
+    # oldest block — only driver rows were r2 (q27-q33, q35-q50):
     "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),
     "q28_jaccard_pairs": (q28_jaccard_pairs, _JACCARD_ORACLE.format(threshold=0.5)),
     "q29_minhash_lsh_pairs": (q29_minhash_lsh_pairs, _JACCARD_ORACLE.format(threshold=0.8)),
@@ -4551,7 +4574,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q31_ann_topk": (q31_ann_topk, Q31_SQL),
     "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
     "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
-    "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
     "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
     "q36_sql_api": (q36_sql_api, Q36_SQL),
     "q37_asof_join": (q37_asof_join, Q37_SQL),
@@ -4568,6 +4590,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
     "q49_large_orders": (q49_large_orders, Q49_SQL),
     "q50_returned_revenue": (q50_returned_revenue, Q50_SQL),
+    # oldest r3-attested block, for re-confirmation:
     "q02_hypertable_rollup": (q02_hypertable_rollup, Q02_SQL),
     "q18_sessionization": (q18_sessionization, Q18_SQL),
     "q51_signup_purchase_funnel": (q51_signup_purchase_funnel, Q51_SQL),
@@ -4594,6 +4617,59 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
     "q74_stream_static_join": (q74_stream_static_join, Q74_SQL),
     "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
+    # --- behind the cap: every entry below carries a full-green ----
+    # --- r3 or r4 driver row as its durable record -----------------
+    "q81_asof_forward": (q81_asof_forward, Q81_SQL),
+    "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
+    "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),  # replayable Lloyd's (r5)
+    "q94_approx_sketches": (q94_approx_sketches, None),  # engine hash: rows-only
+    "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
+    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
+    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
+    "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
+    "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
+    "q108_semdedup": (q108_semdedup, Q108_SQL),  # replayable k-means (r5)
+    "q109_scd2_history": (q109_scd2_history, Q109_SQL),
+    "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
+    "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
+    "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
+    "q113_table_checksum": (q113_table_checksum, Q113_SQL),
+    "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
+    "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
+    "q116_char_entropy": (q116_char_entropy, Q116_SQL),
+    "q117_funnel_steps": (q117_funnel_steps, Q117_SQL),
+    "q118_psi_drift": (q118_psi_drift, Q118_SQL),
+    "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
+    "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
+    "q121_pagerank": (q121_pagerank, Q121_SQL),
+    "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
+    "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
+    "q124_winnow_md5": (q124_winnow_md5, Q124_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
+    "q04_order_priority": (q04_order_priority, Q04_SQL),
+    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
+    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
+    "q07_global_stats": (q07_global_stats, Q07_SQL),
+    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
+    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
+    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
+    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
+    "q12_setops": (q12_setops, Q12_SQL),
+    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
+    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
+    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
+    "q16_date_functions": (q16_date_functions, Q16_SQL),
+    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
+    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
+    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
+    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
+    "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
+    "q23_text_stats": (q23_text_stats, Q23_SQL),
+    "q24_lang_id": (q24_lang_id, None),  # SQL generated below
+    "q25_quality_score": (q25_quality_score, None),  # SQL generated below
+    "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
+    "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
     "q76_setops_all": (q76_setops_all, Q76_SQL),
     "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
     "q78_window_functions": (q78_window_functions, Q78_SQL),

@@ -9,7 +9,8 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 4 (final) — BARE-SESSION GATE: ALL 124 OK.
+Last full run: round 5 (post-rotation, q125 + dynamic relationalize
++ replayable k-means oracles in) — BARE-SESSION GATE: ALL 125 OK.
 """
 
 import os
