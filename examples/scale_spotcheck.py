@@ -420,6 +420,17 @@ def main() -> None:
 
         return run
 
+    def chunk_op(sf):
+        def run():
+            from relationalize_spark.operators.text import chunk_documents
+            from relationalize_spark.plans.scale import ensure_parallelism
+
+            d = ensure_parallelism(spark.read.parquet(f"{sf}/documents.parquet"))
+            # q77 shape; noop sink materializes every chunk string
+            return chunk_documents(d, "doc_id", "text", chunk_tokens=16, overlap=4)
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -448,6 +459,7 @@ def main() -> None:
         "knn_label_eval_q120shape": knn,
         "scd2_lookup_q122shape": pit_lookup,
         "winnow_q33shape": winnow_op,
+        "chunk_docs_q77shape": chunk_op,
     }
     wanted = None
     for arg in sys.argv[1:]:
