@@ -1,0 +1,121 @@
+"""Engine-replayable cardinality sketches.
+
+q94 covers Spark's built-in approximate aggregates (HLL++,
+DataSketches HLL, GK quantiles) — partial-aggregatable and the right
+production tools, but their register layouts are engine-specific, so
+the driver can only rows-check them. This module adds the classic
+K-Minimum-Values sketch (Bar-Yossef et al. 2002) built from an
+md5-derived 60-bit hash that EVERY SQL engine computes identically:
+the whole sketch — the k minima themselves and the estimate — replays
+bit-for-bit in DuckDB, giving the sketch family a full value oracle
+(q126) alongside q94's declared rows-only row.
+
+Estimator: with h uniform on [0, M) and m distinct values, the k-th
+smallest hash h_(k) satisfies E[h_(k)/M] ~ k/(m+1); the standard
+unbiased KMV estimate is ``(k-1) * M / h_(k)`` with relative error
+~ 1/sqrt(k-2). When a group has fewer than k distinct values the
+sketch IS the distinct set and the count is exact.
+
+Scale shape: stage 1 dedups ``(group, hash)`` — an ordinary
+partial-aggregated shuffle keyed by group+hash, never a per-group
+collect of raw values; stage 2 takes the per-group k smallest via a
+rank window keyed by group. Shuffle volume is O(distinct), output
+O(groups x k). The sketches MERGE by construction (k smallest of a
+union = k smallest of the per-sketch minima union), so shards built
+independently combine without re-reading data — pinned in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Hash domain: 60 bits of md5, the largest md5 prefix that stays
+#: exactly representable (and identically computable) as a signed
+#: 64-bit integer in both Spark and DuckDB.
+KMV_M = 2**60
+
+
+def kmv_hash(value: Column) -> Column:
+    """Uniform 60-bit hash on [0, 2^60): leading 15 hex chars of md5.
+    DuckDB replay: ``CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch of ``count distinct value_col``.
+
+    Returns one row per group:
+    ``(*group_cols, kmv_minima array<long>, kmv_n_distinct long,
+    kmv_estimate double)`` — ``kmv_minima`` is the sorted k smallest
+    distinct hashes (fewer when the group has < k distinct values, in
+    which case the estimate is the exact count). NULL values are
+    ignored (matching COUNT(DISTINCT) semantics).
+    """
+    h = kmv_hash(F.col(value_col))
+    dedup = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("__h__"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h__")
+    ranked = dedup.withColumn("__rk__", F.row_number().over(w)).where(
+        F.col("__rk__") <= k
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("__h__")).alias("kmv_minima"),
+        F.count(F.lit(1)).alias("__n_min__"),
+    )
+    kth = F.element_at("kmv_minima", k)
+    estimate = F.when(
+        F.col("__n_min__") < k, F.col("__n_min__").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth, 6)
+    )
+    return agg.select(
+        *group_cols,
+        "kmv_minima",
+        F.col("__n_min__").cast("long").alias("kmv_n_distinct"),
+        estimate.alias("kmv_estimate"),
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+    minima_col: str = "kmv_minima",
+) -> DataFrame:
+    """Combine per-shard sketches that share ``group_cols``: the union
+    of minima, re-deduped, re-topped at k — equal by construction to
+    the sketch of the union of the underlying data. Input rows only
+    carry the k-element arrays, so merging S shards costs
+    O(groups x k x S), independent of the data."""
+    exploded = sketches.select(
+        *group_cols, F.explode(minima_col).alias("__h__")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h__")
+    ranked = exploded.withColumn("__rk__", F.row_number().over(w)).where(
+        F.col("__rk__") <= k
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("__h__")).alias(minima_col),
+        F.count(F.lit(1)).alias("__n_min__"),
+    )
+    kth = F.element_at(minima_col, k)
+    estimate = F.when(
+        F.col("__n_min__") < k, F.col("__n_min__").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth, 6)
+    )
+    return agg.select(
+        *group_cols,
+        minima_col,
+        F.col("__n_min__").cast("long").alias("kmv_n_distinct"),
+        estimate.alias("kmv_estimate"),
+    )

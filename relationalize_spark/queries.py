@@ -4543,6 +4543,62 @@ FROM base
 """
 
 
+def q126_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch per document source
+    (operators/sketches.py) — the engine-replayable counterpart to
+    q94's built-in HLL/GK sketches (whose register layouts are
+    engine-specific and stay rows-only by declared necessity): the
+    md5-derived 60-bit hash computes identically in DuckDB, so the
+    sketch CONTENT (k minima, digested like q124's), the distinct
+    floor, the estimate, and the exact count all value-match. The
+    estimate lands within ~1/sqrt(k-2) of exact — both are columns
+    here, so the oracle also pins the error realized on this corpus."""
+    from .operators.sketches import kmv_sketch
+
+    d = load_table(spark, sf, "documents")
+    sk = kmv_sketch(d, ["source"], "text", k=64)
+    exact = d.groupBy("source").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return sk.join(exact, "source").select(
+        "source",
+        F.md5(F.to_json("kmv_minima")).alias("minima_md5"),
+        "kmv_n_distinct",
+        "kmv_estimate",
+        "exact_distinct",
+    )
+
+
+Q126_SQL = """
+WITH h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv
+  FROM documents WHERE text IS NOT NULL
+),
+rk AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+  FROM h
+),
+agg AS (
+  SELECT source, list(hv ORDER BY hv) AS kmv_minima, count(*) AS n_min
+  FROM rk WHERE rk <= 64 GROUP BY source
+),
+ex AS (
+  SELECT source, count(DISTINCT text) AS exact_distinct
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+)
+SELECT agg.source,
+  md5(to_json(kmv_minima)) AS minima_md5,
+  CAST(n_min AS BIGINT) AS kmv_n_distinct,
+  CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+       ELSE round(63.0 * 1152921504606846976.0 / kmv_minima[64], 6)
+  END AS kmv_estimate,
+  CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM agg JOIN ex ON agg.source = ex.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4555,16 +4611,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: the FIRST 50 entries (CORRECTNESS_r01-r04 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round so every entry's newest driver row stays <= 2 rounds
-#: old. Round 5 fronts the new q125 (per-row dynamic relationalize),
-#: then the 23 entries whose only driver rows were r2 (q27-q33,
+#: old. Round 5 fronts the new q126 (KMV sketch) and q125 (per-row
+#: dynamic relationalize), then the 23 entries whose only driver rows were r2 (q27-q33,
 #: q35-q50 — behind the cap in both r3 and r4), then the 26 oldest
-#: r3-attested entries (q02, q18, q51-q66, q68-q75). Everything
+#: r3-attested entries (q02, q18, q51-q66, q68-q74). Everything
 #: behind the cap carries a full-green r3 or r4 driver row as its
 #: durable record. Every entry, either side of the cap, runs against
 #: its oracle in tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- r5 window (first 50 = the driver's correctness gate) --------
     # new this round:
+    "q126_kmv_distinct": (q126_kmv_distinct, Q126_SQL),
     "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
     # oldest block — only driver rows were r2 (q27-q33, q35-q50):
     "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),

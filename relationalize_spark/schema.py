@@ -15,6 +15,21 @@ Known deviations from the reference (documented, intentional):
   when their value is None in exactly one of its two internal
   iteration strategies — an order-dependent quirk we do not copy.)
 - ``merge`` accepts Schema objects as well as plain dicts.
+- Phantom ``none`` columns for null-or-object keys: when the SAME key
+  holds an explicit JSON null in one row and an object in another
+  (``{"b": {"a": null}}`` + ``{"b": {"a": {"x": 1}}}``), the
+  reference's schema keeps ``b_a: none`` (from the null row)
+  alongside the flattened ``b_a_x`` — a column that is all-null by
+  construction. The list-element form behaves identically: a list
+  mixing dict elements with explicit nulls keeps a ``{path}__val_:
+  none`` column next to the flattened ``{path}_*`` element fields. This engine's schema merge absorbs the null into the
+  object branch (``schema_of_variant_agg`` semantics), so the
+  ``none`` column is not emitted; no row data differs (the cell is
+  null either way — pinned by tests/test_differential_reference.py).
+  Reproducing the phantom column would cost a per-object-path
+  null-witness scan, or demote every nested object field to VARIANT
+  (one aggregate pass per nesting level on every corpus) — the wrong
+  trade for an observationally empty BOOLEAN DDL column.
 """
 
 from __future__ import annotations

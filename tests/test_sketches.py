@@ -113,3 +113,66 @@ def test_regression_stats_match_builtin_corr(spark):
     for k in derived:
         assert abs(derived[k][0] - builtin[k][0]) < 1e-6, k
         assert abs(derived[k][1] - builtin[k][1]) < 1e-6, k
+
+
+# -- KMV (r5): the engine-replayable sketch ---------------------------------
+
+def test_kmv_exact_below_k(spark):
+    from relationalize_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", f"v{i % 5}") for i in range(50)] + [("a", None)],
+        "g string, v string",
+    )
+    row = kmv_sketch(df, ["g"], "v", k=64).first()
+    assert row.kmv_n_distinct == 5
+    assert row.kmv_estimate == 5.0          # exact below k
+    assert len(row.kmv_minima) == 5
+    assert list(row.kmv_minima) == sorted(row.kmv_minima)
+
+
+def test_kmv_error_bound_above_k(spark):
+    """Relative error ~ 1/sqrt(k-2): with k=64 that's ~12.7%; allow
+    3x slack on one fixed corpus draw (md5 is the 'randomness')."""
+    from relationalize_spark.operators.sketches import kmv_sketch
+
+    n = 5000
+    df = spark.createDataFrame(
+        [("a", f"value-{i}") for i in range(n)], "g string, v string"
+    )
+    row = kmv_sketch(df, ["g"], "v", k=64).first()
+    assert row.kmv_n_distinct == 64
+    assert abs(row.kmv_estimate - n) / n < 0.38
+
+
+def test_kmv_merge_equals_union(spark):
+    """Shard sketches merge to EXACTLY the union's sketch — the
+    property that lets shards build independently at 100 TB."""
+    from relationalize_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    rows_a = [("g1", f"a{i}") for i in range(300)]
+    rows_b = [("g1", f"b{i}") for i in range(300)] + rows_a[:100]  # overlap
+    a = spark.createDataFrame(rows_a, "g string, v string")
+    b = spark.createDataFrame(rows_b, "g string, v string")
+    union = spark.createDataFrame(rows_a + rows_b, "g string, v string")
+
+    sk = kmv_sketch(a, ["g"], "v", k=32).unionByName(
+        kmv_sketch(b, ["g"], "v", k=32)
+    )
+    merged = kmv_merge(sk, ["g"], k=32).first()
+    direct = kmv_sketch(union, ["g"], "v", k=32).first()
+    assert list(merged.kmv_minima) == list(direct.kmv_minima)
+    assert merged.kmv_estimate == direct.kmv_estimate
+
+
+def test_kmv_deterministic_across_partitionings(spark):
+    from relationalize_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"v{i}") for i in range(2000)], "g string, v string"
+    )
+    a = {r.g: (list(r.kmv_minima), r.kmv_estimate)
+         for r in kmv_sketch(df, ["g"], "v", k=16).collect()}
+    b = {r.g: (list(r.kmv_minima), r.kmv_estimate)
+         for r in kmv_sketch(df.repartition(13), ["g"], "v", k=16).collect()}
+    assert a == b
