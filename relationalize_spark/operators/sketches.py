@@ -47,6 +47,7 @@ def kmv_sketch(
     group_cols: list[str],
     value_col: str,
     k: int = 64,
+    n_salts: int = 64,
 ) -> DataFrame:
     """Per-group KMV sketch of ``count distinct value_col``.
 
@@ -56,6 +57,17 @@ def kmv_sketch(
     distinct hashes (fewer when the group has < k distinct values, in
     which case the estimate is the exact count). NULL values are
     ignored (matching COUNT(DISTINCT) semantics).
+
+    The per-group min-k is computed in two exact stages so no task
+    ever ranks a whole group: stage A takes the k smallest within
+    each of ``n_salts`` hash-derived buckets per group (task size ~
+    distinct/n_salts), stage B takes the k smallest of the surviving
+    ``<= n_salts * k`` candidates per group. min-k of per-bucket
+    min-k equals the global min-k because a bucket's dropped elements
+    are all larger than its kept k-th — same values as a single
+    global window (pinned in tests), without the one-task-per-group
+    window a low-cardinality ``group_cols`` would otherwise serialize
+    on at 100 TB.
     """
     h = kmv_hash(F.col(value_col))
     dedup = (
@@ -63,8 +75,15 @@ def kmv_sketch(
         .select(*group_cols, h.alias("__h__"))
         .distinct()
     )
+    salt = F.pmod(F.col("__h__"), F.lit(n_salts))
+    wa = Window.partitionBy(*group_cols, salt).orderBy("__h__")
+    survivors = (
+        dedup.withColumn("__rka__", F.row_number().over(wa))
+        .where(F.col("__rka__") <= k)
+        .drop("__rka__")
+    )
     w = Window.partitionBy(*group_cols).orderBy("__h__")
-    ranked = dedup.withColumn("__rk__", F.row_number().over(w)).where(
+    ranked = survivors.withColumn("__rk__", F.row_number().over(w)).where(
         F.col("__rk__") <= k
     )
     agg = ranked.groupBy(*group_cols).agg(

@@ -176,3 +176,18 @@ def test_kmv_deterministic_across_partitionings(spark):
     b = {r.g: (list(r.kmv_minima), r.kmv_estimate)
          for r in kmv_sketch(df.repartition(13), ["g"], "v", k=16).collect()}
     assert a == b
+
+
+def test_kmv_salted_topk_equals_global(spark):
+    """Stage-A bucketing is exact: n_salts=1 (single global window)
+    and the default salted form produce identical sketches."""
+    from relationalize_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"v{i}") for i in range(3000)], "g string, v string"
+    )
+    a = {r.g: (list(r.kmv_minima), r.kmv_estimate)
+         for r in kmv_sketch(df, ["g"], "v", k=32, n_salts=1).collect()}
+    b = {r.g: (list(r.kmv_minima), r.kmv_estimate)
+         for r in kmv_sketch(df, ["g"], "v", k=32, n_salts=64).collect()}
+    assert a == b
