@@ -431,6 +431,65 @@ def main() -> None:
 
         return run
 
+    def dynrel_op(sf):
+        def run():
+            # q125 shape on the events table (orders is not replicated):
+            # per-row dynamic key -> variant-branch relationalize ->
+            # child stats re-joined. Exercises the r5 _expand_variants
+            # machinery (flags agg per level + per-row split-out) at
+            # scale, including the JSON parse of every row.
+            from relationalize_spark.plans.scale import ensure_parallelism
+            from relationalize_spark.sources.jsonl import relationalize_json
+
+            e = spark.read.parquet(f"{sf}/events.parquet")
+            line = F.concat(
+                F.lit('{"k": '),
+                F.col("event_id").cast("string"),
+                F.lit(', "v": '),
+                F.when(F.col("event_id") % 3 == 0, F.col("user_id").cast("string"))
+                .when(
+                    F.col("event_id") % 3 == 1,
+                    F.concat(
+                        F.lit("["),
+                        (F.col("user_id") % 100).cast("string"),
+                        F.lit(", "),
+                        (F.col("event_id") % 7).cast("string"),
+                        F.lit("]"),
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit('{"a": '),
+                        (F.col("user_id") % 1000).cast("string"),
+                        F.lit(', "b": "'),
+                        F.col("event_type"),
+                        F.lit('"}'),
+                    )
+                ),
+                F.lit("}"),
+            )
+            vdf = ensure_parallelism(e.select(F.parse_json(line).alias("v")))
+            res = relationalize_json(vdf, "dyn", key_cols=["k"])
+            root, child = res["dyn"], res["dyn_v"]
+            stats = child.groupBy(F.col("v__rid_").alias("rid")).agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("v__val_").alias("sum_items"),
+            )
+            return root.join(stats, root["v_str"] == stats["rid"], "left").select(
+                "k", "v_int", "v_str", "v_a", "v_b", "n_items", "sum_items"
+            )
+
+        return run
+
+    def kmv_op(sf):
+        def run():
+            from relationalize_spark.operators.sketches import kmv_sketch
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return kmv_sketch(d, ["source"], "text", k=64)
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -460,6 +519,8 @@ def main() -> None:
         "scd2_lookup_q122shape": pit_lookup,
         "winnow_q33shape": winnow_op,
         "chunk_docs_q77shape": chunk_op,
+        "dynamic_relationalize_q125shape": dynrel_op,
+        "kmv_sketch_q126shape": kmv_op,
     }
     wanted = None
     for arg in sys.argv[1:]:
