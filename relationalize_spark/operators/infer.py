@@ -60,7 +60,13 @@ def schema_of_dataframe(df: DataFrame) -> Schema:
 
 #: variant-tag (schema_of_variant output) -> reference tag, as a Column
 def ref_tag_expr(variant_col: Column) -> Column:
-    tag = F.schema_of_variant(variant_col)
+    return ref_tag_from_schema_str(F.schema_of_variant(variant_col))
+
+
+def ref_tag_from_schema_str(tag: Column) -> Column:
+    """Reference tag from an already-computed ``schema_of_variant``
+    string column (lets callers that need the raw schema string too —
+    relationalize's branch analysis — compute it once per row)."""
     return (
         F.when(tag == "BOOLEAN", T.BOOL)
         .when(tag == "BIGINT", T.INT)
@@ -150,14 +156,28 @@ def convert_choice_columns(
     return df.select(*projections)
 
 
-def infer_and_convert(df: DataFrame) -> tuple[DataFrame, Schema]:
+def infer_and_convert(
+    df: DataFrame, tag_hints: dict[str, str] | None = None
+) -> tuple[DataFrame, Schema]:
     """Infer the choice schema of a table containing variant columns,
     convert it to the flat split-column layout, and return both the
-    converted frame and the Schema (for DDL / hygiene ops)."""
+    converted frame and the Schema (for DDL / hygiene ops).
+
+    ``tag_hints`` maps column -> already-normalized tag for columns
+    whose observed tags are known from an earlier pass —
+    relationalize's per-level variant-branch analysis collects them in
+    the SAME aggregation that decides object/array split-out
+    (operators/relationalize.py:_expand_variants), so the dynamic
+    pipeline pays one aggregate per nesting level TOTAL instead of one
+    there plus one here. Hinted columns skip the scan; any unhinted
+    variant columns still get the one-aggregation inference."""
     variant_cols = [
         f.name for f in df.schema.fields if isinstance(f.dataType, ST.VariantType)
     ]
-    members = observed_variant_tags(df, variant_cols)
+    members = {c: t for c, t in (tag_hints or {}).items() if c in variant_cols}
+    members.update(
+        observed_variant_tags(df, [c for c in variant_cols if c not in members])
+    )
     converted = convert_choice_columns(df, members)
     schema = Schema(
         {

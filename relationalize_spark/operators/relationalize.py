@@ -116,7 +116,9 @@ def _obj_prefix(c: str) -> str:
     return c[: -len(suffix)] if c.endswith(suffix) else c
 
 
-def _expand_variants(tdf: DataFrame) -> tuple[DataFrame, dict[str, bool]]:
+def _expand_variants(
+    tdf: DataFrame,
+) -> tuple[DataFrame, dict[str, bool], dict[str, set]]:
     """Per-row dynamic typing for VARIANT columns — the reference's
     row-walk semantics (reference relationalize.py:48-119) recovered
     on top of plan-time relationalize.
@@ -140,18 +142,26 @@ def _expand_variants(tdf: DataFrame) -> tuple[DataFrame, dict[str, bool]]:
       (the reference's flatten consumes pure-object keys — no column
       remains).
 
-    Returns the expanded frame and ``{column: has_array_branch}``.
+    Returns the expanded frame, ``{column: has_array_branch}``, and
+    ``{column: set of observed scalar reference tags}`` — the latter
+    fed forward as inference hints so ``infer_and_convert`` does not
+    re-scan for tags the branch analysis already observed (one
+    aggregate per nesting level TOTAL for the dynamic pipeline).
 
-    Scale shape: the aggregate is a scan + partial-agg (flags are
-    ``max`` of codegen'd predicates; the object-schema merge is the
-    same ``schema_of_variant_agg`` the top-level pass uses) and runs
-    only when conflicted leaves exist at this level. The pipeline's
-    persisted parsed input (sources/jsonl.py) keeps these passes from
-    re-parsing JSON.
+    Scale shape: the aggregate is a scan + partial-agg (a bounded
+    ``collect_set`` over the fixed tag vocabulary per column — arrays
+    and objects classify to the constant markers ``arr``/``obj``, so
+    heterogeneous nested shapes cannot blow the set up — plus the
+    same ``schema_of_variant_agg`` the top-level pass uses for the
+    object branch) and runs only when conflicted leaves exist at this
+    level. The pipeline's persisted parsed input (sources/jsonl.py)
+    keeps these passes from re-parsing JSON.
     """
     from ..sources.jsonl import _cast_ddl, parse_variant_schema
+    from .infer import ref_tag_from_schema_str
 
     arr_flags: dict[str, bool] = {}
+    tag_sets: dict[str, set[str]] = {}
     analyzed: set[str] = set()
     while True:
         tdf = _flatten_structs(tdf)
@@ -163,25 +173,30 @@ def _expand_variants(tdf: DataFrame) -> tuple[DataFrame, dict[str, bool]]:
             and f.name not in analyzed
         ]
         if not vcols:
-            return tdf, arr_flags
+            return tdf, arr_flags, tag_sets
+        # one projected class per column (schema_of_variant computed
+        # once per row), then one combined aggregate
+        cls_cols = {}
+        proj = [F.col(_q(f.name)) for f in tdf.schema.fields]
+        for i, c in enumerate(vcols):
+            sov = F.schema_of_variant(F.col(_q(c)))
+            cls = (
+                F.when(sov.startswith("ARRAY"), F.lit("arr"))
+                .when(sov.startswith("OBJECT"), F.lit("obj"))
+                .otherwise(ref_tag_from_schema_str(sov))
+            )
+            cls_cols[c] = f"__cls{DELIM}{i}__"
+            proj.append(cls.alias(cls_cols[c]))
+        classed = tdf.select(*proj)
         aggs = []
         for i, c in enumerate(vcols):
-            scalar = (
-                (~_is_arr(c)) & (~_is_obj(c)) & F.col(_q(c)).isNotNull()
-            )
-            aggs.append(
-                F.max(_is_arr(c).cast("int")).alias(f"__a{i}__")
-            )
-            aggs.append(
-                F.max(_is_obj(c).cast("int")).alias(f"__o{i}__")
-            )
-            aggs.append(F.max(scalar.cast("int")).alias(f"__s{i}__"))
+            aggs.append(F.collect_set(cls_cols[c]).alias(f"__set{i}__"))
             aggs.append(
                 F.schema_of_variant_agg(
-                    F.when(_is_obj(c), F.col(_q(c)))
+                    F.when(F.col(cls_cols[c]) == "obj", F.col(_q(c)))
                 ).alias(f"__os{i}__")
             )
-        stats = tdf.agg(*aggs).first()
+        stats = classed.agg(*aggs).first()
 
         keep: dict[str, Column] = {}
         obj_tmp: dict[str, str] = {}  # tmp struct col -> flatten prefix
@@ -192,9 +207,12 @@ def _expand_variants(tdf: DataFrame) -> tuple[DataFrame, dict[str, bool]]:
                 keep[c] = F.col(_q(c))
                 continue
             i = idx[c]
-            any_arr = bool(stats[f"__a{i}__"])
-            any_obj = bool(stats[f"__o{i}__"])
-            any_scalar = bool(stats[f"__s{i}__"])
+            observed = set(stats[f"__set{i}__"] or [])
+            any_arr = "arr" in observed
+            any_obj = "obj" in observed
+            scalars = observed - {"arr", "obj"}
+            any_scalar = bool(scalars)
+            tag_sets[c] = scalars
             analyzed.add(c)
             if any_arr or any_scalar:
                 # strip the object branch; arrays/scalars stay put
@@ -231,6 +249,7 @@ def relationalize(
     key_cols: Sequence[str] | None = None,
     rid_mode: Literal["hash", "uuid"] = "hash",
     max_depth: int = 24,
+    infer_hints: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Flatten ``df`` into a dict of flat DataFrames keyed by table name.
 
@@ -245,6 +264,12 @@ def relationalize(
     rid_mode: ``"hash"`` (deterministic, default) or ``"uuid"``
         (reference-exact randomness; forces a cache of each level).
     max_depth: guard on schema nesting depth.
+    infer_hints: optional caller-provided dict, filled with
+        ``{table: {column: normalized tag}}`` for variant columns
+        whose observed tags the per-level branch analysis already
+        collected — feed to ``infer_and_convert(tag_hints=...)`` to
+        skip its per-table tag scan (tables assembled by multi-parent
+        union are omitted; they fall back to the scan).
     """
     if key_cols:
         row_key = F.to_json(F.struct(*[F.col(_q(c)) for c in key_cols]))
@@ -252,7 +277,20 @@ def relationalize(
         row_key = F.to_json(F.struct(*[F.col(_q(c)) for c in df.columns]))
 
     out: dict[str, DataFrame] = {}
-    _process(df.withColumn(_ROW_KEY, row_key), name, name, rid_mode, out, max_depth)
+    hint_sets: dict[str, dict[str, set] | None] = {}
+    _process(
+        df.withColumn(_ROW_KEY, row_key), name, name, rid_mode, out, max_depth,
+        hint_sets,
+    )
+    if infer_hints is not None:
+        from .. import types as T
+
+        for t, cols in hint_sets.items():
+            if cols is None:
+                continue
+            infer_hints[t] = {
+                c: (T.normalize(s) if s else T.NONE) for c, s in cols.items()
+            }
     return out
 
 
@@ -284,10 +322,11 @@ def _process(
     rid_mode: str,
     out: dict[str, DataFrame],
     depth_left: int,
+    hint_sets: dict[str, dict[str, set] | None],
 ) -> None:
     if depth_left <= 0:
         raise ValueError(f"nesting exceeds max_depth while planning table {table!r}")
-    tdf, var_arr = _expand_variants(tdf)
+    tdf, var_arr, var_tags = _expand_variants(tdf)
 
     array_paths = [
         f.name
@@ -361,10 +400,19 @@ def _process(
         # APPENDS to one output file per table name (reference
         # relationalize.py:57-66, outputs keyed by name), so
         # same-named tables union; missing columns null-fill, exactly
-        # like the reference's absent keys.
+        # like the reference's absent keys. Inference hints for such
+        # multi-parent tables are dropped (union type-lifting can turn
+        # typed columns variant); they fall back to the tag scan.
         out[table] = _union_aligned(out[table], parent_df)
+        hint_sets[table] = None
     else:
         out[table] = parent_df
+        present = {f.name for f in parent_df.schema.fields}
+        hint_sets[table] = {
+            c: (set(scal) | ({"str"} if var_arr.get(c) else set()))
+            for c, scal in var_tags.items()
+            if c in present
+        }
 
     for p in array_paths:
         elem_type = next(
@@ -406,7 +454,7 @@ def _process(
             F.col(_q(index_name)),
             child_key.alias(_ROW_KEY),
         )
-        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1)
+        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1, hint_sets)
 
     for p in variant_array_paths:
         rid_name = f"{p}{DELIM}{RID}"
@@ -430,7 +478,7 @@ def _process(
             F.col(_q(index_name)),
             child_key.alias(_ROW_KEY),
         )
-        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1)
+        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1, hint_sets)
 
     for p in map_paths:
         rid_name = f"{p}{DELIM}{RID}"
@@ -449,4 +497,4 @@ def _process(
             F.col(_q(index_name)),
             child_key.alias(_ROW_KEY),
         )
-        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1)
+        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1, hint_sets)

@@ -235,12 +235,17 @@ def relationalize_json(
             F.try_variant_get(F.col(vcol), "$", _cast_ddl(tree)).alias("__r__")
         ).select("__r__.*")
 
-        raw_tables = relationalize(typed, name, key_cols=key_cols)
+        hints: dict[str, dict[str, str]] = {}
+        raw_tables = relationalize(typed, name, key_cols=key_cols, infer_hints=hints)
         tables: dict[str, DataFrame] = {}
         schemas: dict[str, Schema] = {}
         for tname, tdf in raw_tables.items():
             if convert:
-                tables[tname], schemas[tname] = infer_and_convert(tdf)
+                # branch-analysis tag hints make inference scan-free
+                # for single-parent tables (see infer_and_convert)
+                tables[tname], schemas[tname] = infer_and_convert(
+                    tdf, tag_hints=hints.get(tname)
+                )
             else:
                 from ..operators.infer import schema_of_dataframe
 
