@@ -138,3 +138,95 @@ def kmv_merge(
         F.col("__n_min__").cast("long").alias("kmv_n_distinct"),
         estimate.alias("kmv_estimate"),
     )
+
+
+def kmv_set_stats(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str],
+    k: int = 64,
+    minima_col: str = "kmv_minima",
+    n_col: str = "kmv_n_distinct",
+) -> DataFrame:
+    """Set-overlap estimates between two KMV sketch frames joined on
+    ``on`` (the Beyer et al. 2007 KMV set-operation estimators):
+
+    - ``union_est``: KMV estimate over the k smallest of the union of
+      the two minima sets (valid because the k smallest of A∪B are a
+      subset of minima(A) ∪ minima(B) — sketch mergeability);
+    - ``jaccard_est``: fraction of those k that appear in BOTH input
+      sketches (the standard rho estimator);
+    - ``intersection_est``: ``jaccard_est * union_est``.
+
+    When both sides' sketches are exhaustive (fewer than k distinct
+    values each), all three are exact. Everything is bounded-k JVM
+    array arithmetic per joined row — no data re-scan; and the whole
+    computation replays in ANSI SQL over the same md5-derived hashes
+    (q127's value oracle).
+    """
+    ja = a.select(
+        *on,
+        F.col(minima_col).alias("__ma__"),
+        F.col(n_col).alias("__na__"),
+    )
+    jb = b.select(
+        *on,
+        F.col(minima_col).alias("__mb__"),
+        F.col(n_col).alias("__nb__"),
+    )
+    j = ja.join(jb, on)
+    return j.select(*on, *_set_stat_cols(k))
+
+
+def kmv_pairwise(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+    minima_col: str = "kmv_minima",
+    n_col: str = "kmv_n_distinct",
+) -> DataFrame:
+    """All ``a < b`` group pairs of one sketch frame with their
+    overlap estimates — e.g. vocabulary overlap between document
+    sources. The pair join carries only the k-element minima arrays
+    (groups x k longs), so the quadratic pairing is over SKETCHES,
+    never over data."""
+    a = sketches.select(
+        F.col(group_col).alias("a"),
+        F.col(minima_col).alias("__ma__"),
+        F.col(n_col).alias("__na__"),
+    )
+    b = sketches.select(
+        F.col(group_col).alias("b"),
+        F.col(minima_col).alias("__mb__"),
+        F.col(n_col).alias("__nb__"),
+    )
+    j = a.join(b, F.col("a") < F.col("b"))
+    return j.select("a", "b", *_set_stat_cols(k))
+
+
+def _set_stat_cols(k: int) -> list[Column]:
+    """The three overlap-estimate columns over a joined frame carrying
+    ``__ma__/__na__/__mb__/__nb__``."""
+    merged = F.array_sort(F.array_union("__ma__", "__mb__"))
+    x = F.slice(merged, 1, k)
+    inter_k = F.size(
+        F.filter(
+            x,
+            lambda v: F.array_contains("__ma__", v)
+            & F.array_contains("__mb__", v),
+        )
+    )
+    exact = (F.col("__na__") < k) & (F.col("__nb__") < k)
+    kth = F.element_at(x, k)
+    union_est = F.when(exact, F.size(merged).cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth, 6)
+    )
+    jaccard = F.when(
+        exact,
+        F.round(inter_k.cast("double") / F.greatest(F.size(merged), F.lit(1)), 6),
+    ).otherwise(F.round(inter_k.cast("double") / F.lit(float(k)), 6))
+    return [
+        F.round(jaccard, 6).alias("jaccard_est"),
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jaccard * union_est, 6).alias("intersection_est"),
+    ]

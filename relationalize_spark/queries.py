@@ -4599,6 +4599,84 @@ FROM agg JOIN ex ON agg.source = ex.source
 """
 
 
+def q127_kmv_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary overlap between document sources via KMV sketch SET
+    OPERATIONS (operators/sketches.py:kmv_pairwise — Beyer et al.
+    2007): per-source token sketches, then Jaccard / union /
+    intersection estimates for every source pair computed from the
+    bounded k-element minima arrays alone — the pairing is quadratic
+    over SKETCHES, never over data. Like q126, the md5-derived hash
+    makes every number (including the estimates' rounding) replay
+    bit-for-bit in DuckDB."""
+    from .operators.sketches import kmv_pairwise, kmv_sketch
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+    sk = kmv_sketch(toks, ["source"], "token", k=128)
+    return kmv_pairwise(sk, "source", k=128).select(
+        F.col("a").alias("source_a"),
+        F.col("b").alias("source_b"),
+        "jaccard_est",
+        "union_est",
+        "intersection_est",
+    )
+
+
+Q127_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS hv
+  FROM toks
+),
+rk AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+  FROM h
+),
+sk AS (
+  SELECT source, list(hv ORDER BY hv) AS m, count(*) AS n
+  FROM rk WHERE rk <= 128 GROUP BY source
+),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.m AS ma, a.n AS na, b.m AS mb, b.n AS nb,
+         list_sort(list_distinct(a.m || b.m)) AS merged
+  FROM sk a JOIN sk b ON a.source < b.source
+),
+st AS (
+  SELECT source_a, source_b, na, nb, merged, ma, mb,
+         merged[1:128] AS x
+  FROM p
+),
+est AS (
+  SELECT source_a, source_b,
+    len(list_filter(x, v -> list_contains(ma, v) AND list_contains(mb, v))) AS ik,
+    (na < 128 AND nb < 128) AS exact,
+    len(merged) AS mn, x[128] AS kth
+  FROM st
+),
+calc AS (
+  SELECT source_a, source_b,
+    CASE WHEN exact THEN round(CAST(ik AS DOUBLE) / greatest(mn, 1), 6)
+         ELSE round(CAST(ik AS DOUBLE) / 128.0, 6) END AS jac,
+    CASE WHEN exact THEN CAST(mn AS DOUBLE)
+         ELSE round(127.0 * 1152921504606846976.0 / kth, 6) END AS un
+  FROM est
+)
+SELECT source_a, source_b,
+  round(jac, 6) AS jaccard_est,
+  round(un, 6) AS union_est,
+  round(jac * un, 6) AS intersection_est
+FROM calc
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4611,16 +4689,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: the FIRST 50 entries (CORRECTNESS_r01-r04 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round so every entry's newest driver row stays <= 2 rounds
-#: old. Round 5 fronts the new q126 (KMV sketch) and q125 (per-row
-#: dynamic relationalize), then the 23 entries whose only driver rows were r2 (q27-q33,
+#: old. Round 5 fronts the new q127 (KMV set operations), q126 (KMV
+#: sketch), and q125 (per-row dynamic relationalize), then the 23
+#: entries whose only driver rows were r2 (q27-q33,
 #: q35-q50 — behind the cap in both r3 and r4), then the 26 oldest
-#: r3-attested entries (q02, q18, q51-q66, q68-q74). Everything
+#: r3-attested entries (q02, q18, q51-q66, q68-q73). Everything
 #: behind the cap carries a full-green r3 or r4 driver row as its
 #: durable record. Every entry, either side of the cap, runs against
 #: its oracle in tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- r5 window (first 50 = the driver's correctness gate) --------
     # new this round:
+    "q127_kmv_vocab_overlap": (q127_kmv_vocab_overlap, Q127_SQL),
     "q126_kmv_distinct": (q126_kmv_distinct, Q126_SQL),
     "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
     # oldest block — only driver rows were r2 (q27-q33, q35-q50):

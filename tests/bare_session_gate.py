@@ -10,8 +10,8 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
     python tests/bare_session_gate.py
 
 Last full run: round 5 (post-rotation; q125 dynamic relationalize,
-q126 KMV sketch, replayable k-means oracles in) — BARE-SESSION
-GATE: ALL 126 OK.
+q126 KMV sketch, q127 KMV set operations, replayable k-means
+oracles in) — BARE-SESSION GATE: ALL 127 OK.
 """
 
 import os

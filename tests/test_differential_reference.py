@@ -427,3 +427,37 @@ def test_convert_object_matches_reference(records):
         a = {k: v for k, v in ref.convert_object(r).items() if v is not None}
         b = {k: v for k, v in ours.convert_record(r).items() if v is not None}
         assert a == b
+
+
+# -- the reference's OWN example data ----------------------------------------
+
+REF_LMS = "/root/reference/examples/example_data/mock_lms_data.json"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_LMS),
+                    reason="reference example data absent")
+def test_differential_on_reference_example_data(spark, tmp_path):
+    """Both engines on the reference's own shipped example corpus
+    (examples/example_data/mock_lms_data.json — the dataset its README
+    walkthrough and local_fs_example.py use): full equivalence of
+    tables, rid-canonicalized rows, schemas, output columns, and DDL.
+    A `_seq` line number is injected identically on both sides (the
+    canonicalizer anchors root rows on it)."""
+    with open(REF_LMS) as f:
+        objs = [json.loads(line) for line in f if line.strip()]
+    for i, o in enumerate(objs):
+        o["_seq"] = i
+    ref = run_reference(objs)
+    got_all = run_spark(spark, objs, tmp_path)
+    got = {t: v for t, v in got_all.items() if v[1]}
+    assert set(ref) == set(got)
+    ref_rows = canonicalize({t: conv for t, (_, _, conv) in ref.items()})
+    got_rows = canonicalize({t: rows for t, (_, rows) in got.items()})
+    for t in sorted(ref):
+        assert ref_rows[t] == got_rows[t], t
+    for t in sorted(ref):
+        ref_schema, _, _ = ref[t]
+        our_schema, _ = got[t]
+        assert dict(ref_schema.schema) == dict(our_schema.columns), t
+        assert ref_schema.generate_output_columns() == our_schema.output_columns(), t
+        assert ref_schema.generate_ddl("t") == our_schema.generate_ddl("t"), t

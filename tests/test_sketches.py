@@ -191,3 +191,61 @@ def test_kmv_salted_topk_equals_global(spark):
     b = {r.g: (list(r.kmv_minima), r.kmv_estimate)
          for r in kmv_sketch(df, ["g"], "v", k=32, n_salts=64).collect()}
     assert a == b
+
+
+def test_kmv_set_stats_exact_below_k(spark):
+    """Both sketches exhaustive -> jaccard/union/intersection are
+    exactly the true set values."""
+    from relationalize_spark.operators.sketches import kmv_set_stats, kmv_sketch
+
+    a = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(20)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(10, 40)], "g string, v string"
+    )
+    row = kmv_set_stats(
+        kmv_sketch(a, ["g"], "v", k=64), kmv_sketch(b, ["g"], "v", k=64), ["g"], k=64
+    ).first()
+    # |A|=20, |B|=30, inter=10, union=40
+    assert row.union_est == 40.0
+    assert row.intersection_est == 10.0
+    assert abs(row.jaccard_est - 10 / 40) < 1e-9
+
+
+def test_kmv_set_stats_estimates_above_k(spark):
+    """Known 50% overlap at 4000-distinct scale: estimates land within
+    the sketch's error envelope (k=128 -> ~9% relative, 3x slack)."""
+    from relationalize_spark.operators.sketches import kmv_set_stats, kmv_sketch
+
+    n = 4000
+    a = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(n)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(n // 2, n + n // 2)], "g string, v string"
+    )
+    row = kmv_set_stats(
+        kmv_sketch(a, ["g"], "v", k=128), kmv_sketch(b, ["g"], "v", k=128),
+        ["g"], k=128,
+    ).first()
+    true_union, true_jac = n + n // 2, (n // 2) / (n + n // 2)
+    assert abs(row.union_est - true_union) / true_union < 0.27
+    assert abs(row.jaccard_est - true_jac) / true_jac < 0.35
+    assert abs(row.intersection_est - n // 2) / (n // 2) < 0.45
+
+
+def test_kmv_pairwise_pairs_and_symmetry(spark):
+    from relationalize_spark.operators.sketches import kmv_pairwise, kmv_sketch
+
+    df = spark.createDataFrame(
+        [(g, f"{'shared' if i % 2 else g}-{i}") for g in ("x", "y", "z")
+         for i in range(50)],
+        "g string, v string",
+    )
+    sk = kmv_sketch(df, ["g"], "v", k=64)
+    pairs = {(r.a, r.b): r.jaccard_est for r in kmv_pairwise(sk, "g", k=64).collect()}
+    assert set(pairs) == {("x", "y"), ("x", "z"), ("y", "z")}
+    # the shared-* values are per-group distinct ("shared-1" etc. equal
+    # across groups) -> every pair overlaps identically
+    assert len(set(pairs.values())) == 1 and all(v > 0 for v in pairs.values())
