@@ -184,17 +184,56 @@ def kmv_pairwise(
     k: int = 64,
     minima_col: str = "kmv_minima",
     n_col: str = "kmv_n_distinct",
+    max_groups: int | None = 1024,
 ) -> DataFrame:
     """All ``a < b`` group pairs of one sketch frame with their
     overlap estimates — e.g. vocabulary overlap between document
     sources. The pair join carries only the k-element minima arrays
     (groups x k longs), so the quadratic pairing is over SKETCHES,
-    never over data."""
+    never over data.
+
+    The non-equi ``a < b`` join is a nested loop by design — fine for
+    source-level sketch frames (S^2/2 pair rows), catastrophic if a
+    caller passes per-document sketches. ``max_groups`` embeds a
+    runtime guard in the plan: a broadcast 1-row count of the sketch
+    frame is asserted ``<= max_groups`` before any pair row is built,
+    so exceeding the documented pair budget fails loudly instead of
+    launching an S^2 nested loop. Catalyst reuses the sketch
+    aggregation exchange between the count and the join sides, so the
+    guard adds no extra pass over the data. Pass ``max_groups=None``
+    only when the cardinality is known-bounded by construction; for
+    genuinely large S, pre-band the groups (e.g. join on an LSH band
+    key) instead of raising the budget.
+    """
     a = sketches.select(
         F.col(group_col).alias("a"),
         F.col(minima_col).alias("__ma__"),
         F.col(n_col).alias("__na__"),
     )
+    if max_groups is not None:
+        guard = sketches.agg(F.count(F.lit(1)).alias("__s__"))
+        # The guard lives in a FILTER, not a projected column: Catalyst
+        # prunes unprojected expressions (a bare assert_true column, or
+        # anything a .count() doesn't need), but a filter must evaluate
+        # for every row, so the raise fires under any terminal action.
+        msg = F.concat(
+            F.lit("kmv_pairwise: sketch frame has "),
+            F.col("__s__"),
+            F.lit(
+                f" groups > max_groups={max_groups}; the a<b pairing is "
+                "quadratic over groups. Pre-band the groups or raise "
+                "max_groups explicitly."
+            ),
+        )
+        a = (
+            a.crossJoin(F.broadcast(guard))
+            .where(
+                F.when(F.col("__s__") <= max_groups, F.lit(True)).otherwise(
+                    F.raise_error(msg).cast("boolean")
+                )
+            )
+            .drop("__s__")
+        )
     b = sketches.select(
         F.col(group_col).alias("b"),
         F.col(minima_col).alias("__mb__"),
@@ -209,13 +248,15 @@ def _set_stat_cols(k: int) -> list[Column]:
     ``__ma__/__na__/__mb__/__nb__``."""
     merged = F.array_sort(F.array_union("__ma__", "__mb__"))
     x = F.slice(merged, 1, k)
-    inter_k = F.size(
-        F.filter(
-            x,
-            lambda v: F.array_contains("__ma__", v)
-            & F.array_contains("__mb__", v),
-        )
+    in_both = lambda v: F.array_contains("__ma__", v) & F.array_contains(
+        "__mb__", v
     )
+    # Estimator branch: matches among the k smallest of the union (rho).
+    inter_k = F.size(F.filter(x, in_both))
+    # Exact branch: both sketches are exhaustive, so the merged union IS
+    # A∪B and the intersection must be counted over ALL of it — |A∪B|
+    # can reach 2k-2, and members ranked past k are still intersection.
+    inter_full = F.size(F.filter(merged, in_both))
     exact = (F.col("__na__") < k) & (F.col("__nb__") < k)
     kth = F.element_at(x, k)
     union_est = F.when(exact, F.size(merged).cast("double")).otherwise(
@@ -223,7 +264,7 @@ def _set_stat_cols(k: int) -> list[Column]:
     )
     jaccard = F.when(
         exact,
-        F.round(inter_k.cast("double") / F.greatest(F.size(merged), F.lit(1)), 6),
+        F.round(inter_full.cast("double") / F.greatest(F.size(merged), F.lit(1)), 6),
     ).otherwise(F.round(inter_k.cast("double") / F.lit(float(k)), 6))
     return [
         F.round(jaccard, 6).alias("jaccard_est"),

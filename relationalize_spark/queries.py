@@ -4657,13 +4657,14 @@ st AS (
 est AS (
   SELECT source_a, source_b,
     len(list_filter(x, v -> list_contains(ma, v) AND list_contains(mb, v))) AS ik,
+    len(list_filter(merged, v -> list_contains(ma, v) AND list_contains(mb, v))) AS ifull,
     (na < 128 AND nb < 128) AS exact,
     len(merged) AS mn, x[128] AS kth
   FROM st
 ),
 calc AS (
   SELECT source_a, source_b,
-    CASE WHEN exact THEN round(CAST(ik AS DOUBLE) / greatest(mn, 1), 6)
+    CASE WHEN exact THEN round(CAST(ifull AS DOUBLE) / greatest(mn, 1), 6)
          ELSE round(CAST(ik AS DOUBLE) / 128.0, 6) END AS jac,
     CASE WHEN exact THEN CAST(mn AS DOUBLE)
          ELSE round(127.0 * 1152921504606846976.0 / kth, 6) END AS un
