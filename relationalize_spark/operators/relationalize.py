@@ -134,7 +134,15 @@ def _expand_variants(
 
     - flattens the object branch into ``{prefix}_{field}`` columns
       (conflicted fields come back as VARIANT and are handled by the
-      next loop iteration — nesting depth bounds the iteration),
+      next loop iteration — nesting depth bounds the iteration). When
+      a generated name collides with a sibling column (real top-level
+      ``b_x`` alongside variant ``b`` whose object rows carry field
+      ``x``), the LATER field in schema order wins — the module-level
+      flatten contract (last-write-wins, mirroring the reference's
+      ``temp_d.update`` dict merge, reference relationalize.py:114-117;
+      the reference's winner is row-dict key order, which a set-based
+      engine canonicalizes to schema order). Pinned in
+      tests/test_relationalize.py::test_dynamic_flatten_collision.
     - keeps the scalar + array branches in the original column (the
       array branch is split out by the caller's normal child-table
       machinery, elements staying VARIANT so grandchildren recurse),

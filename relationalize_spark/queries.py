@@ -4678,6 +4678,87 @@ FROM calc
 """
 
 
+def q128_kmv_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV shard-merge (operators/sketches.py:kmv_merge) — the
+    map-reduce half of the sketch story, the reference's Schema.merge
+    pattern (reference schema.py:259-302) applied to cardinality:
+    sketches built independently per shard combine, without re-reading
+    data, into EXACTLY the sketch of the union (k smallest of a union
+    = k smallest of the per-sketch minima union). Shards here are
+    ``doc_id % 4``; the output carries both the merged sketch's digest
+    and a directly-built union sketch's digest plus their equality —
+    all of it md5-replayable, so the DuckDB oracle value-checks the
+    merge law itself, not just row counts (the proof pattern of q114's
+    partial-agg merge)."""
+    from .operators.sketches import kmv_merge, kmv_sketch
+
+    d = load_table(spark, sf, "documents")
+    sharded = d.withColumn("shard", F.col("doc_id") % 4)
+    per_shard = kmv_sketch(sharded, ["source", "shard"], "text", k=64)
+    merged = kmv_merge(per_shard, ["source"], k=64)
+    direct = kmv_sketch(d, ["source"], "text", k=64).select(
+        "source", F.md5(F.to_json("kmv_minima")).alias("direct_md5")
+    )
+    merged_md5 = F.md5(F.to_json("kmv_minima"))
+    return merged.join(direct, "source").select(
+        "source",
+        merged_md5.alias("merged_md5"),
+        "direct_md5",
+        (merged_md5 == F.col("direct_md5")).alias("merge_equals_direct"),
+        "kmv_n_distinct",
+        "kmv_estimate",
+    )
+
+
+Q128_SQL = """
+WITH h AS (
+  SELECT DISTINCT source, doc_id % 4 AS shard,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv
+  FROM documents WHERE text IS NOT NULL
+),
+rk AS (
+  SELECT source, shard, hv,
+         row_number() OVER (PARTITION BY source, shard ORDER BY hv) AS rk
+  FROM h
+),
+mh AS (
+  SELECT DISTINCT source, hv FROM rk WHERE rk <= 64
+),
+mrk AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+  FROM mh
+),
+magg AS (
+  SELECT source, list(hv ORDER BY hv) AS minima, count(*) AS n_min
+  FROM mrk WHERE rk <= 64 GROUP BY source
+),
+dh AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv
+  FROM documents WHERE text IS NOT NULL
+),
+drk AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+  FROM dh
+),
+dagg AS (
+  SELECT source, list(hv ORDER BY hv) AS minima
+  FROM drk WHERE rk <= 64 GROUP BY source
+)
+SELECT magg.source,
+  md5(to_json(magg.minima)) AS merged_md5,
+  md5(to_json(dagg.minima)) AS direct_md5,
+  md5(to_json(magg.minima)) = md5(to_json(dagg.minima)) AS merge_equals_direct,
+  CAST(n_min AS BIGINT) AS kmv_n_distinct,
+  CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+       ELSE round(63.0 * 1152921504606846976.0 / magg.minima[64], 6)
+  END AS kmv_estimate
+FROM magg JOIN dagg ON magg.source = dagg.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4687,127 +4768,36 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark query, duckdb oracle SQL or None)
 #:
 #: ORDER IS LOAD-BEARING: the driver's correctness gate checks only
-#: the FIRST 50 entries (CORRECTNESS_r01-r04 each contain exactly
+#: the FIRST 50 entries (CORRECTNESS_r01-r05 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round so every entry's newest driver row stays <= 2 rounds
-#: old. Round 5 fronts the new q127 (KMV set operations), q126 (KMV
-#: sketch), and q125 (per-row dynamic relationalize), then the 23
-#: entries whose only driver rows were r2 (q27-q33,
-#: q35-q50 — behind the cap in both r3 and r4), then the 26 oldest
-#: r3-attested entries (q02, q18, q51-q66, q68-q73). Everything
-#: behind the cap carries a full-green r3 or r4 driver row as its
-#: durable record. Every entry, either side of the cap, runs against
-#: its oracle in tests/test_entry_oracle.py on every pytest run.
+#: old. Round 6 fronts (counts audited against the CORRECTNESS files
+#: themselves — r5's comment miscounted its last block, ADVICE r5):
+#: 1 new entry (q128 KMV shard-merge), the 3 entries whose r5 oracle
+#: flip landed outside the r5 window (q67/q108 replayable k-means —
+#: full value oracles now; q94 recording its declared rows-only),
+#: q34 (whose newest row was still r2 — skipped by the r5 window's
+#: q27-q33/q35-q50 split), the 26 r3-attested entries (q74-q80,
+#: q83-q93, q95-q102 — newest rows turn 3 rounds old this round),
+#: and 19 of the oldest r4-attested entries (q01, q03-q17, q19-q21).
+#: Total: 1+3+1+26+19 = 50. Behind the cap: the 28 remaining
+#: r4-attested entries (q22-q26, q81-q82, q103-q124), then the 50
+#: r5-attested ones. Every entry, either side of the cap, runs
+#: against its oracle in tests/test_entry_oracle.py on every pytest
+#: run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- r5 window (first 50 = the driver's correctness gate) --------
+    # --- r6 window (first 50 = the driver's correctness gate) --------
     # new this round:
-    "q127_kmv_vocab_overlap": (q127_kmv_vocab_overlap, Q127_SQL),
-    "q126_kmv_distinct": (q126_kmv_distinct, Q126_SQL),
-    "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
-    # oldest block — only driver rows were r2 (q27-q33, q35-q50):
-    "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),
-    "q28_jaccard_pairs": (q28_jaccard_pairs, _JACCARD_ORACLE.format(threshold=0.5)),
-    "q29_minhash_lsh_pairs": (q29_minhash_lsh_pairs, _JACCARD_ORACLE.format(threshold=0.8)),
-    "q30_simhash_pairs": (q30_simhash_pairs, None),  # xxhash64: rows-only
-    "q31_ann_topk": (q31_ann_topk, Q31_SQL),
-    "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
-    "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
-    "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
-    "q36_sql_api": (q36_sql_api, Q36_SQL),
-    "q37_asof_join": (q37_asof_join, Q37_SQL),
-    "q38_range_bucket_join": (q38_range_bucket_join, Q38_SQL),
-    "q39_pivot_status": (q39_pivot_status, Q39_SQL),
-    "q40_promo_revenue": (q40_promo_revenue, Q40_SQL),
-    "q41_disjunctive_predicates": (q41_disjunctive_predicates, Q41_SQL),
-    "q42_customer_distribution": (q42_customer_distribution, Q42_SQL),
-    "q43_above_average_idle": (q43_above_average_idle, Q43_SQL),
-    "q44_percentiles": (q44_percentiles, Q44_SQL),
-    "q45_edit_distance": (q45_edit_distance, Q45_SQL),
-    "q46_pandas_udf": (q46_pandas_udf, Q46_SQL),
-    "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
-    "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
-    "q49_large_orders": (q49_large_orders, Q49_SQL),
-    "q50_returned_revenue": (q50_returned_revenue, Q50_SQL),
-    # oldest r3-attested block, for re-confirmation:
-    "q02_hypertable_rollup": (q02_hypertable_rollup, Q02_SQL),
-    "q18_sessionization": (q18_sessionization, Q18_SQL),
-    "q51_signup_purchase_funnel": (q51_signup_purchase_funnel, Q51_SQL),
-    "q52_bpe_token_count": (q52_bpe_token_count, Q52_SQL),
-    "q53_ann_lsh_topk": (q53_ann_lsh_topk, Q53_SQL),
-    "q54_streaming_windowed_counts": (q54_streaming_windowed_counts, Q54_SQL),
-    "q55_streaming_sessionize": (q55_streaming_sessionize, Q55_SQL),
-    "q56_sole_supplier_orders": (q56_sole_supplier_orders, Q56_SQL),
-    "q57_cheapest_part_per_type": (q57_cheapest_part_per_type, Q57_SQL),
-    "q58_rich_idle_customers_by_nation": (q58_rich_idle_customers_by_nation, Q58_SQL),
-    "q59_dedup_clusters": (q59_dedup_clusters, Q59_SQL),
-    "q60_bm25_rank": (q60_bm25_rank, Q60_SQL),
-    "q61_hash_split_profile": (q61_hash_split_profile, Q61_SQL),
-    "q62_contamination": (q62_contamination, Q62_SQL),
-    "q63_boilerplate_phrases": (q63_boilerplate_phrases, Q63_SQL),
-    "q64_pii_redaction": (q64_pii_redaction, None),  # oracle generated below
-    "q65_supplier_cnt_by_part": (q65_supplier_cnt_by_part, Q65_SQL),
-    "q66_dominant_suppliers": (q66_dominant_suppliers, Q66_SQL),
-    "q68_curation_funnel": (q68_curation_funnel, None),  # oracle generated below
-    "q69_quantized_ann": (q69_quantized_ann, Q69_SQL),
-    "q70_incremental_dedup": (q70_incremental_dedup, Q70_SQL),
-    "q71_nation_full_outer": (q71_nation_full_outer, Q71_SQL),
-    "q72_grouping_sets": (q72_grouping_sets, Q72_SQL),
-    "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
+    "q128_kmv_shard_merge": (q128_kmv_shard_merge, Q128_SQL),
+    # r5 oracle flips, driver-unattested until now:
+    "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),  # replayable Lloyd's (r5)
+    "q108_semdedup": (q108_semdedup, Q108_SQL),  # replayable k-means (r5)
+    "q94_approx_sketches": (q94_approx_sketches, None),  # engine hash: rows-only
+    # newest row still r2 (missed by the r5 window's block split):
+    "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
+    # r3-attested block — newest rows turn 3 rounds old in r6:
     "q74_stream_static_join": (q74_stream_static_join, Q74_SQL),
     "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
-    # --- behind the cap: every entry below carries a full-green ----
-    # --- r3 or r4 driver row as its durable record -----------------
-    "q81_asof_forward": (q81_asof_forward, Q81_SQL),
-    "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
-    "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),  # replayable Lloyd's (r5)
-    "q94_approx_sketches": (q94_approx_sketches, None),  # engine hash: rows-only
-    "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
-    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
-    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
-    "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
-    "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
-    "q108_semdedup": (q108_semdedup, Q108_SQL),  # replayable k-means (r5)
-    "q109_scd2_history": (q109_scd2_history, Q109_SQL),
-    "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
-    "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
-    "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
-    "q113_table_checksum": (q113_table_checksum, Q113_SQL),
-    "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
-    "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
-    "q116_char_entropy": (q116_char_entropy, Q116_SQL),
-    "q117_funnel_steps": (q117_funnel_steps, Q117_SQL),
-    "q118_psi_drift": (q118_psi_drift, Q118_SQL),
-    "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
-    "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
-    "q121_pagerank": (q121_pagerank, Q121_SQL),
-    "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
-    "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
-    "q124_winnow_md5": (q124_winnow_md5, Q124_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
-    "q04_order_priority": (q04_order_priority, Q04_SQL),
-    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
-    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
-    "q07_global_stats": (q07_global_stats, Q07_SQL),
-    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
-    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
-    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
-    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
-    "q12_setops": (q12_setops, Q12_SQL),
-    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
-    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
-    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
-    "q16_date_functions": (q16_date_functions, Q16_SQL),
-    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
-    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
-    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
-    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
-    "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
-    "q23_text_stats": (q23_text_stats, Q23_SQL),
-    "q24_lang_id": (q24_lang_id, None),  # SQL generated below
-    "q25_quality_score": (q25_quality_score, None),  # SQL generated below
-    "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
-    "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
     "q76_setops_all": (q76_setops_all, Q76_SQL),
     "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
     "q78_window_functions": (q78_window_functions, Q78_SQL),
@@ -4832,6 +4822,108 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q100_column_profile": (q100_column_profile, Q100_SQL),
     "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
     "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
+    # oldest r4-attested entries (19 of 47):
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
+    "q04_order_priority": (q04_order_priority, Q04_SQL),
+    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
+    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
+    "q07_global_stats": (q07_global_stats, Q07_SQL),
+    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
+    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
+    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
+    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
+    "q12_setops": (q12_setops, Q12_SQL),
+    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
+    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
+    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
+    "q16_date_functions": (q16_date_functions, Q16_SQL),
+    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
+    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
+    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
+    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
+    # --- behind the cap: every entry below carries a full-green ----
+    # --- r4 or r5 driver row as its durable record -----------------
+    # remaining r4-attested (28):
+    "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
+    "q23_text_stats": (q23_text_stats, Q23_SQL),
+    "q24_lang_id": (q24_lang_id, None),  # SQL generated below
+    "q25_quality_score": (q25_quality_score, None),  # SQL generated below
+    "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
+    "q81_asof_forward": (q81_asof_forward, Q81_SQL),
+    "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
+    "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
+    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
+    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
+    "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
+    "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
+    "q109_scd2_history": (q109_scd2_history, Q109_SQL),
+    "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
+    "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
+    "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
+    "q113_table_checksum": (q113_table_checksum, Q113_SQL),
+    "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
+    "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
+    "q116_char_entropy": (q116_char_entropy, Q116_SQL),
+    "q117_funnel_steps": (q117_funnel_steps, Q117_SQL),
+    "q118_psi_drift": (q118_psi_drift, Q118_SQL),
+    "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
+    "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
+    "q121_pagerank": (q121_pagerank, Q121_SQL),
+    "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
+    "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
+    "q124_winnow_md5": (q124_winnow_md5, Q124_SQL),
+    # r5-attested (50):
+    "q02_hypertable_rollup": (q02_hypertable_rollup, Q02_SQL),
+    "q18_sessionization": (q18_sessionization, Q18_SQL),
+    "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),
+    "q28_jaccard_pairs": (q28_jaccard_pairs, _JACCARD_ORACLE.format(threshold=0.5)),
+    "q29_minhash_lsh_pairs": (q29_minhash_lsh_pairs, _JACCARD_ORACLE.format(threshold=0.8)),
+    "q30_simhash_pairs": (q30_simhash_pairs, None),  # xxhash64: rows-only
+    "q31_ann_topk": (q31_ann_topk, Q31_SQL),
+    "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
+    "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
+    "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
+    "q36_sql_api": (q36_sql_api, Q36_SQL),
+    "q37_asof_join": (q37_asof_join, Q37_SQL),
+    "q38_range_bucket_join": (q38_range_bucket_join, Q38_SQL),
+    "q39_pivot_status": (q39_pivot_status, Q39_SQL),
+    "q40_promo_revenue": (q40_promo_revenue, Q40_SQL),
+    "q41_disjunctive_predicates": (q41_disjunctive_predicates, Q41_SQL),
+    "q42_customer_distribution": (q42_customer_distribution, Q42_SQL),
+    "q43_above_average_idle": (q43_above_average_idle, Q43_SQL),
+    "q44_percentiles": (q44_percentiles, Q44_SQL),
+    "q45_edit_distance": (q45_edit_distance, Q45_SQL),
+    "q46_pandas_udf": (q46_pandas_udf, Q46_SQL),
+    "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
+    "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
+    "q49_large_orders": (q49_large_orders, Q49_SQL),
+    "q50_returned_revenue": (q50_returned_revenue, Q50_SQL),
+    "q51_signup_purchase_funnel": (q51_signup_purchase_funnel, Q51_SQL),
+    "q52_bpe_token_count": (q52_bpe_token_count, Q52_SQL),
+    "q53_ann_lsh_topk": (q53_ann_lsh_topk, Q53_SQL),
+    "q54_streaming_windowed_counts": (q54_streaming_windowed_counts, Q54_SQL),
+    "q55_streaming_sessionize": (q55_streaming_sessionize, Q55_SQL),
+    "q56_sole_supplier_orders": (q56_sole_supplier_orders, Q56_SQL),
+    "q57_cheapest_part_per_type": (q57_cheapest_part_per_type, Q57_SQL),
+    "q58_rich_idle_customers_by_nation": (q58_rich_idle_customers_by_nation, Q58_SQL),
+    "q59_dedup_clusters": (q59_dedup_clusters, Q59_SQL),
+    "q60_bm25_rank": (q60_bm25_rank, Q60_SQL),
+    "q61_hash_split_profile": (q61_hash_split_profile, Q61_SQL),
+    "q62_contamination": (q62_contamination, Q62_SQL),
+    "q63_boilerplate_phrases": (q63_boilerplate_phrases, Q63_SQL),
+    "q64_pii_redaction": (q64_pii_redaction, None),  # oracle generated below
+    "q65_supplier_cnt_by_part": (q65_supplier_cnt_by_part, Q65_SQL),
+    "q66_dominant_suppliers": (q66_dominant_suppliers, Q66_SQL),
+    "q68_curation_funnel": (q68_curation_funnel, None),  # oracle generated below
+    "q69_quantized_ann": (q69_quantized_ann, Q69_SQL),
+    "q70_incremental_dedup": (q70_incremental_dedup, Q70_SQL),
+    "q71_nation_full_outer": (q71_nation_full_outer, Q71_SQL),
+    "q72_grouping_sets": (q72_grouping_sets, Q72_SQL),
+    "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
+    "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
+    "q126_kmv_distinct": (q126_kmv_distinct, Q126_SQL),
+    "q127_kmv_vocab_overlap": (q127_kmv_vocab_overlap, Q127_SQL),
 }
 
 # Generated oracles (built from the same profile constants the Spark

@@ -21,14 +21,29 @@ directly:
 from __future__ import annotations
 
 from collections.abc import Callable
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as ST
 from pyspark.sql.streaming import DataStreamWriter
 
 from ..operators.relationalize import relationalize
+from ..schema import Schema
 
 TableSink = Callable[[str, DataFrame, int], None]
+
+
+def _has_variant(dt: ST.DataType) -> bool:
+    if isinstance(dt, ST.VariantType):
+        return True
+    if isinstance(dt, ST.StructType):
+        return any(_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, ST.ArrayType):
+        return _has_variant(dt.elementType)
+    if isinstance(dt, ST.MapType):
+        return _has_variant(dt.valueType)
+    return False
 
 
 def relationalize_stream(
@@ -44,7 +59,24 @@ def relationalize_stream(
     table per micro-batch; implementations typically append to one
     parquet/Delta path per table. Returns the unstarted writer so the
     caller picks trigger/checkpoint options.
+
+    VARIANT columns are rejected loudly: the dynamic relationalize
+    plan is derived from each batch's DATA (_expand_variants), so two
+    micro-batches can resolve a conflicted key to different branch
+    sets and write divergent child-table schemas into the same sink
+    path. Dynamic streams go through ``JsonStreamDemux``, which
+    appends untyped rows (the reference's single-pass append,
+    reference relationalize.py:57-80) and aligns the typed view to a
+    running merged schema at finalize.
     """
+    bad = [f.name for f in stream_df.schema.fields if _has_variant(f.dataType)]
+    if bad:
+        raise ValueError(
+            f"relationalize_stream: column(s) {bad} carry VARIANT data; "
+            "per-batch dynamic planning would write divergent child-table "
+            "schemas across micro-batches. Use JsonStreamDemux for "
+            "dynamic streams."
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         for table_name, table_df in relationalize(
@@ -53,6 +85,99 @@ def relationalize_stream(
             sink(table_name, table_df, batch_id)
 
     return stream_df.writeStream.foreachBatch(process_batch)
+
+
+@dataclass
+class JsonStreamDemux:
+    """Streaming demux for DYNAMIC (variant-carrying) corpora — the
+    reference's single-pass semantics made micro-batch:
+
+    - each batch runs the dynamic relationalize (plan-from-data) with
+      ``convert=False`` and APPENDS every derived table's rows as
+      JSONL under ``{base_path}/{table}`` — untyped, so batches that
+      resolve a conflicted key differently (scalar vs list vs object
+      rows) append to the SAME files without schema conflict, exactly
+      like the reference's append-to-one-output
+      (reference relationalize.py:57-80);
+    - a running per-table ``Schema`` accumulates across batches via
+      the same merge algebra the reference applies across rows
+      (``Schema.merge``, reference schema.py:259-302);
+    - ``finalize(spark)`` reads each table's accumulated JSONL back
+      and imposes the MERGED schema (convert_choice_columns), so the
+      typed view is consistent no matter how branches were spread
+      over batches.
+
+    Delivery is at-least-once (foreachBatch appends replay on retry,
+    like any non-transactional append sink); run exactly-once dedup
+    downstream on the rid columns if the checkpoint may replay.
+
+    Scale shape: per batch this is the batch pipeline (variant casts
+    and projections, one branch-analysis aggregate per nesting level
+    over the persisted batch parse); the running schemas are
+    driver-side dicts of column tags — O(columns), not O(rows).
+    """
+
+    base_path: str
+    name: str
+    key_cols: list[str] | None = None
+    schemas: dict[str, Schema] = field(default_factory=dict)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.jsonl import relationalize_json
+
+        f = batch_df.schema.fields
+        if len(f) == 1 and isinstance(f[0].dataType, ST.StringType):
+            # raw JSONL lines -> one variant column
+            col = batch_df.columns[0]
+            batch_df = batch_df.where(F.length(F.trim(col)) > 0).select(
+                F.parse_json(F.col(col)).alias("v")
+            )
+        out = relationalize_json(
+            batch_df, self.name, key_cols=self.key_cols, convert=False
+        )
+        try:
+            for t, tdf in out.tables.items():
+                tdf.write.mode("append").json(f"{self.base_path}/{t}")
+                self.schemas[t] = Schema.merge(
+                    self.schemas.get(t, Schema()), out.schemas[t]
+                )
+        finally:
+            out.unpersist()
+
+    def attach(self, stream_df: DataFrame) -> DataStreamWriter:
+        """Wire onto a stream; caller picks trigger/checkpoint."""
+        return stream_df.writeStream.foreachBatch(self.process_batch)
+
+    def finalize(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Typed view of everything appended so far: per table, parse
+        the JSONL back to one variant column per merged-schema key and
+        split choice columns — the reference's convert pass with the
+        cross-batch schema."""
+        from ..operators.infer import convert_choice_columns
+        from ..sources.jsonl import VNode, _cast_ddl, read_jsonl_variant
+
+        tables: dict[str, DataFrame] = {}
+        prev_case = spark.conf.get("spark.sql.caseSensitive")
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        try:
+            for t, schema in self.schemas.items():
+                vdf = read_jsonl_variant(spark, f"{self.base_path}/{t}")
+                node = VNode(
+                    kind="object",
+                    fields={
+                        c: VNode(kind="leaf", leaf_type="VARIANT")
+                        for c in schema.columns
+                    },
+                )
+                flat = vdf.select(
+                    F.try_variant_get(F.col("v"), "$", _cast_ddl(node)).alias(
+                        "__r__"
+                    )
+                ).select("__r__.*")
+                tables[t] = convert_choice_columns(flat, schema.columns)
+        finally:
+            spark.conf.set("spark.sql.caseSensitive", prev_case)
+        return tables
 
 
 def parquet_table_sink(base_path: str) -> TableSink:

@@ -9,9 +9,9 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 5 (post-rotation; q125 dynamic relationalize,
-q126 KMV sketch, q127 KMV set operations, replayable k-means
-oracles in) — BARE-SESSION GATE: ALL 127 OK.
+Last full run: round 6 (post-rotation; q128 KMV shard-merge, KMV
+exact-branch fix, kmv_pairwise cardinality guard in) —
+BARE-SESSION GATE: ALL 128 OK.
 """
 
 import os

@@ -66,6 +66,34 @@ def test_choice_split_mixed_types(spark):
     assert {"1_int": None, "1_str": "foobar", "2_float": 9.9, "2_str": None, "3": True, "4": 9.5} in got
 
 
+def test_dynamic_flatten_collision_last_write_wins(spark):
+    """ADVICE r5 (low): a real sibling column ``b_x`` alongside a
+    conflicted key ``b`` whose object rows carry field ``x`` — the
+    dynamic flatten's generated ``b_x`` collides with the sibling.
+    The pinned choice is last-write-wins in schema field order
+    (``b`` < ``b_x`` alphabetically, so the REAL sibling wins),
+    matching both the module-level flatten contract and what the
+    reference's ``temp_d.update`` produces for row dicts whose key
+    order matches (reference relationalize.py:114-117)."""
+    out = relationalize_json(
+        vdf(
+            spark,
+            [
+                {"k": 1, "b": 5, "b_x": 100},
+                {"k": 2, "b": {"x": 7}, "b_x": 200},
+            ],
+        ),
+        "root",
+    )
+    got = sorted(rows(out["root"]), key=lambda r: r["k"])
+    # the sibling's values survive; the variant's flattened 7 is
+    # overwritten column-wise (not per-row patched)
+    assert [r["b_x"] for r in got] == [100, 200]
+    # the scalar lane of b keeps row 1's value, null where b was
+    # object (a single observed scalar tag gets no choice suffix)
+    assert [r.get("b") for r in got] == [5, None]
+
+
 def test_mixed_int_float_produces_choice(spark):
     """Round-1 ADVICE regression: schema_of_variant_agg numerically
     merges BIGINT+DECIMAL (1 and 2.5 -> DECIMAL(21,1)); the pipeline

@@ -152,3 +152,65 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
 
     run_once()  # nothing new: a restart with no input writes nothing
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == second
+
+
+def test_relationalize_stream_rejects_variant(spark, tmp_path):
+    """VERDICT r5 item 3 (guard half): per-batch dynamic planning can
+    write divergent child-table schemas, so the schema-rigid demux
+    refuses VARIANT streams loudly and points at JsonStreamDemux."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f.jsonl").write_text('{"k": 1}\n')
+    vstream = (
+        spark.readStream.text(str(src)).select(F.parse_json("value").alias("v"))
+    )
+    with pytest.raises(ValueError, match="JsonStreamDemux"):
+        relationalize_stream(vstream, "root", parquet_table_sink(str(tmp_path)))
+
+
+def test_json_stream_demux_dynamic_key(spark, tmp_path):
+    """VERDICT r5 item 3: scalar-then-list-then-object micro-batches
+    for the SAME key land one consistent table set. Each file is its
+    own micro-batch (maxFilesPerTrigger=1), so the three batches
+    resolve key ``b`` to three different branch sets; the demux
+    appends untyped JSONL (the reference's single-pass append,
+    reference relationalize.py:57-80) and finalize() imposes the
+    cross-batch merged schema."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b0.jsonl").write_text('{"k": 1, "b": 5}\n')
+    (src / "b1.jsonl").write_text('{"k": 2, "b": [10, 20]}\n')
+    (src / "b2.jsonl").write_text('{"k": 3, "b": {"x": 7}}\n')
+
+    demux = JsonStreamDemux(str(tmp_path / "out"), "root", key_cols=["k"])
+    q = (
+        demux.attach(
+            spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # the running schema merged b across batches: int (batch 0) +
+    # rid str (batch 1), object branch flattened to b_x (batch 2)
+    assert demux.schemas["root"].columns["b"] == "c-int-str"
+    assert demux.schemas["root"].columns["b_x"] == "int"
+
+    tables = demux.finalize(spark)
+    assert set(tables) == {"root", "root_b"}
+    root = {r["k"]: r.asDict() for r in tables["root"].collect()}
+    assert len(root) == 3
+    assert root[1]["b_int"] == 5 and root[1]["b_str"] is None
+    assert root[3]["b_x"] == 7 and root[3]["b_int"] is None
+    rid = root[2]["b_str"]
+    assert rid and rid.startswith("R_")
+    children = sorted(
+        (r.asDict() for r in tables["root_b"].collect()),
+        key=lambda r: r["b__index_"],
+    )
+    assert [c["b__val_"] for c in children] == [10, 20]
+    assert all(c["b__rid_"] == rid for c in children)
