@@ -45,7 +45,6 @@ behavior and transparently caches the intermediate.
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import Literal, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -117,110 +116,12 @@ def _obj_prefix(c: str) -> str:
     return c[: -len(suffix)] if c.endswith(suffix) else c
 
 
-def _classify(c: str) -> Column:
-    """Per-row branch class of a variant column: 'arr' / 'obj' / the
-    scalar reference tag — one schema_of_variant per row per column."""
-    from .infer import ref_tag_from_schema_str
-
-    sov = F.schema_of_variant(F.col(_q(c)))
-    return (
-        F.when(sov.startswith("ARRAY"), F.lit("arr"))
-        .when(sov.startswith("OBJECT"), F.lit("obj"))
-        .otherwise(ref_tag_from_schema_str(sov))
-    )
-
-
-def _branch_stats(
-    items: list[tuple[int, DataFrame, list[str]]],
-) -> dict[tuple[int, str], tuple[set, str | None]]:
-    """One aggregate JOB for the branch analysis of every (frame,
-    variant column) pair at the current nesting level — across sibling
-    child tables, not just within one (r6; VERDICT r5 item 5: siblings
-    at the same depth each derive from the same persisted parent scan
-    and used to pay one aggregate job each).
-
-    Shapes:
-    - a single frame keeps the r5 plan byte-for-byte: one projection
-      computing each column's class once per row, then one global
-      aggregate with a bounded ``collect_set`` + the object-branch
-      ``schema_of_variant_agg`` per column;
-    - multiple frames unpivot each frame's variant columns into a tall
-      ``(frame-id, column, class, value)`` union and aggregate grouped
-      by (frame-id, column) in ONE job. Per-row expression work is
-      identical (each column's schema_of_variant still computed once
-      per row); the shuffle carries only partial aggregate states per
-      group, and the branches read the SAME persisted parent, so the
-      fusion trades S scheduler round-trips for one.
-
-    Returns ``(frame-id, column) -> (observed class set, merged object
-    schema string or None)``; pairs with zero rows are absent.
-    """
-    if not items:
-        return {}
-    out: dict[tuple[int, str], tuple[set, str | None]] = {}
-    if len(items) == 1:
-        key, tdf, vcols = items[0]
-        cls_cols = {}
-        proj = [F.col(_q(f.name)) for f in tdf.schema.fields]
-        for i, c in enumerate(vcols):
-            cls_cols[c] = f"__cls{DELIM}{i}__"
-            proj.append(_classify(c).alias(cls_cols[c]))
-        classed = tdf.select(*proj)
-        aggs = []
-        for i, c in enumerate(vcols):
-            aggs.append(F.collect_set(cls_cols[c]).alias(f"__set{i}__"))
-            aggs.append(
-                F.schema_of_variant_agg(
-                    F.when(F.col(cls_cols[c]) == "obj", F.col(_q(c)))
-                ).alias(f"__os{i}__")
-            )
-        stats = classed.agg(*aggs).first()
-        for i, c in enumerate(vcols):
-            observed = set(stats[f"__set{i}__"] or [])
-            if observed:
-                out[(key, c)] = (observed, stats[f"__os{i}__"])
-        return out
-    parts = []
-    for key, tdf, vcols in items:
-        entries = [
-            F.struct(
-                F.lit(c).alias("c"),
-                _classify(c).alias("cls"),
-                F.col(_q(c)).alias("val"),
-            )
-            for c in vcols
-        ]
-        parts.append(
-            tdf.select(
-                F.lit(key).alias("t"), F.explode(F.array(*entries)).alias("e")
-            ).select("t", "e.c", "e.cls", "e.val")
-        )
-    tall = reduce(DataFrame.unionByName, parts)
-    rows = (
-        tall.groupBy("t", "c")
-        .agg(
-            F.collect_set("cls").alias("clss"),
-            F.schema_of_variant_agg(
-                F.when(F.col("cls") == "obj", F.col("val"))
-            ).alias("os"),
-        )
-        .collect()
-    )
-    for r in rows:
-        observed = set(r["clss"] or [])
-        if observed:
-            out[(r["t"], r["c"])] = (observed, r["os"])
-    return out
-
-
-def _expand_variants_batch(
-    frames: list[DataFrame],
-) -> list[tuple[DataFrame, dict[str, bool], dict[str, set]]]:
+def _expand_variants(
+    tdf: DataFrame,
+) -> tuple[DataFrame, dict[str, bool], dict[str, set]]:
     """Per-row dynamic typing for VARIANT columns — the reference's
     row-walk semantics (reference relationalize.py:48-119) recovered
-    on top of plan-time relationalize. Takes every frame at one
-    nesting depth (sibling child tables) so each level's branch
-    analysis is ONE aggregate job total (_branch_stats).
+    on top of plan-time relationalize.
 
     A VARIANT column exists exactly where the corpus-wide schema merge
     conflicted (e.g. ``b`` is a list in one row, a scalar in another,
@@ -240,8 +141,8 @@ def _expand_variants_batch(
       flatten contract (last-write-wins, mirroring the reference's
       ``temp_d.update`` dict merge, reference relationalize.py:114-117;
       the reference's winner is row-dict key order, which a set-based
-      engine canonicalizes to schema order). Pinned in
-      tests/test_relationalize.py::test_dynamic_flatten_collision.
+      engine canonicalizes to schema order). Pinned in tests/
+      test_jsonl_pipeline.py::test_dynamic_flatten_collision_last_write_wins.
     - keeps the scalar + array branches in the original column (the
       array branch is split out by the caller's normal child-table
       machinery, elements staying VARIANT so grandchildren recurse),
@@ -265,84 +166,88 @@ def _expand_variants_batch(
     keeps these passes from re-parsing JSON.
     """
     from ..sources.jsonl import _cast_ddl, parse_variant_schema
+    from .infer import ref_tag_from_schema_str
 
-    n = len(frames)
-    tdfs: list[DataFrame] = list(frames)
-    arr_flags: list[dict[str, bool]] = [{} for _ in range(n)]
-    tag_sets: list[dict[str, set[str]]] = [{} for _ in range(n)]
-    analyzed: list[set[str]] = [set() for _ in range(n)]
-    active = set(range(n))
-    while active:
-        items: list[tuple[int, DataFrame, list[str]]] = []
-        for k in sorted(active):
-            tdfs[k] = _flatten_structs(tdfs[k])
-            vcols = [
-                f.name
-                for f in tdfs[k].schema.fields
-                if isinstance(f.dataType, VariantType)
-                and f.name != _ROW_KEY
-                and f.name not in analyzed[k]
-            ]
-            if vcols:
-                items.append((k, tdfs[k], vcols))
-            else:
-                active.discard(k)
-        if not items:
-            break
-        stats = _branch_stats(items)
+    arr_flags: dict[str, bool] = {}
+    tag_sets: dict[str, set[str]] = {}
+    analyzed: set[str] = set()
+    while True:
+        tdf = _flatten_structs(tdf)
+        vcols = [
+            f.name
+            for f in tdf.schema.fields
+            if isinstance(f.dataType, VariantType)
+            and f.name != _ROW_KEY
+            and f.name not in analyzed
+        ]
+        if not vcols:
+            return tdf, arr_flags, tag_sets
+        # one projected class per column (schema_of_variant computed
+        # once per row), then one combined aggregate
+        cls_cols = {}
+        proj = [F.col(_q(f.name)) for f in tdf.schema.fields]
+        for i, c in enumerate(vcols):
+            sov = F.schema_of_variant(F.col(_q(c)))
+            cls = (
+                F.when(sov.startswith("ARRAY"), F.lit("arr"))
+                .when(sov.startswith("OBJECT"), F.lit("obj"))
+                .otherwise(ref_tag_from_schema_str(sov))
+            )
+            cls_cols[c] = f"__cls{DELIM}{i}__"
+            proj.append(cls.alias(cls_cols[c]))
+        classed = tdf.select(*proj)
+        aggs = []
+        for i, c in enumerate(vcols):
+            aggs.append(F.collect_set(cls_cols[c]).alias(f"__set{i}__"))
+            aggs.append(
+                F.schema_of_variant_agg(
+                    F.when(F.col(cls_cols[c]) == "obj", F.col(_q(c)))
+                ).alias(f"__os{i}__")
+            )
+        stats = classed.agg(*aggs).first()
 
-        for k, tdf, vcols in items:
-            vset = set(vcols)
-            keep: dict[str, Column] = {}
-            obj_tmp: dict[str, str] = {}  # tmp struct col -> flatten prefix
-            idx = {c: i for i, c in enumerate(vcols)}
+        keep: dict[str, Column] = {}
+        obj_tmp: dict[str, str] = {}  # tmp struct col -> flatten prefix
+        idx = {c: i for i, c in enumerate(vcols)}
+        for f in tdf.schema.fields:
+            c = f.name
+            if c not in idx:
+                keep[c] = F.col(_q(c))
+                continue
+            i = idx[c]
+            observed = set(stats[f"__set{i}__"] or [])
+            any_arr = "arr" in observed
+            any_obj = "obj" in observed
+            scalars = observed - {"arr", "obj"}
+            any_scalar = bool(scalars)
+            tag_sets[c] = scalars
+            analyzed.add(c)
+            if any_arr or any_scalar:
+                # strip the object branch; arrays/scalars stay put
+                keep[c] = F.when(~_is_obj(c), F.col(_q(c)))
+                arr_flags[c] = any_arr
+            if any_obj:
+                node = parse_variant_schema(stats[f"__os{i}__"])
+                if node.kind == "object" and node.fields:
+                    tmp = f"__vobj{DELIM}{i}__"
+                    keep[tmp] = F.try_variant_get(
+                        F.col(_q(c)), "$", _cast_ddl(node)
+                    )
+                    obj_tmp[tmp] = _obj_prefix(c)
+        tdf = tdf.select(*[col.alias(n) for n, col in keep.items()])
+        if obj_tmp:
+            cols: dict[str, Column] = {}
             for f in tdf.schema.fields:
-                c = f.name
-                if c not in vset:
-                    keep[c] = F.col(_q(c))
-                    continue
-                observed, obj_schema = stats.get((k, c), (set(), None))
-                any_arr = "arr" in observed
-                any_obj = "obj" in observed
-                scalars = observed - {"arr", "obj"}
-                any_scalar = bool(scalars)
-                tag_sets[k][c] = scalars
-                analyzed[k].add(c)
-                if any_arr or any_scalar:
-                    # strip the object branch; arrays/scalars stay put
-                    keep[c] = F.when(~_is_obj(c), F.col(_q(c)))
-                    arr_flags[k][c] = any_arr
-                if any_obj:
-                    node = parse_variant_schema(obj_schema)
-                    if node.kind == "object" and node.fields:
-                        tmp = f"__vobj{DELIM}{idx[c]}__"
-                        keep[tmp] = F.try_variant_get(
-                            F.col(_q(c)), "$", _cast_ddl(node)
-                        )
-                        obj_tmp[tmp] = _obj_prefix(c)
-            tdf = tdf.select(*[col.alias(nm) for nm, col in keep.items()])
-            if obj_tmp:
-                cols: dict[str, Column] = {}
-                for f in tdf.schema.fields:
-                    if f.name in obj_tmp:
-                        prefix = obj_tmp[f.name]
-                        for sub in f.dataType.fields:  # type: ignore[union-attr]
-                            flat = f"{prefix}{DELIM}{sub.name}"
-                            cols[flat] = F.col(
-                                f"{_q(f.name)}.{_q(sub.name)}"
-                            ).alias(flat)
-                    else:
-                        cols[f.name] = F.col(_q(f.name))
-                tdf = tdf.select(*[c.alias(nm) for nm, c in cols.items()])
-            tdfs[k] = tdf
-    return [(tdfs[k], arr_flags[k], tag_sets[k]) for k in range(n)]
-
-
-def _expand_variants(
-    tdf: DataFrame,
-) -> tuple[DataFrame, dict[str, bool], dict[str, set]]:
-    """Single-frame form of ``_expand_variants_batch`` (same plan)."""
-    return _expand_variants_batch([tdf])[0]
+                if f.name in obj_tmp:
+                    prefix = obj_tmp[f.name]
+                    for sub in f.dataType.fields:  # type: ignore[union-attr]
+                        flat = f"{prefix}{DELIM}{sub.name}"
+                        cols[flat] = F.col(
+                            f"{_q(f.name)}.{_q(sub.name)}"
+                        ).alias(flat)
+                else:
+                    cols[f.name] = F.col(_q(f.name))
+            tdf = tdf.select(*[c.alias(n) for n, c in cols.items()])
 
 
 def relationalize(
@@ -427,53 +332,10 @@ def _process(
     depth_left: int,
     hint_sets: dict[str, dict[str, set] | None],
 ) -> None:
-    _process_level([(tdf, table)], root, rid_mode, out, depth_left, hint_sets)
-
-
-def _process_level(
-    entries: list[tuple[DataFrame, str]],
-    root: str,
-    rid_mode: str,
-    out: dict[str, DataFrame],
-    depth_left: int,
-    hint_sets: dict[str, dict[str, set] | None],
-) -> None:
-    """Process every table at one nesting depth together (r6): the
-    recursion is breadth-first so sibling child tables — all derived
-    from the same (persisted) parent scan — share one branch-analysis
-    aggregate per level (_expand_variants_batch) instead of paying one
-    job each. Table creation ORDER is unchanged for the same-named
-    multi-parent union case: siblings register in schema path order,
-    exactly as the depth-first walk did."""
     if depth_left <= 0:
-        tables = [t for _, t in entries]
-        raise ValueError(
-            f"nesting exceeds max_depth while planning table(s) {tables!r}"
-        )
-    expanded = _expand_variants_batch([tdf for tdf, _ in entries])
-    next_entries: list[tuple[DataFrame, str]] = []
-    for (_, table), (tdf, var_arr, var_tags) in zip(entries, expanded):
-        _process_one(
-            tdf, table, root, rid_mode, out, hint_sets, var_arr, var_tags,
-            next_entries,
-        )
-    if next_entries:
-        _process_level(
-            next_entries, root, rid_mode, out, depth_left - 1, hint_sets
-        )
+        raise ValueError(f"nesting exceeds max_depth while planning table {table!r}")
+    tdf, var_arr, var_tags = _expand_variants(tdf)
 
-
-def _process_one(
-    tdf: DataFrame,
-    table: str,
-    root: str,
-    rid_mode: str,
-    out: dict[str, DataFrame],
-    hint_sets: dict[str, dict[str, set] | None],
-    var_arr: dict[str, bool],
-    var_tags: dict[str, set],
-    next_entries: list[tuple[DataFrame, str]],
-) -> None:
     array_paths = [
         f.name
         for f in tdf.schema.fields
@@ -600,7 +462,7 @@ def _process_one(
             F.col(_q(index_name)),
             child_key.alias(_ROW_KEY),
         )
-        next_entries.append((child, f"{root}{DELIM}{p}"))
+        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1, hint_sets)
 
     for p in variant_array_paths:
         rid_name = f"{p}{DELIM}{RID}"
@@ -624,7 +486,7 @@ def _process_one(
             F.col(_q(index_name)),
             child_key.alias(_ROW_KEY),
         )
-        next_entries.append((child, f"{root}{DELIM}{p}"))
+        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1, hint_sets)
 
     for p in map_paths:
         rid_name = f"{p}{DELIM}{RID}"
@@ -643,4 +505,4 @@ def _process_one(
             F.col(_q(index_name)),
             child_key.alias(_ROW_KEY),
         )
-        next_entries.append((child, f"{root}{DELIM}{p}"))
+        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1, hint_sets)

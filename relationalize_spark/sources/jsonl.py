@@ -180,6 +180,7 @@ def relationalize_json(
     key_cols: list[str] | None = None,
     convert: bool = True,
     persist: bool = True,
+    rid_mode: str = "hash",
 ) -> RelationalizedJson:
     """Full dynamic pipeline: JSONL path (or variant DataFrame) ->
     rid-linked flat tables with choice columns resolved.
@@ -236,7 +237,9 @@ def relationalize_json(
         ).select("__r__.*")
 
         hints: dict[str, dict[str, str]] = {}
-        raw_tables = relationalize(typed, name, key_cols=key_cols, infer_hints=hints)
+        raw_tables = relationalize(
+            typed, name, key_cols=key_cols, rid_mode=rid_mode, infer_hints=hints
+        )
         tables: dict[str, DataFrame] = {}
         schemas: dict[str, Schema] = {}
         for tname, tdf in raw_tables.items():

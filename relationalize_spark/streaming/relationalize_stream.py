@@ -34,6 +34,41 @@ from ..schema import Schema
 TableSink = Callable[[str, DataFrame, int], None]
 
 
+# -- Hadoop-FS text helpers (work on local / HDFS / s3a alike) ---------------
+
+def _fs_for(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _fs_write_text(spark: SparkSession, path_str: str, content: str) -> None:
+    fs, p = _fs_for(spark, path_str)
+    out = fs.create(p, True)  # creates parent dirs, overwrites
+    try:
+        out.write(content.encode("utf-8"))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path_str: str) -> str | None:
+    fs, p = _fs_for(spark, path_str)
+    if not fs.exists(p):
+        return None
+    stm = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stm, "UTF-8")
+    finally:
+        stm.close()
+
+
+def _fs_list_dirs(spark: SparkSession, path_str: str) -> list[str]:
+    fs, p = _fs_for(spark, path_str)
+    if not fs.exists(p):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(p) if s.isDirectory()]
+
+
 def _has_variant(dt: ST.DataType) -> bool:
     if isinstance(dt, ST.VariantType):
         return True
@@ -111,20 +146,59 @@ class JsonStreamDemux:
     like any non-transactional append sink); run exactly-once dedup
     downstream on the rid columns if the checkpoint may replay.
 
+    The running merged schemas are DURABLE, not driver-only: after
+    each batch the merged schema is written to
+    ``{base_path}/{table}/_schema.json`` (underscore-prefixed, so data
+    readers ignore it) BEFORE that batch's rows append — the on-disk
+    schema is always a superset of the on-disk rows, so a crash
+    between the two writes only leaves schema columns the replayed
+    batch will re-append. A fresh demux instance (checkpoint restart)
+    recovers every table's schema from these files on first use;
+    ``finalize`` refuses loudly if ``base_path`` holds a table
+    directory with no recoverable schema (e.g. written by something
+    other than this demux) rather than emit a silently narrowed view.
+
     Scale shape: per batch this is the batch pipeline (variant casts
     and projections, one branch-analysis aggregate per nesting level
     over the persisted batch parse); the running schemas are
-    driver-side dicts of column tags — O(columns), not O(rows).
+    driver-side dicts of column tags — O(columns), not O(rows) — and
+    the per-batch persistence is one tiny metadata file per table.
     """
 
     base_path: str
     name: str
     key_cols: list[str] | None = None
     schemas: dict[str, Schema] = field(default_factory=dict)
+    _recovered: bool = field(default=False, init=False, repr=False)
+
+    def _recover(self, spark: SparkSession) -> None:
+        """Merge any persisted per-table schemas under base_path into
+        the running state (no-op after the first call). Raises for a
+        table directory without a _schema.json — appended rows with no
+        recoverable schema would silently vanish from finalize()."""
+        if self._recovered:
+            return
+        for t in _fs_list_dirs(spark, self.base_path):
+            content = _fs_read_text(
+                spark, f"{self.base_path}/{t}/_schema.json"
+            )
+            if content is None:
+                raise RuntimeError(
+                    f"JsonStreamDemux: table directory "
+                    f"{self.base_path}/{t} has no _schema.json; its rows "
+                    "cannot be typed consistently. Was it written by "
+                    "something other than JsonStreamDemux?"
+                )
+            self.schemas[t] = Schema.merge(
+                self.schemas.get(t, Schema()), Schema.deserialize(content)
+            )
+        self._recovered = True
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.jsonl import relationalize_json
 
+        spark = batch_df.sparkSession
+        self._recover(spark)
         f = batch_df.schema.fields
         if len(f) == 1 and isinstance(f[0].dataType, ST.StringType):
             # raw JSONL lines -> one variant column
@@ -137,10 +211,17 @@ class JsonStreamDemux:
         )
         try:
             for t, tdf in out.tables.items():
-                tdf.write.mode("append").json(f"{self.base_path}/{t}")
-                self.schemas[t] = Schema.merge(
+                merged = Schema.merge(
                     self.schemas.get(t, Schema()), out.schemas[t]
                 )
+                self.schemas[t] = merged
+                # schema first, rows second (see class docstring)
+                _fs_write_text(
+                    spark,
+                    f"{self.base_path}/{t}/_schema.json",
+                    merged.serialize(),
+                )
+                tdf.write.mode("append").json(f"{self.base_path}/{t}")
         finally:
             out.unpersist()
 
@@ -156,6 +237,7 @@ class JsonStreamDemux:
         from ..operators.infer import convert_choice_columns
         from ..sources.jsonl import VNode, _cast_ddl, read_jsonl_variant
 
+        self._recover(spark)
         tables: dict[str, DataFrame] = {}
         prev_case = spark.conf.get("spark.sql.caseSensitive")
         spark.conf.set("spark.sql.caseSensitive", "true")
