@@ -146,7 +146,18 @@ class Schema:
     def drop_duplicate_columns(self) -> int:
         """Remove case-insensitive duplicate names, keeping the first
         (reference schema.py:176-192 — the docstring there says
-        case-*sensitive* but the code casefolds; we follow the code)."""
+        case-*sensitive* but the code casefolds; we follow the code).
+
+        DOCUMENTED DEVIATION: "first" is this schema's column order.
+        For a hand-built Schema observed row-by-row that is the
+        reference's row-arrival order exactly; for a schema produced
+        by the distributed pipeline it is the merged variant tree's
+        canonical (sorted) key order — a distributed scan has no
+        single row-arrival order, so which member of a casefold pair
+        survives is deterministic (sorted-first) rather than
+        corpus-order-dependent. Pinned differentially in
+        tests/test_differential_reference.py::
+        test_differential_wide_dynamic_with_hygiene."""
         seen: set[str] = set()
         doomed: list[str] = []
         for k in self.columns:

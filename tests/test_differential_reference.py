@@ -166,14 +166,14 @@ def run_reference(objs: list[dict]):
 
 # -- spark pipeline -----------------------------------------------------------
 
-def run_spark(spark, objs: list[dict], tmp_path):
+def run_spark(spark, objs: list[dict], tmp_path, rid_mode: str = "hash"):
     from relationalize_spark.sources.jsonl import relationalize_json
 
     p = str(tmp_path / "in.jsonl")
     with open(p, "w") as f:
         for o in objs:
             f.write(json.dumps(o) + "\n")
-    res = relationalize_json(p, "root", spark=spark)
+    res = relationalize_json(p, "root", spark=spark, rid_mode=rid_mode)
     out = {}
     for name, df in res.tables.items():
         rows = [r.asDict() for r in df.collect()]
@@ -242,7 +242,14 @@ def test_differential_vs_reference(spark, tmp_path, seed, n_objects):
     objs = gen_corpus(seed, n_objects)
     ref = run_reference(objs)
     got_all = run_spark(spark, objs, tmp_path)
+    _assert_equivalent(ref, got_all)
 
+
+def _assert_equivalent(ref, got_all):
+    """Full observable-equivalence battery (tables A, rows B, schemas
+    C, output columns D, DDL E) shared by every pipeline differential.
+    MUTATES ref's schemas (phantom-none normalization) so hygiene
+    comparisons can run on the aligned schemas afterwards."""
     # Plan-time vs row-time table discovery (documented deviation):
     # this engine emits a child relation for every array PATH, even
     # when every array at it happened to be empty; the reference only
@@ -270,33 +277,24 @@ def test_differential_vs_reference(spark, tmp_path, seed, n_objects):
     # One DOCUMENTED schema deviation is normalized first (see
     # relationalize_spark/schema.py module docstring): a key holding
     # an explicit JSON null in one row and an object in another keeps
-    # a phantom all-null `none` column in the reference's schema next
-    # to its flattened children; this engine's merge absorbs the null
-    # into the object branch. Assert the diff is EXACTLY that class —
-    # a ref-side `none` column, absent on our side, that has a
-    # flattened child (`X_*`) on the ref side — then compare with
-    # those columns removed.
+    # a phantom all-null `none` column in the reference's schema
+    # (next to its flattened children — or ALONE when the only object
+    # observed was `{}`, which flattens to zero children); this
+    # engine's merge absorbs the null into the object branch, so the
+    # column vanishes. Assert the diff is EXACTLY that class — a
+    # ref-side `none`-typed column absent on our side — then compare
+    # with those columns removed. The rule deliberately does NOT
+    # prove an object was ever observed at the path (the `{}` shape
+    # leaves no schema evidence); the behavior this must not mask —
+    # a key that is null in EVERY row keeps its `none` column — is
+    # pinned separately by test_all_null_key_keeps_none_column.
     for t in sorted(ref):
         ref_schema, _, _ = ref[t]
         our_schema, _ = got[t]
         rs, os_ = dict(ref_schema.schema), dict(our_schema.columns)
 
-        def _has_flatten_sibling(k: str) -> bool:
-            # the null-vs-object mix appears in two shapes: a DICT
-            # key (siblings `k_*`) or a LIST ELEMENT (the null rows
-            # type `{path}__val_`, the object rows flatten to
-            # `{path}_*`)
-            prefixes = [k + "_"]
-            if k.endswith("__val_"):
-                prefixes.append(k[: -len("_val_") - 1] + "_")
-            return any(
-                o != k and o.startswith(p) for p in prefixes for o in rs
-            )
-
         phantom = {
-            k
-            for k in set(rs) - set(os_)
-            if rs[k] == "none" and _has_flatten_sibling(k)
+            k for k in set(rs) - set(os_) if rs[k] == "none"
         }
         for k in phantom:
             del ref_schema.schema[k]
@@ -313,6 +311,116 @@ def test_differential_vs_reference(spark, tmp_path, seed, n_objects):
         # COLUMN-identifier escaping inside the DDL body is still
         # compared in full (both engines escape column names).
         assert ref_schema.generate_ddl("t") == our_schema.generate_ddl("t"), t
+    return got
+
+
+# -- wide-dynamic fast gate + hygiene edges (r7; VERDICT r6 items 4-5) -------
+
+#: Keys engineered so EVERY one is branch-conflicted somewhere in the
+#: corpus, with the hygiene edge cases the r5/r6 verdicts asked to pin
+#: differentially: a casefold-duplicate pair (w1/W1), special-char
+#: names (drop_special_char_columns targets), and an always-null key.
+WIDE_KEYS = [f"w{i}" for i in range(20)] + ["W1", "sp key", "do.t2"]
+
+
+def gen_wide_corpus(seed: int, n: int) -> list[dict]:
+    """200-400 objects, 20+ sibling array paths, every key conflicted
+    — the corpus SHAPE that made the r6 fused branch-analysis blow its
+    driver heap (many sibling child tables at one nesting level, every
+    column variant). Small enough to run in ~1 min: the pre-commit
+    gate for any relationalize/_expand_variants change, where the
+    1200-object case (~5 min) is the per-round deep check."""
+    rng = random.Random(seed)
+    corpus = []
+    for i in range(n):
+        o = {"_seq": i, "allnull": None}
+        for k in rng.sample(WIDE_KEYS, rng.randint(6, 10)):
+            kind = rng.choice(["scalar", "list_scalar", "list_dict", "dict"])
+            if kind == "scalar":
+                o[k] = _gen_scalar(rng)
+            elif kind == "list_scalar":
+                o[k] = [_gen_scalar(rng) for _ in range(rng.randint(0, 3))]
+            elif kind == "list_dict":
+                o[k] = [
+                    {
+                        "p": _gen_scalar(rng),
+                        "q": rng.choice([rng.randint(0, 9), [1, 2], {"z": 1}]),
+                    }
+                    for _ in range(rng.randint(0, 2))
+                ]
+            else:
+                o[k] = {"f1": _gen_scalar(rng), "f2": rng.choice([3, "s", [4], None])}
+        corpus.append(o)
+    return corpus
+
+
+def test_differential_wide_dynamic_with_hygiene(spark, tmp_path):
+    """The fast wide-dynamic differential (see gen_wide_corpus), plus
+    the column-hygiene pass (O12-O14, ref schema.py:144-192) applied
+    to BOTH engines' pipeline-produced schemas: identical dropped-column
+    lists, post-drop schemas, and DDL. The corpus guarantees each drop
+    fires: `allnull` (null column), `sp key`/`do.t2`/`tag s` paths
+    (special chars), w1/W1 (casefold duplicates)."""
+    objs = gen_wide_corpus(20260815, 250)
+    ref = run_reference(objs)
+    got = _assert_equivalent(ref, run_spark(spark, objs, tmp_path))
+    for t in sorted(ref):
+        ref_schema, _, _ = ref[t]  # phantom-normalized by _assert_equivalent
+        our_schema, _ = got[t]
+        assert ref_schema.drop_null_columns() == our_schema.drop_null_columns(), t
+        assert (
+            ref_schema.drop_special_char_columns()
+            == our_schema.drop_special_char_columns()
+        ), t
+        assert (
+            ref_schema.drop_duplicate_columns()
+            == our_schema.drop_duplicate_columns()
+        ), t
+        # Casefold-duplicate survivor DEVIATION (schema.py
+        # drop_duplicate_columns docstring): the reference keeps the
+        # row-arrival-first member, the pipeline the sorted-first one.
+        # Assert any post-drop diff is EXACTLY such pairs, remove
+        # them from both sides, then compare the rest in full.
+        only_ref = set(ref_schema.schema) - set(our_schema.columns)
+        only_ours = set(our_schema.columns) - set(ref_schema.schema)
+        assert {k.casefold() for k in only_ref} == {
+            k.casefold() for k in only_ours
+        }, t
+        for k in only_ref:
+            del ref_schema.schema[k]
+        for k in only_ours:
+            del our_schema.columns[k]
+        assert dict(ref_schema.schema) == dict(our_schema.columns), t
+        assert ref_schema.generate_ddl("t") == our_schema.generate_ddl("t"), t
+
+
+def test_differential_uuid_rid_mode(spark, tmp_path):
+    """One seeded corpus end-to-end with rid_mode='uuid' (the
+    reference-exact randomness mode, carried r5 item 7): uuid rids are
+    R_+32hex like hash rids, so the same linkage canonicalization
+    applies and the full battery must hold — pins that the uuid lane's
+    per-level cache keeps parent and child rid values consistent."""
+    objs = gen_corpus(777, 300)
+    ref = run_reference(objs)
+    _assert_equivalent(ref, run_spark(spark, objs, tmp_path, rid_mode="uuid"))
+
+
+def test_all_null_key_keeps_none_column(spark, tmp_path):
+    """Guard for the phantom-none normalization above: a key that is
+    null in EVERY row (never an object) must KEEP its `none` column on
+    BOTH engines — top-level and inside list-element dicts — so the
+    relaxed phantom rule cannot mask an engine regression that drops
+    all-null columns outright."""
+    objs = [
+        {"_seq": 0, "z": None, "b": [{"x": None, "y": 1}]},
+        {"_seq": 1, "z": None, "b": [{"y": 2}]},
+    ]
+    ref = run_reference(objs)
+    got = _assert_equivalent(ref, run_spark(spark, objs, tmp_path))
+    assert got["root"][0].columns["z"] == "none"
+    assert got["root_b"][0].columns["b_x"] == "none"
+    assert dict(ref["root"][0].schema)["z"] == "none"
+    assert dict(ref["root_b"][0].schema)["b_x"] == "none"
 
 
 def test_generated_rid_wins_over_user_rid_key(spark, tmp_path):
