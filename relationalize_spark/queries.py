@@ -4759,6 +4759,66 @@ FROM magg JOIN dagg ON magg.source = dagg.source
 """
 
 
+def q129_hll_merge_law(spark: SparkSession, sf: str) -> DataFrame:
+    """DataSketches-HLL mergeability law, value-checked (r7; the q128
+    pattern applied to the one sketch family that was still rows-only):
+    q94's HLL estimates are engine-specific register layouts DuckDB
+    cannot replay, but the MERGE LAW is checkable — per-shard sketches
+    (``hll_sketch_agg`` over ``doc_id % 4`` shards) unioned with
+    ``hll_union_agg`` must estimate exactly what one direct sketch
+    over the unsharded data estimates (same lgConfigK -> identical
+    register state, the same algebra as the reference's Schema.merge,
+    reference schema.py:259-302). The output carries only
+    DuckDB-replayable values: the law as a boolean, the EXACT distinct
+    count, and the estimate's 5% error bound as a boolean (HLL lgK=12
+    RSE is ~0.8%, so the bound is ~6 sigma — deterministic for a fixed
+    corpus).
+
+    Scale shape: two partial-aggregatable jobs over the corpus, each
+    shuffling O(groups x sketch) bytes — sketches merge map-side, the
+    whole point of the law being proved."""
+    d = load_table(spark, sf, "documents")
+    per_shard = (
+        d.withColumn("shard", F.col("doc_id") % 4)
+        .groupBy("source", "shard")
+        .agg(F.hll_sketch_agg("text").alias("sk"))
+    )
+    merged = per_shard.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = d.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("text")).alias("direct_est"),
+        F.countDistinct("text").alias("exact_distinct"),
+    )
+    return (
+        merged.join(direct, "source")
+        .select(
+            "source",
+            (F.col("merged_est") == F.col("direct_est")).alias(
+                "merge_equals_direct"
+            ),
+            "exact_distinct",
+            (
+                F.abs(F.col("direct_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= F.lit(0.05)
+            ).alias("within_5pct"),
+        )
+        .orderBy("source")
+    )
+
+
+Q129_SQL = """
+SELECT source,
+       TRUE AS merge_equals_direct,
+       count(DISTINCT text) AS exact_distinct,
+       TRUE AS within_5pct
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4768,83 +4828,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark query, duckdb oracle SQL or None)
 #:
 #: ORDER IS LOAD-BEARING: the driver's correctness gate checks only
-#: the FIRST 50 entries (CORRECTNESS_r01-r05 each contain exactly
+#: the FIRST 50 entries (CORRECTNESS_r01-r06 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round so every entry's newest driver row stays <= 2 rounds
-#: old. Round 6 fronts (counts audited against the CORRECTNESS files
-#: themselves — r5's comment miscounted its last block, ADVICE r5):
-#: 1 new entry (q128 KMV shard-merge), the 3 entries whose r5 oracle
-#: flip landed outside the r5 window (q67/q108 replayable k-means —
-#: full value oracles now; q94 recording its declared rows-only),
-#: q34 (whose newest row was still r2 — skipped by the r5 window's
-#: q27-q33/q35-q50 split), the 26 r3-attested entries (q74-q80,
-#: q83-q93, q95-q102 — newest rows turn 3 rounds old this round),
-#: and 19 of the oldest r4-attested entries (q01, q03-q17, q19-q21).
-#: Total: 1+3+1+26+19 = 50. Behind the cap: the 28 remaining
-#: r4-attested entries (q22-q26, q81-q82, q103-q124), then the 50
-#: r5-attested ones. Every entry, either side of the cap, runs
-#: against its oracle in tests/test_entry_oracle.py on every pytest
-#: run.
+#: old. Round 7 fronts: 1 new entry (q129 HLL merge law), the 2
+#: dynamic-relationalize entries touched by the r6 fusion revert
+#: (q34, q125 — VERDICT r6 items 1/3), the 28 r4-attested entries
+#: whose newest rows turn 3 rounds old this round (q22-q26, q81-q82,
+#: q103-q107, q109-q124), and the 19 oldest r5-attested FULL-ORACLE
+#: entries (q02, q18, q27-q29, q31-q32, q35-q46) — q30/q33 stay
+#: behind the cap because their r5 rows are permanently rows-only by
+#: design (md5 twins q123/q124 are IN this window) and fronting them
+#: would spend window slots re-recording a weaker check. Total:
+#: 1+2+28+19 = 50, every one with a value oracle. Behind the cap:
+#: the 47 r6-attested entries, then the remaining r5-attested ones.
+#: Every entry, either side of the cap, runs against its oracle in
+#: tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- r6 window (first 50 = the driver's correctness gate) --------
+    # --- r7 window (first 50 = the driver's correctness gate) --------
     # new this round:
-    "q128_kmv_shard_merge": (q128_kmv_shard_merge, Q128_SQL),
-    # r5 oracle flips, driver-unattested until now:
-    "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),  # replayable Lloyd's (r5)
-    "q108_semdedup": (q108_semdedup, Q108_SQL),  # replayable k-means (r5)
-    "q94_approx_sketches": (q94_approx_sketches, None),  # engine hash: rows-only
-    # newest row still r2 (missed by the r5 window's block split):
+    "q129_hll_merge_law": (q129_hll_merge_law, Q129_SQL),
+    # dynamic-path re-attestation after the r6 fusion revert:
     "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
-    # r3-attested block — newest rows turn 3 rounds old in r6:
-    "q74_stream_static_join": (q74_stream_static_join, Q74_SQL),
-    "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
-    "q76_setops_all": (q76_setops_all, Q76_SQL),
-    "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
-    "q78_window_functions": (q78_window_functions, Q78_SQL),
-    "q79_array_functions": (q79_array_functions, Q79_SQL),
-    "q80_repetition_filters": (q80_repetition_filters, Q80_SQL),
-    "q83_streaming_dedup": (q83_streaming_dedup, Q83_SQL),
-    "q84_unpivot": (q84_unpivot, Q84_SQL),
-    "q85_rolling_time_window": (q85_rolling_time_window, Q85_SQL),
-    "q86_argmax_groups": (q86_argmax_groups, Q86_SQL),
-    "q87_source_mixing": (q87_source_mixing, Q87_SQL),
-    "q88_nullsafe_join": (q88_nullsafe_join, Q88_SQL),
-    "q89_date_battery": (q89_date_battery, Q89_SQL),
-    "q90_volume_shipping": (q90_volume_shipping, Q90_SQL),
-    "q91_market_share": (q91_market_share, Q91_SQL),
-    "q92_product_profit": (q92_product_profit, Q92_SQL),
-    "q93_top_supplier": (q93_top_supplier, Q93_SQL),
-    "q95_lateral_topn": (q95_lateral_topn, Q95_SQL),
-    "q96_string_agg": (q96_string_agg, Q96_SQL_ORACLE),
-    "q97_global_index": (q97_global_index, Q97_SQL),
-    "q98_regression_stats": (q98_regression_stats, Q98_SQL),
-    "q99_recursive_cte": (q99_recursive_cte, Q99_SQL),
-    "q100_column_profile": (q100_column_profile, Q100_SQL),
-    "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
-    "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
-    # oldest r4-attested entries (19 of 47):
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
-    "q04_order_priority": (q04_order_priority, Q04_SQL),
-    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
-    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
-    "q07_global_stats": (q07_global_stats, Q07_SQL),
-    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
-    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
-    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
-    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
-    "q12_setops": (q12_setops, Q12_SQL),
-    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
-    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
-    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
-    "q16_date_functions": (q16_date_functions, Q16_SQL),
-    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
-    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
-    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
-    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
-    # --- behind the cap: every entry below carries a full-green ----
-    # --- r4 or r5 driver row as its durable record -----------------
-    # remaining r4-attested (28):
+    "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
+    # r4-attested block — newest rows turn 3 rounds old in r7:
     "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
     "q23_text_stats": (q23_text_stats, Q23_SQL),
     "q24_lang_id": (q24_lang_id, None),  # SQL generated below
@@ -4873,16 +4880,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
     "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
     "q124_winnow_md5": (q124_winnow_md5, Q124_SQL),
-    # r5-attested (50):
+    # oldest r5-attested full-oracle entries (19):
     "q02_hypertable_rollup": (q02_hypertable_rollup, Q02_SQL),
     "q18_sessionization": (q18_sessionization, Q18_SQL),
     "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),
     "q28_jaccard_pairs": (q28_jaccard_pairs, _JACCARD_ORACLE.format(threshold=0.5)),
     "q29_minhash_lsh_pairs": (q29_minhash_lsh_pairs, _JACCARD_ORACLE.format(threshold=0.8)),
-    "q30_simhash_pairs": (q30_simhash_pairs, None),  # xxhash64: rows-only
     "q31_ann_topk": (q31_ann_topk, Q31_SQL),
     "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
-    "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only
     "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
     "q36_sql_api": (q36_sql_api, Q36_SQL),
     "q37_asof_join": (q37_asof_join, Q37_SQL),
@@ -4895,6 +4900,61 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q44_percentiles": (q44_percentiles, Q44_SQL),
     "q45_edit_distance": (q45_edit_distance, Q45_SQL),
     "q46_pandas_udf": (q46_pandas_udf, Q46_SQL),
+    # --- behind the cap: every entry below carries a full-green ----
+    # --- r5 or r6 driver row as its durable record -----------------
+    # r6-attested (47):
+    "q128_kmv_shard_merge": (q128_kmv_shard_merge, Q128_SQL),
+    "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),  # replayable Lloyd's (r5)
+    "q108_semdedup": (q108_semdedup, Q108_SQL),  # replayable k-means (r5)
+    "q94_approx_sketches": (q94_approx_sketches, None),  # engine hash: rows-only (twin: q129)
+    "q74_stream_static_join": (q74_stream_static_join, Q74_SQL),
+    "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
+    "q76_setops_all": (q76_setops_all, Q76_SQL),
+    "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
+    "q78_window_functions": (q78_window_functions, Q78_SQL),
+    "q79_array_functions": (q79_array_functions, Q79_SQL),
+    "q80_repetition_filters": (q80_repetition_filters, Q80_SQL),
+    "q83_streaming_dedup": (q83_streaming_dedup, Q83_SQL),
+    "q84_unpivot": (q84_unpivot, Q84_SQL),
+    "q85_rolling_time_window": (q85_rolling_time_window, Q85_SQL),
+    "q86_argmax_groups": (q86_argmax_groups, Q86_SQL),
+    "q87_source_mixing": (q87_source_mixing, Q87_SQL),
+    "q88_nullsafe_join": (q88_nullsafe_join, Q88_SQL),
+    "q89_date_battery": (q89_date_battery, Q89_SQL),
+    "q90_volume_shipping": (q90_volume_shipping, Q90_SQL),
+    "q91_market_share": (q91_market_share, Q91_SQL),
+    "q92_product_profit": (q92_product_profit, Q92_SQL),
+    "q93_top_supplier": (q93_top_supplier, Q93_SQL),
+    "q95_lateral_topn": (q95_lateral_topn, Q95_SQL),
+    "q96_string_agg": (q96_string_agg, Q96_SQL_ORACLE),
+    "q97_global_index": (q97_global_index, Q97_SQL),
+    "q98_regression_stats": (q98_regression_stats, Q98_SQL),
+    "q99_recursive_cte": (q99_recursive_cte, Q99_SQL),
+    "q100_column_profile": (q100_column_profile, Q100_SQL),
+    "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
+    "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
+    "q04_order_priority": (q04_order_priority, Q04_SQL),
+    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
+    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
+    "q07_global_stats": (q07_global_stats, Q07_SQL),
+    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
+    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
+    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
+    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
+    "q12_setops": (q12_setops, Q12_SQL),
+    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
+    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
+    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
+    "q16_date_functions": (q16_date_functions, Q16_SQL),
+    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
+    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
+    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
+    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
+    # remaining r5-attested (incl. the declared rows-only pair):
+    "q30_simhash_pairs": (q30_simhash_pairs, None),  # xxhash64: rows-only (twin: q123)
+    "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),  # rows-only (twin: q124)
     "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
     "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
     "q49_large_orders": (q49_large_orders, Q49_SQL),
@@ -4921,7 +4981,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q71_nation_full_outer": (q71_nation_full_outer, Q71_SQL),
     "q72_grouping_sets": (q72_grouping_sets, Q72_SQL),
     "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
-    "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
     "q126_kmv_distinct": (q126_kmv_distinct, Q126_SQL),
     "q127_kmv_vocab_overlap": (q127_kmv_vocab_overlap, Q127_SQL),
 }
