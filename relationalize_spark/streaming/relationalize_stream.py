@@ -229,11 +229,26 @@ class JsonStreamDemux:
         """Wire onto a stream; caller picks trigger/checkpoint."""
         return stream_df.writeStream.foreachBatch(self.process_batch)
 
-    def finalize(self, spark: SparkSession) -> dict[str, DataFrame]:
+    def finalize(
+        self, spark: SparkSession, *, dedup_replays: bool = False
+    ) -> dict[str, DataFrame]:
         """Typed view of everything appended so far: per table, parse
         the JSONL back to one variant column per merged-schema key and
         split choice columns — the reference's convert pass with the
-        cross-batch schema."""
+        cross-batch schema.
+
+        ``dedup_replays=True`` restores exactly-once semantics over
+        the at-least-once appends by dropping byte-identical JSONL
+        lines: a replayed batch re-appends the SAME lines (rows and
+        their hash-mode rids are deterministic functions of the data
+        and key_cols), so line-level dedup removes exactly the replay
+        copies — one distinct-shuffle per table. Leave it off when
+        (a) rid_mode would be uuid (replays then differ per line and
+        dedup on rid columns downstream is needed instead) or (b) the
+        stream legitimately carries full-duplicate rows WITHIN the
+        key columns (those collapse too — the same caveat
+        ``relationalize``'s key_cols default documents for duplicate
+        rows sharing rids, operators/relationalize.py)."""
         from ..operators.infer import convert_choice_columns
         from ..sources.jsonl import VNode, _cast_ddl, read_jsonl_variant
 
@@ -243,7 +258,15 @@ class JsonStreamDemux:
         spark.conf.set("spark.sql.caseSensitive", "true")
         try:
             for t, schema in self.schemas.items():
-                vdf = read_jsonl_variant(spark, f"{self.base_path}/{t}")
+                if dedup_replays:
+                    vdf = (
+                        spark.read.text(f"{self.base_path}/{t}")
+                        .where(F.length(F.trim("value")) > 0)
+                        .dropDuplicates(["value"])
+                        .select(F.parse_json("value").alias("v"))
+                    )
+                else:
+                    vdf = read_jsonl_variant(spark, f"{self.base_path}/{t}")
                 node = VNode(
                     kind="object",
                     fields={

@@ -266,3 +266,37 @@ def test_json_stream_demux_refuses_uncovered_table_dir(spark, tmp_path):
     demux = JsonStreamDemux(str(base), "root")
     with pytest.raises(RuntimeError, match="no _schema.json"):
         demux.finalize(spark)
+
+
+def test_json_stream_demux_dedup_replays(spark, tmp_path):
+    """At-least-once replay recovery: the same batch appended twice
+    (once by a restarted instance — the worst case: replay after a
+    crash that lost driver state) must collapse back to single
+    delivery under finalize(dedup_replays=True), because hash-mode
+    rids and rows are deterministic, so replayed JSONL lines are
+    byte-identical."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    base = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [('{"k": 1, "xs": [7, 8]}',), ('{"k": 2, "xs": [9]}',)], "value string"
+    )
+    d1 = JsonStreamDemux(base, "root", key_cols=["k"])
+    d1.process_batch(batch, 0)
+    d2 = JsonStreamDemux(base, "root", key_cols=["k"])  # restart
+    d2.process_batch(batch, 0)  # replayed batch
+
+    dup = d2.finalize(spark)
+    assert dup["root"].count() == 4  # at-least-once: duplicates visible
+    clean = d2.finalize(spark, dedup_replays=True)
+    root = {r["k"]: r.asDict() for r in clean["root"].collect()}
+    assert len(root) == 2 and clean["root"].count() == 2
+    kids = sorted(
+        (r.asDict() for r in clean["root_xs"].collect()),
+        key=lambda r: (r["xs__rid_"], r["xs__index_"]),
+    )
+    assert len(kids) == 3
+    rid1, rid2 = root[1]["xs"], root[2]["xs"]
+    assert {c["xs__rid_"] for c in kids} == {rid1, rid2}
+    assert [c["xs__val_"] for c in kids if c["xs__rid_"] == rid1] == [7, 8]
+    assert [c["xs__val_"] for c in kids if c["xs__rid_"] == rid2] == [9]
