@@ -300,3 +300,23 @@ def test_json_stream_demux_dedup_replays(spark, tmp_path):
     assert {c["xs__rid_"] for c in kids} == {rid1, rid2}
     assert [c["xs__val_"] for c in kids if c["xs__rid_"] == rid1] == [7, 8]
     assert [c["xs__val_"] for c in kids if c["xs__rid_"] == rid2] == [9]
+
+
+def test_json_stream_demux_schema_only_dir(spark, tmp_path):
+    """Crash-window edge of the schema-first write ordering: a table
+    directory holding _schema.json but no data yet (crash between the
+    two writes; the batch will replay) finalizes to an EMPTY typed
+    table, not an error."""
+    from relationalize_spark.streaming.relationalize_stream import (
+        JsonStreamDemux,
+        _fs_write_text,
+    )
+
+    base = str(tmp_path / "out")
+    _fs_write_text(spark, f"{base}/root/_schema.json", '{"k": "int"}')
+    demux = JsonStreamDemux(base, "root")
+    for kw in ({}, {"dedup_replays": True}):
+        tables = demux.finalize(spark, **kw)
+        assert set(tables) == {"root"}
+        assert tables["root"].count() == 0
+        assert tables["root"].columns == ["k"]
