@@ -168,6 +168,7 @@ class JsonStreamDemux:
     base_path: str
     name: str
     key_cols: list[str] | None = None
+    quarantine: bool = False
     schemas: dict[str, Schema] = field(default_factory=dict)
     _recovered: bool = field(default=False, init=False, repr=False)
 
@@ -175,10 +176,14 @@ class JsonStreamDemux:
         """Merge any persisted per-table schemas under base_path into
         the running state (no-op after the first call). Raises for a
         table directory without a _schema.json — appended rows with no
-        recoverable schema would silently vanish from finalize()."""
+        recoverable schema would silently vanish from finalize().
+        Underscore/dot-prefixed directories are metadata, not tables
+        (``_quarantine``, checkpoint leftovers)."""
         if self._recovered:
             return
         for t in _fs_list_dirs(spark, self.base_path):
+            if t.startswith(("_", ".")):
+                continue
             content = _fs_read_text(
                 spark, f"{self.base_path}/{t}/_schema.json"
             )
@@ -203,9 +208,25 @@ class JsonStreamDemux:
         if len(f) == 1 and isinstance(f[0].dataType, ST.StringType):
             # raw JSONL lines -> one variant column
             col = batch_df.columns[0]
-            batch_df = batch_df.where(F.length(F.trim(col)) > 0).select(
-                F.parse_json(F.col(col)).alias("v")
-            )
+            lines = batch_df.where(F.length(F.trim(col)) > 0)
+            if self.quarantine:
+                # the streaming analog of the batch quarantine lane
+                # (sources/readers.py:read_jsonl_quarantine): malformed
+                # lines append raw to {base_path}/_quarantine for
+                # replay instead of killing the stream. Default stays
+                # fail-loud (parse_json throws), matching the
+                # reference's json.loads crash (reference
+                # relationalize.py:56-63).
+                parsed = lines.select(
+                    F.col(col).alias("__line__"),
+                    F.try_parse_json(F.col(col)).alias("v"),
+                )
+                parsed.where(F.col("v").isNull()).select(
+                    F.col("__line__")
+                ).write.mode("append").text(f"{self.base_path}/_quarantine")
+                batch_df = parsed.where(F.col("v").isNotNull()).select("v")
+            else:
+                batch_df = lines.select(F.parse_json(F.col(col)).alias("v"))
         out = relationalize_json(
             batch_df, self.name, key_cols=self.key_cols, convert=False
         )

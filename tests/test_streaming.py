@@ -320,3 +320,27 @@ def test_json_stream_demux_schema_only_dir(spark, tmp_path):
         assert set(tables) == {"root"}
         assert tables["root"].count() == 0
         assert tables["root"].columns == ["k"]
+
+
+def test_json_stream_demux_quarantine(spark, tmp_path):
+    """Streaming analog of the batch quarantine lane: with
+    quarantine=True a malformed line lands raw under
+    {base_path}/_quarantine (for replay) while good lines flow;
+    _recover must NOT mistake the _quarantine directory for an
+    untyped table. Default stays fail-loud."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    base = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [('{"k": 1, "v": 5}',), ("{oops not json",), ('{"k": 2, "v": 6}',)],
+        "value string",
+    )
+    demux = JsonStreamDemux(base, "root", key_cols=["k"], quarantine=True)
+    demux.process_batch(batch, 0)
+    tables = demux.finalize(spark)
+    assert sorted(r["k"] for r in tables["root"].collect()) == [1, 2]
+    quarantined = spark.read.text(f"{base}/_quarantine").collect()
+    assert [r["value"] for r in quarantined] == ["{oops not json"]
+    # a fresh instance (restart) recovers cleanly past _quarantine
+    d2 = JsonStreamDemux(base, "root", key_cols=["k"], quarantine=True)
+    assert sorted(r["k"] for r in d2.finalize(spark)["root"].collect()) == [1, 2]
