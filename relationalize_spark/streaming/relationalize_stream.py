@@ -43,12 +43,27 @@ def _fs_for(spark: SparkSession, path_str: str):
 
 
 def _fs_write_text(spark: SparkSession, path_str: str, content: str) -> None:
+    """Atomic-replace text write: write ``{path}.tmp`` fully, then
+    swap it in. A direct ``fs.create(p, True)`` truncates the existing
+    file before the new bytes land, so a crash mid-write would destroy
+    the previous (still valid) content — for ``_schema.json`` that
+    would break the "on-disk schema covers on-disk rows" invariant.
+    With the tmp dance every crash window leaves a recoverable state:
+    mid-tmp-write -> old file intact; between delete and rename -> the
+    complete tmp survives and ``_recover`` finishes the swap."""
     fs, p = _fs_for(spark, path_str)
-    out = fs.create(p, True)  # creates parent dirs, overwrites
+    tmp_str = path_str + ".tmp"
+    _, tmp = _fs_for(spark, tmp_str)
+    out = fs.create(tmp, True)  # creates parent dirs, overwrites
     try:
         out.write(content.encode("utf-8"))
     finally:
         out.close()
+    # HDFS/local rename refuses to overwrite: delete then rename.
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise RuntimeError(f"rename {tmp_str} -> {path_str} failed")
 
 
 def _fs_read_text(spark: SparkSession, path_str: str) -> str | None:
@@ -67,6 +82,25 @@ def _fs_list_dirs(spark: SparkSession, path_str: str) -> list[str]:
     if not fs.exists(p):
         return []
     return [s.getPath().getName() for s in fs.listStatus(p) if s.isDirectory()]
+
+
+def _fs_has_data_files(spark: SparkSession, path_str: str) -> bool:
+    """True if the directory holds any non-hidden file (recursing into
+    subdirectories, for the per-batch exactly_once layout). Hidden =
+    ``_``/``.`` prefixed — metadata, same filter Spark's readers use."""
+    fs, p = _fs_for(spark, path_str)
+    if not fs.exists(p):
+        return False
+    for s in fs.listStatus(p):
+        name = s.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if s.isDirectory():
+            if _fs_has_data_files(spark, f"{path_str}/{name}"):
+                return True
+        else:
+            return True
+    return False
 
 
 def _has_variant(dt: ST.DataType) -> bool:
@@ -142,9 +176,18 @@ class JsonStreamDemux:
       typed view is consistent no matter how branches were spread
       over batches.
 
-    Delivery is at-least-once (foreachBatch appends replay on retry,
-    like any non-transactional append sink); run exactly-once dedup
-    downstream on the rid columns if the checkpoint may replay.
+    Delivery: with ``exactly_once=False`` (flat layout) appends are
+    at-least-once (foreachBatch appends replay on retry, like any
+    non-transactional append sink) — recover exactly-once at read
+    time via ``finalize(dedup_replays=True)``. With
+    ``exactly_once=True`` each batch lands its rows under
+    ``{table}/batch={batch_id}`` with per-directory OVERWRITE: a
+    replayed batch replaces its own previous (possibly partial)
+    output, so the layout is exactly-once by construction — no
+    finalize-side dedup shuffle, and safe even under uuid rid_mode
+    where replayed lines are not byte-identical. The ``_quarantine``
+    lane is at-least-once in BOTH modes (malformed lines append raw);
+    ``read_quarantine`` dedups byte-identical replays on read-back.
 
     The running merged schemas are DURABLE, not driver-only: after
     each batch the merged schema is written to
@@ -169,33 +212,69 @@ class JsonStreamDemux:
     name: str
     key_cols: list[str] | None = None
     quarantine: bool = False
+    exactly_once: bool = False
     schemas: dict[str, Schema] = field(default_factory=dict)
+    #: batch_id -> number of malformed lines quarantined in that batch
+    #: (write-time Observation, no second scan; cleared with the
+    #: instance — durable corruption telemetry is the _quarantine dir).
+    quarantine_counts: dict[int, int] = field(default_factory=dict, init=False)
     _recovered: bool = field(default=False, init=False, repr=False)
+
+    def _parse_schema(self, content: str, path_str: str) -> Schema:
+        try:
+            return Schema.deserialize(content)
+        except Exception as e:  # noqa: BLE001 - re-raise loud + actionable
+            raise RuntimeError(
+                f"JsonStreamDemux: {path_str} exists but does not parse "
+                f"as a serialized Schema ({e!r}); rows under its table "
+                "directory cannot be typed consistently. Was it written "
+                "by something other than JsonStreamDemux?"
+            ) from e
 
     def _recover(self, spark: SparkSession) -> None:
         """Merge any persisted per-table schemas under base_path into
         the running state (no-op after the first call). Raises for a
-        table directory without a _schema.json — appended rows with no
-        recoverable schema would silently vanish from finalize().
-        Underscore/dot-prefixed directories are metadata, not tables
-        (``_quarantine``, checkpoint leftovers)."""
+        table directory holding rows without a recoverable
+        _schema.json — appended rows with no schema would silently
+        vanish from finalize(). Underscore/dot-prefixed directories
+        are metadata, not tables (``_quarantine``, checkpoint
+        leftovers). Crash-window recovery: a complete
+        ``_schema.json.tmp`` stranded by a crash between
+        _fs_write_text's delete and rename is adopted (and the swap
+        finished); a table dir whose only content is an unparsable
+        tmp — crash mid-FIRST-schema-write, before any row appended —
+        is skipped, the replayed batch rewrites it."""
         if self._recovered:
             return
         for t in _fs_list_dirs(spark, self.base_path):
             if t.startswith(("_", ".")):
                 continue
-            content = _fs_read_text(
-                spark, f"{self.base_path}/{t}/_schema.json"
-            )
-            if content is None:
-                raise RuntimeError(
-                    f"JsonStreamDemux: table directory "
-                    f"{self.base_path}/{t} has no _schema.json; its rows "
-                    "cannot be typed consistently. Was it written by "
-                    "something other than JsonStreamDemux?"
-                )
+            spath = f"{self.base_path}/{t}/_schema.json"
+            content = _fs_read_text(spark, spath)
+            if content is not None:
+                schema = self._parse_schema(content, spath)
+            else:
+                tmp = _fs_read_text(spark, spath + ".tmp")
+                has_rows = _fs_has_data_files(spark, f"{self.base_path}/{t}")
+                if tmp is None and not has_rows:
+                    continue  # empty shell dir — nothing to recover
+                if tmp is None:
+                    raise RuntimeError(
+                        f"JsonStreamDemux: table directory "
+                        f"{self.base_path}/{t} has no _schema.json; its rows "
+                        "cannot be typed consistently. Was it written by "
+                        "something other than JsonStreamDemux?"
+                    )
+                try:
+                    schema = self._parse_schema(tmp, spath + ".tmp")
+                except RuntimeError:
+                    if has_rows:  # rows exist but no valid schema: loud
+                        raise
+                    continue  # partial tmp, zero rows: replay rewrites
+                # finish the interrupted swap so the dir is clean again
+                _fs_write_text(spark, spath, tmp)
             self.schemas[t] = Schema.merge(
-                self.schemas.get(t, Schema()), Schema.deserialize(content)
+                self.schemas.get(t, Schema()), schema
             )
         self._recovered = True
 
@@ -216,14 +295,25 @@ class JsonStreamDemux:
                 # replay instead of killing the stream. Default stays
                 # fail-loud (parse_json throws), matching the
                 # reference's json.loads crash (reference
-                # relationalize.py:56-63).
+                # relationalize.py:56-63). The malformed count rides
+                # the write itself as an Observation (no second scan)
+                # into ``quarantine_counts[batch_id]``.
+                from pyspark.sql import Observation
+
                 parsed = lines.select(
                     F.col(col).alias("__line__"),
                     F.try_parse_json(F.col(col)).alias("v"),
                 )
+                obs = Observation()
                 parsed.where(F.col("v").isNull()).select(
                     F.col("__line__")
-                ).write.mode("append").text(f"{self.base_path}/_quarantine")
+                ).observe(obs, F.count(F.lit(1)).alias("malformed")).write.mode(
+                    "append"
+                ).text(f"{self.base_path}/_quarantine")
+                self.quarantine_counts[batch_id] = (
+                    self.quarantine_counts.get(batch_id, 0)
+                    + int(obs.get["malformed"])
+                )
                 batch_df = parsed.where(F.col("v").isNotNull()).select("v")
             else:
                 batch_df = lines.select(F.parse_json(F.col(col)).alias("v"))
@@ -242,7 +332,16 @@ class JsonStreamDemux:
                     f"{self.base_path}/{t}/_schema.json",
                     merged.serialize(),
                 )
-                tdf.write.mode("append").json(f"{self.base_path}/{t}")
+                if self.exactly_once:
+                    # idempotent landing zone: a replayed batch
+                    # OVERWRITES its own directory instead of
+                    # re-appending — exactly-once by construction,
+                    # no finalize-side dedup shuffle, uuid-rid-safe.
+                    tdf.write.mode("overwrite").json(
+                        f"{self.base_path}/{t}/batch={batch_id}"
+                    )
+                else:
+                    tdf.write.mode("append").json(f"{self.base_path}/{t}")
         finally:
             out.unpersist()
 
@@ -263,15 +362,23 @@ class JsonStreamDemux:
         lines: a replayed batch re-appends the SAME lines (rows and
         their hash-mode rids are deterministic functions of the data
         and key_cols), so line-level dedup removes exactly the replay
-        copies — one distinct-shuffle per table. Leave it off when
+        copies — one dedup-shuffle per table, keyed on a 192-bit
+        line digest (xxhash64 + md5) rather than the full line bytes,
+        so hash/sort comparisons at shuffle time touch 24-byte keys
+        instead of whole documents (collision across BOTH digests is
+        ~2^-96 — negligible against corpus sizes). Leave it off when
         (a) rid_mode would be uuid (replays then differ per line and
         dedup on rid columns downstream is needed instead) or (b) the
         stream legitimately carries full-duplicate rows WITHIN the
         key columns (those collapse too — the same caveat
         ``relationalize``'s key_cols default documents for duplicate
-        rows sharing rids, operators/relationalize.py)."""
+        rows sharing rids, operators/relationalize.py).
+
+        With ``exactly_once=True`` the layout is already replay-proof
+        (per-batch overwrite), so ``dedup_replays`` is unnecessary —
+        it still runs if asked, but the digest shuffle buys nothing."""
         from ..operators.infer import convert_choice_columns
-        from ..sources.jsonl import VNode, _cast_ddl, read_jsonl_variant
+        from ..sources.jsonl import VNode, _cast_ddl
 
         self._recover(spark)
         tables: dict[str, DataFrame] = {}
@@ -279,15 +386,23 @@ class JsonStreamDemux:
         spark.conf.set("spark.sql.caseSensitive", "true")
         try:
             for t, schema in self.schemas.items():
+                # recursiveFileLookup reads BOTH layouts (flat appends
+                # and exactly_once batch=N subdirs) and skips hidden
+                # (_/. prefixed) metadata like _schema.json.
+                lines = (
+                    spark.read.option("recursiveFileLookup", "true")
+                    .text(f"{self.base_path}/{t}")
+                    .where(F.length(F.trim("value")) > 0)
+                )
                 if dedup_replays:
                     vdf = (
-                        spark.read.text(f"{self.base_path}/{t}")
-                        .where(F.length(F.trim("value")) > 0)
-                        .dropDuplicates(["value"])
+                        lines.withColumn("__d1__", F.xxhash64("value"))
+                        .withColumn("__d2__", F.md5("value"))
+                        .dropDuplicates(["__d1__", "__d2__"])
                         .select(F.parse_json("value").alias("v"))
                     )
                 else:
-                    vdf = read_jsonl_variant(spark, f"{self.base_path}/{t}")
+                    vdf = lines.select(F.parse_json("value").alias("v"))
                 node = VNode(
                     kind="object",
                     fields={
@@ -304,6 +419,28 @@ class JsonStreamDemux:
         finally:
             spark.conf.set("spark.sql.caseSensitive", prev_case)
         return tables
+
+    def read_quarantine(
+        self, spark: SparkSession, *, dedup_replays: bool = True
+    ) -> DataFrame:
+        """The quarantined raw lines as a one-column (``value``)
+        DataFrame. Delivery into ``_quarantine`` is AT-LEAST-ONCE
+        (the append in process_batch replays on retry exactly like the
+        table appends), so the default dedups byte-identical lines on
+        read-back — the same digest-keyed dedup finalize applies to
+        table rows. Pass ``dedup_replays=False`` to audit raw delivery
+        (e.g. to count replay amplification)."""
+        q = spark.read.option("recursiveFileLookup", "true").text(
+            f"{self.base_path}/_quarantine"
+        )
+        if dedup_replays:
+            q = (
+                q.withColumn("__d1__", F.xxhash64("value"))
+                .withColumn("__d2__", F.md5("value"))
+                .dropDuplicates(["__d1__", "__d2__"])
+                .select("value")
+            )
+        return q
 
 
 def parquet_table_sink(base_path: str) -> TableSink:

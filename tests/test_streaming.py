@@ -344,3 +344,107 @@ def test_json_stream_demux_quarantine(spark, tmp_path):
     # a fresh instance (restart) recovers cleanly past _quarantine
     d2 = JsonStreamDemux(base, "root", key_cols=["k"], quarantine=True)
     assert sorted(r["k"] for r in d2.finalize(spark)["root"].collect()) == [1, 2]
+
+
+def test_json_stream_demux_schema_write_atomic(spark, tmp_path):
+    """ADVICE r7 medium: _schema.json replacement must be atomic.
+    Every crash window of the tmp-write-then-swap leaves a recoverable
+    state: (a) a complete stranded .tmp (crash between delete and
+    rename) is adopted and the swap finished; (b) an unparsable
+    _schema.json raises the loud actionable RuntimeError, not a raw
+    JSONDecodeError; (c) a dir whose only content is a partial .tmp
+    and NO rows (crash mid-first-schema-write — schema-first ordering
+    guarantees no rows yet) is skipped for the replay to rewrite;
+    (d) rows present with only a partial .tmp raises loud."""
+    import pytest
+
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    # (a) stranded complete tmp, no dst
+    base = str(tmp_path / "a")
+    d = JsonStreamDemux(base, "root", key_cols=["k"])
+    d.process_batch(spark.createDataFrame([('{"k": 1}',)], "value string"), 0)
+    import os
+    sj = os.path.join(base, "root", "_schema.json")
+    os.rename(sj, sj + ".tmp")
+    d2 = JsonStreamDemux(base, "root", key_cols=["k"])
+    tables = d2.finalize(spark)
+    assert [r["k"] for r in tables["root"].collect()] == [1]
+    assert os.path.exists(sj)  # swap self-healed
+
+    # (b) unparsable dst -> loud RuntimeError naming the file
+    base_b = tmp_path / "b"
+    (base_b / "root").mkdir(parents=True)
+    (base_b / "root" / "_schema.json").write_text("{ truncated")
+    (base_b / "root" / "part-0.json").write_text('{"k": 1}\n')
+    with pytest.raises(RuntimeError, match="does not parse"):
+        JsonStreamDemux(str(base_b), "root").finalize(spark)
+
+    # (c) partial tmp only, zero rows -> skipped
+    base_c = tmp_path / "c"
+    (base_c / "root").mkdir(parents=True)
+    (base_c / "root" / "_schema.json.tmp").write_text("{ trunc")
+    assert JsonStreamDemux(str(base_c), "root").finalize(spark) == {}
+
+    # (d) partial tmp with rows -> loud
+    base_d = tmp_path / "d"
+    (base_d / "root").mkdir(parents=True)
+    (base_d / "root" / "_schema.json.tmp").write_text("{ trunc")
+    (base_d / "root" / "part-0.json").write_text('{"k": 1}\n')
+    with pytest.raises(RuntimeError, match="does not parse"):
+        JsonStreamDemux(str(base_d), "root").finalize(spark)
+
+
+def test_json_stream_demux_quarantine_metrics_and_replay(spark, tmp_path):
+    """VERDICT r7 item 7 + ADVICE r7 low: per-batch malformed-line
+    counts ride the quarantine write as an Observation
+    (quarantine_counts[batch_id]), and read_quarantine() dedups
+    byte-identical replayed quarantine lines by default (the
+    _quarantine lane itself is at-least-once)."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    base = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [('{"k": 1}',), ("{oops",), ("also bad",)], "value string"
+    )
+    d1 = JsonStreamDemux(base, "root", key_cols=["k"], quarantine=True)
+    d1.process_batch(batch, 0)
+    assert d1.quarantine_counts == {0: 2}
+    d2 = JsonStreamDemux(base, "root", key_cols=["k"], quarantine=True)
+    d2.process_batch(batch, 0)  # replayed batch re-appends
+    assert d2.quarantine_counts == {0: 2}
+    raw = d2.read_quarantine(spark, dedup_replays=False).collect()
+    assert len(raw) == 4  # at-least-once visible on request
+    clean = sorted(r["value"] for r in d2.read_quarantine(spark).collect())
+    assert clean == ["also bad", "{oops"]
+
+
+def test_json_stream_demux_exactly_once_layout(spark, tmp_path):
+    """VERDICT r7 item 5: exactly_once=True lands each batch under
+    {table}/batch={id} with per-directory overwrite, so a replayed
+    batch REPLACES its previous output instead of re-appending —
+    single delivery with NO finalize-side dedup shuffle, and restart
+    recovery still works through the same _schema.json files."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    base = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [('{"k": 1, "xs": [7, 8]}',), ('{"k": 2, "xs": [9]}',)], "value string"
+    )
+    b1 = spark.createDataFrame([('{"k": 3, "b": 5}',)], "value string")
+    d1 = JsonStreamDemux(base, "root", key_cols=["k"], exactly_once=True)
+    d1.process_batch(b0, 0)
+    d2 = JsonStreamDemux(base, "root", key_cols=["k"], exactly_once=True)
+    d2.process_batch(b0, 0)  # replay of batch 0 after restart
+    d2.process_batch(b1, 1)
+
+    tables = d2.finalize(spark)  # no dedup_replays needed
+    root = {r["k"]: r.asDict() for r in tables["root"].collect()}
+    assert len(root) == 3 and tables["root"].count() == 3
+    assert root[3]["b"] == 5
+    kids = sorted(
+        (r.asDict() for r in tables["root_xs"].collect()),
+        key=lambda r: (r["xs__rid_"], r["xs__index_"]),
+    )
+    assert len(kids) == 3
+    assert [c["xs__val_"] for c in kids if c["xs__rid_"] == root[1]["xs"]] == [7, 8]
