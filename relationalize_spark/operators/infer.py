@@ -156,6 +156,35 @@ def convert_choice_columns(
     return df.select(*projections)
 
 
+def infer_schema(
+    df: DataFrame, tag_hints: dict[str, str] | None = None
+) -> Schema:
+    """The Schema of a (possibly variant-carrying) table WITHOUT
+    converting it: variant columns get their observed (choice) tags —
+    hinted ones free, unhinted via the one-aggregation scan — typed
+    columns their static tag. This is the ``infer_and_convert``
+    inference half alone, for callers that keep the data untyped (the
+    streaming demux appends raw rows and must still record e.g.
+    ``c-int-str`` for a key that conflicted WITHIN one batch, so the
+    cross-batch Schema.merge sees real tags, never a raw-variant
+    placeholder)."""
+    variant_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, ST.VariantType)
+    ]
+    members = {c: t for c, t in (tag_hints or {}).items() if c in variant_cols}
+    members.update(
+        observed_variant_tags(df, [c for c in variant_cols if c not in members])
+    )
+    return Schema(
+        {
+            f.name: members[f.name]
+            if f.name in members
+            else tag_of_spark_type(f.dataType)
+            for f in df.schema.fields
+        }
+    )
+
+
 def infer_and_convert(
     df: DataFrame, tag_hints: dict[str, str] | None = None
 ) -> tuple[DataFrame, Schema]:
@@ -171,20 +200,11 @@ def infer_and_convert(
     pipeline pays one aggregate per nesting level TOTAL instead of one
     there plus one here. Hinted columns skip the scan; any unhinted
     variant columns still get the one-aggregation inference."""
-    variant_cols = [
-        f.name for f in df.schema.fields if isinstance(f.dataType, ST.VariantType)
-    ]
-    members = {c: t for c, t in (tag_hints or {}).items() if c in variant_cols}
-    members.update(
-        observed_variant_tags(df, [c for c in variant_cols if c not in members])
-    )
+    schema = infer_schema(df, tag_hints)
+    members = {
+        f.name: schema.columns[f.name]
+        for f in df.schema.fields
+        if isinstance(f.dataType, ST.VariantType)
+    }
     converted = convert_choice_columns(df, members)
-    schema = Schema(
-        {
-            f.name: members[f.name]
-            if f.name in members
-            else tag_of_spark_type(f.dataType)
-            for f in df.schema.fields
-        }
-    )
     return converted, schema

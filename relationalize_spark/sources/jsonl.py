@@ -250,9 +250,16 @@ def relationalize_json(
                     tdf, tag_hints=hints.get(tname)
                 )
             else:
-                from ..operators.infer import schema_of_dataframe
+                # untyped output still needs REAL observed tags (a key
+                # conflicted within this frame must record e.g.
+                # c-int-str, not a raw-variant placeholder) so that
+                # downstream Schema.merge — the streaming demux's
+                # cross-batch accumulation — composes correctly.
+                from ..operators.infer import infer_schema
 
-                tables[tname], schemas[tname] = tdf, schema_of_dataframe(tdf)
+                tables[tname], schemas[tname] = tdf, infer_schema(
+                    tdf, tag_hints=hints.get(tname)
+                )
     finally:
         session.conf.set("spark.sql.caseSensitive", prev_case)
     return RelationalizedJson(tables, schemas, _cached_input=cached)

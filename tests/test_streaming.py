@@ -448,3 +448,36 @@ def test_json_stream_demux_exactly_once_layout(spark, tmp_path):
     )
     assert len(kids) == 3
     assert [c["xs__val_"] for c in kids if c["xs__rid_"] == root[1]["xs"]] == [7, 8]
+
+
+def test_json_stream_demux_within_batch_conflict(spark, tmp_path):
+    """r8: a key conflicted WITHIN one micro-batch (int, list, and
+    object rows in the same batch) must record its observed choice
+    tags — not a raw-variant placeholder — so the running Schema.merge
+    and finalize produce the same choice columns as the cross-batch
+    case (sources/jsonl.py convert=False path via infer_schema)."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    base = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [
+            ('{"k": 1, "v": 5}',),
+            ('{"k": 2, "v": [3, 4]}',),
+            ('{"k": 3, "v": {"a": 1, "b": "x"}}',),
+        ],
+        "value string",
+    )
+    demux = JsonStreamDemux(base, "root", key_cols=["k"])
+    demux.process_batch(batch, 0)
+    assert demux.schemas["root"].columns["v"] == "c-int-str"
+    assert demux.schemas["root_v"].columns["v__val_"] == "int"
+    tables = demux.finalize(spark)
+    root = {r["k"]: r.asDict() for r in tables["root"].collect()}
+    assert root[1]["v_int"] == 5 and root[1]["v_str"] is None
+    assert root[2]["v_str"].startswith("R_")
+    assert root[3]["v_a"] == 1 and root[3]["v_b"] == "x"
+    kids = sorted(
+        (r.asDict() for r in tables["root_v"].collect()),
+        key=lambda r: r["v__index_"],
+    )
+    assert [c["v__val_"] for c in kids] == [3, 4]
