@@ -4776,7 +4776,18 @@ def q129_hll_merge_law(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: two partial-aggregatable jobs over the corpus, each
     shuffling O(groups x sketch) bytes — sketches merge map-side, the
-    whole point of the law being proved."""
+    whole point of the law being proved.
+
+    The law is asserted as a TIGHT relative bound (<= 0.1%), not exact
+    equality (ADVICE r7): today both lanes finish through a
+    DataSketches Union over identical max-merged registers (Spark's
+    partial/final agg always merges, and HIP is retained only for
+    never-merged sketches), so they agree exactly — but that is an
+    ENGINE estimator-path detail, and a Spark version or partitioning
+    change could legitimately route the direct lane through HIP. A
+    0.1% band still catches any real merge bug (lost registers shift
+    estimates by far more) while surviving estimator-path changes;
+    exact-equality held in CORRECTNESS_r07's green row."""
     d = load_table(spark, sf, "documents")
     per_shard = (
         d.withColumn("shard", F.col("doc_id") % 4)
@@ -4794,9 +4805,10 @@ def q129_hll_merge_law(spark: SparkSession, sf: str) -> DataFrame:
         merged.join(direct, "source")
         .select(
             "source",
-            (F.col("merged_est") == F.col("direct_est")).alias(
-                "merge_equals_direct"
-            ),
+            (
+                F.abs(F.col("merged_est") - F.col("direct_est"))
+                <= F.lit(0.001) * F.col("direct_est")
+            ).alias("merge_equals_direct"),
             "exact_distinct",
             (
                 F.abs(F.col("direct_est") - F.col("exact_distinct"))

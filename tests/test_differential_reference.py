@@ -408,19 +408,37 @@ def test_differential_uuid_rid_mode(spark, tmp_path):
 def test_all_null_key_keeps_none_column(spark, tmp_path):
     """Guard for the phantom-none normalization above: a key that is
     null in EVERY row (never an object) must KEEP its `none` column on
-    BOTH engines — top-level and inside list-element dicts — so the
-    relaxed phantom rule cannot mask an engine regression that drops
-    all-null columns outright."""
+    BOTH engines — in every shape the relaxed phantom rule could
+    otherwise excuse (ADVICE r7): top-level, inside list-element
+    dicts, under a flattened object branch, under a DEEP object
+    branch, and under an object inside a list-element dict — so the
+    rule cannot mask an engine regression that drops all-null columns
+    outright anywhere in the tree."""
     objs = [
-        {"_seq": 0, "z": None, "b": [{"x": None, "y": 1}]},
-        {"_seq": 1, "z": None, "b": [{"y": 2}]},
+        {
+            "_seq": 0,
+            "z": None,
+            "b": [{"x": None, "y": 1, "o": {"w": None}}],
+            "c": {"u": None, "v": 2, "deep": {"d": None}},
+        },
+        {
+            "_seq": 1,
+            "z": None,
+            "b": [{"y": 2, "o": {"w": None}}],
+            "c": {"u": None, "v": 3, "deep": {"d": None}},
+        },
     ]
     ref = run_reference(objs)
     got = _assert_equivalent(ref, run_spark(spark, objs, tmp_path))
-    assert got["root"][0].columns["z"] == "none"
-    assert got["root_b"][0].columns["b_x"] == "none"
-    assert dict(ref["root"][0].schema)["z"] == "none"
-    assert dict(ref["root_b"][0].schema)["b_x"] == "none"
+    for table, col in [
+        ("root", "z"),  # top-level
+        ("root", "c_u"),  # object branch
+        ("root", "c_deep_d"),  # deep object branch
+        ("root_b", "b_x"),  # list-element dict
+        ("root_b", "b_o_w"),  # object inside list-element dict
+    ]:
+        assert got[table][0].columns[col] == "none", (table, col)
+        assert dict(ref[table][0].schema)[col] == "none", (table, col)
 
 
 def test_generated_rid_wins_over_user_rid_key(spark, tmp_path):
