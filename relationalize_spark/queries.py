@@ -4898,7 +4898,13 @@ def q130_stream_demux_dynamic(spark: SparkSession, sf: str) -> DataFrame:
             os.path.join(src, f"b{i}.txt"),
         )
 
-    demux = JsonStreamDemux(base, "dynstream", key_cols=["k"])
+    # flat at-least-once layout on purpose: q130 attests the replay
+    # + finalize(dedup_replays) recovery lane; the exactly_once
+    # batch-dir layout needs no dedup and is covered by unit tests +
+    # the BASELINE.md r8 A/B
+    demux = JsonStreamDemux(
+        base, "dynstream", key_cols=["k"], exactly_once=False
+    )
     q = (
         demux.attach(
             spark.readStream.option("maxFilesPerTrigger", 1).text(src)
@@ -4908,7 +4914,9 @@ def q130_stream_demux_dynamic(spark: SparkSession, sf: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    replay = JsonStreamDemux(base, "dynstream", key_cols=["k"])  # restart
+    replay = JsonStreamDemux(
+        base, "dynstream", key_cols=["k"], exactly_once=False
+    )  # restart
     replay.process_batch(spark.read.text(os.path.join(src, "b0.txt")), 0)
     tables = replay.finalize(spark, dedup_replays=True)
     root, child = tables["dynstream"], tables["dynstream_v"]

@@ -206,13 +206,29 @@ class JsonStreamDemux:
     over the persisted batch parse); the running schemas are
     driver-side dicts of column tags — O(columns), not O(rows) — and
     the per-batch persistence is one tiny metadata file per table.
+
+    MICRO-BATCH SIZING (measured, BASELINE.md r8): per-batch latency
+    is driver-bound at ~0.75 s per DISCOVERED TABLE (one Catalyst
+    analysis + one write job + one schema write each), independent of
+    row count — a 70-table dynamic stream has a ~52 s per-batch floor
+    even at 250 rows/batch. Size triggers so the batch interval is
+    well above 0.75 s x expected table count (multi-minute triggers
+    or AvailableNow for wide corpora; rows are effectively free next
+    to the per-table floor), and pre-split corpora expected to
+    discover hundreds of tables into one demux per family.
     """
 
     base_path: str
     name: str
     key_cols: list[str] | None = None
     quarantine: bool = False
-    exactly_once: bool = False
+    #: default True on measurement (BASELINE.md r8): per-batch
+    #: overwrite is no slower to write, needs no finalize dedup
+    #: shuffle (2.16 vs 5.54 s at 100x), and is the only mode safe
+    #: under uuid rids. exactly_once=False keeps the reference's flat
+    #: append-to-one-output layout (reference relationalize.py:57-80)
+    #: for sinks that must stay byte-compatible with it.
+    exactly_once: bool = True
     schemas: dict[str, Schema] = field(default_factory=dict)
     #: batch_id -> number of malformed lines quarantined in that batch
     #: (write-time Observation, no second scan; cleared with the
@@ -320,6 +336,13 @@ class JsonStreamDemux:
         out = relationalize_json(
             batch_df, self.name, key_cols=self.key_cols, convert=False
         )
+        # JSON keys are case-sensitive (the reference keeps "w1" and
+        # "W1" distinct until drop_duplicate_columns is asked for);
+        # the table WRITES below must run case-sensitive too or the
+        # writer rejects casefold-duplicate columns
+        # (COLUMN_ALREADY_EXISTS) and kills the stream.
+        prev_case = spark.conf.get("spark.sql.caseSensitive")
+        spark.conf.set("spark.sql.caseSensitive", "true")
         try:
             for t, tdf in out.tables.items():
                 merged = Schema.merge(
@@ -343,6 +366,7 @@ class JsonStreamDemux:
                 else:
                     tdf.write.mode("append").json(f"{self.base_path}/{t}")
         finally:
+            spark.conf.set("spark.sql.caseSensitive", prev_case)
             out.unpersist()
 
     def attach(self, stream_df: DataFrame) -> DataStreamWriter:

@@ -281,9 +281,12 @@ def test_json_stream_demux_dedup_replays(spark, tmp_path):
     batch = spark.createDataFrame(
         [('{"k": 1, "xs": [7, 8]}',), ('{"k": 2, "xs": [9]}',)], "value string"
     )
-    d1 = JsonStreamDemux(base, "root", key_cols=["k"])
+    # flat layout on purpose: this test attests the at-least-once
+    # append lane + finalize-side dedup (exactly_once=True has no
+    # replay duplicates to dedup by construction)
+    d1 = JsonStreamDemux(base, "root", key_cols=["k"], exactly_once=False)
     d1.process_batch(batch, 0)
-    d2 = JsonStreamDemux(base, "root", key_cols=["k"])  # restart
+    d2 = JsonStreamDemux(base, "root", key_cols=["k"], exactly_once=False)
     d2.process_batch(batch, 0)  # replayed batch
 
     dup = d2.finalize(spark)
@@ -481,3 +484,25 @@ def test_json_stream_demux_within_batch_conflict(spark, tmp_path):
         key=lambda r: r["v__index_"],
     )
     assert [c["v__val_"] for c in kids] == [3, 4]
+
+
+def test_json_stream_demux_casefold_duplicate_keys(spark, tmp_path):
+    """r8 (found by the wide-corpus scale harness): JSON keys are
+    case-sensitive, so a batch carrying both "w1" and "W1" must append
+    and finalize cleanly — without the case-sensitive wrap around the
+    table writes the JSON writer throws COLUMN_ALREADY_EXISTS and
+    kills the stream."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    base = str(tmp_path / "out")
+    demux = JsonStreamDemux(base, "root", key_cols=["k"])
+    demux.process_batch(
+        spark.createDataFrame(
+            [('{"k": 1, "w1": 5, "W1": "x"}',)], "value string"
+        ),
+        0,
+    )
+    assert {"w1", "W1"} <= set(demux.schemas["root"].columns)
+    tables = demux.finalize(spark)
+    row = tables["root"].collect()[0].asDict()
+    assert row["w1"] == 5 and row["W1"] == "x"
