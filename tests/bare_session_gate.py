@@ -9,9 +9,9 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 6 (post-rotation; q128 KMV shard-merge, KMV
-exact-branch fix, kmv_pairwise cardinality guard in) —
-BARE-SESSION GATE: ALL 128 OK.
+Last full run: round 8 HEAD (post-r8-rotation; q130 JsonStreamDemux
+driver query, q129 relative-bound merge law, exactly_once demux
+default in) — BARE-SESSION GATE: ALL 130 OK.
 """
 
 import os
