@@ -12,6 +12,10 @@ pipelines:
   "Deduplicating Training Data Makes Language Models Better", 2021,
   approximated at word-shingle resolution instead of suffix-array
   byte resolution).
+- :func:`remove_duplicate_spans` — the excision counterpart (Lee et
+  al.'s actual dedup step, word-resolution): maximal duplicated runs
+  spanning at least ``min_span`` words are cut out of every document
+  and the survivors are re-joined in order.
 
 Both are pure Catalyst plans: explode → one hash-keyed aggregation →
 join back → per-doc fold. No Python runs per row.
@@ -169,6 +173,99 @@ def segment_dedup(
                             F.when(
                                 F.col("__keep__"),
                                 F.struct(F.col("idx").alias("i"), F.col("seg").alias("s")),
+                            )
+                        )
+                    ),
+                    lambda x: x.s,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    min_span: int | None = None,
+    min_docs: int = 2,
+    digest: str = "xxhash64",
+) -> DataFrame:
+    """Excise duplicated spans from every document (Lee et al. 2021's
+    dedup step at word resolution): a word position is *covered* when
+    it lies inside a maximal run of cross-document-duplicated
+    ``n``-gram positions whose word coverage is at least ``min_span``
+    words (default ``n`` — every duplicated gram's span); covered
+    words are removed, survivors re-joined in order.
+
+    Returns one row per input document — including empty and
+    shorter-than-``n`` documents, which pass through untouched:
+    ``id, n_words, n_removed, cleaned_text``.
+
+    Plan: the :func:`duplicate_span_stats` inverted-index shape
+    (position explode → per-gram distinct-doc count → join back, all
+    keyed by the 64-bit gram digest) up to the duplicated positions;
+    then islands → covered intervals ``[a, b + n - 1]`` → interval
+    explode to covered word ids (bounded by the words actually
+    removed, not by gram count) → one left join against the word
+    positions → per-doc ordered fold. Shuffle keys are ``(id, long)``
+    pairs throughout; document text rides exactly one shuffle (the
+    final fold — same bound as :func:`segment_dedup`).
+    """
+    if min_span is None:
+        min_span = n
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+    toks = _tokens(F.col("__t__"))
+    pos = base.select(
+        "id", F.posexplode(_gram_keys(toks, n, digest)).alias("idx", "g")
+    ).persist()
+    # Corpus-proportional, so merge-hinted — never broadcast (the
+    # duplicate_span_stats invariant).
+    dup_grams = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("id").alias("__docs__"))
+        .where(F.col("__docs__") >= min_docs)
+        .select("g")
+        .hint("merge")
+    )
+    dup = pos.join(dup_grams, "g").select("id", "idx")
+    w = Window.partitionBy("id").orderBy("idx")
+    runs = (
+        dup.withColumn("__grp__", F.col("idx") - F.row_number().over(w))
+        .groupBy("id", "__grp__")
+        .agg(F.min("idx").alias("a"), F.max("idx").alias("b"))
+        # run [a, b] covers words [a, b + n - 1]: b - a + n words.
+        .where(F.col("b") - F.col("a") + F.lit(n) >= min_span)
+    )
+    covered = (
+        runs.select(
+            "id", F.explode(F.sequence("a", F.col("b") + F.lit(n - 1))).alias("widx")
+        )
+        .distinct()  # adjacent maximal runs can overlap in coverage
+        .withColumn("__rm__", F.lit(True))
+    )
+    words = base.select("id", F.posexplode_outer(toks).alias("widx", "wrd"))
+    kept = words.join(covered.hint("merge"), ["id", "widx"], "left")
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count("wrd").alias("n_words"),
+            F.sum(F.coalesce(F.col("__rm__").cast("int"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("wrd").isNotNull() & F.col("__rm__").isNull(),
+                                F.struct(
+                                    F.col("widx").alias("i"), F.col("wrd").alias("s")
+                                ),
                             )
                         )
                     ),

@@ -4954,6 +4954,138 @@ FROM base
 """
 
 
+def q131_hashed_logreg(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed hashed-feature logistic regression
+    (operators/classify.py) — the fastText-style quality-classifier
+    step of training-data curation, trained by 3 full-batch GD
+    iterations over the documents corpus (label: document mentions
+    'spark'). Every cross-row sum rides a fixed-point BIGINT lattice
+    and weights are floor-quantized each step, so the oracle replays
+    the ENTIRE training trajectory as chained CTEs and the final
+    weight vector hash-matches — an iterative ML fit with a TRUE
+    value oracle (the q121 PageRank / q67 k-means discipline applied
+    to gradient descent)."""
+    from .operators.classify import hashed_logreg
+
+    d = load_table(spark, sf, "documents")
+    label = F.array_contains(F.split(F.col("text"), r"\s+"), "spark")
+    return hashed_logreg(d, label, dim=32, lr=2.0, iters=3).orderBy("feature")
+
+
+def _q131_sql() -> str:
+    """The oracle is generated: one CTE block per GD iteration, built
+    from the same constants the Spark side uses (dim=32, lr=2.0,
+    REPLAY_DOT/GRAD/W scales), so the two can never drift apart."""
+    from .operators.classify import REPLAY_DOT, REPLAY_GRAD, REPLAY_W
+
+    dot = f"{10 ** REPLAY_DOT}.0"
+    grad = f"{10 ** REPLAY_GRAD}.0"
+    wq = f"{10 ** REPLAY_W}.0"
+    head = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_contains(regexp_split_to_array(text, '\s+'), 'spark') AS has,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+docs AS MATERIALIZED (
+  SELECT doc_id, CAST(has AS DOUBLE) AS y, CAST(len(ws) AS DOUBLE) AS nt, ws
+  FROM toks WHERE len(ws) > 0
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+tf AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 32 AS INT) AS j,
+         CAST(count(*) AS DOUBLE) / any_value(nt) AS x
+  FROM (SELECT doc_id, nt, unnest(ws) AS tok FROM docs)
+  GROUP BY doc_id, j
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, j, x FROM tf
+  UNION ALL SELECT doc_id, CAST(-1 AS INT), 1.0 FROM docs
+),
+w0 AS (SELECT CAST(t.j AS INT) AS j, 0.0 AS w FROM range(-1, 32) t(j))"""
+    step = """,
+z{i} AS (
+  SELECT f.doc_id,
+         sum(CAST(floor(w.w * f.x * {dot}) AS BIGINT)) AS zq
+  FROM feats f JOIN w{p} w USING (j) GROUP BY f.doc_id
+),
+e{i} AS (
+  SELECT d.doc_id,
+    (floor((1.0 / (1.0 + exp(-(z{i}.zq / {dot})))) * {grad})
+     - d.y * {grad}) / {grad} AS e
+  FROM docs d JOIN z{i} USING (doc_id)
+),
+g{i} AS (
+  SELECT f.j, sum(CAST(floor(e{i}.e * f.x * {grad}) AS BIGINT)) AS sq
+  FROM feats f JOIN e{i} USING (doc_id) GROUP BY f.j
+),
+w{i} AS MATERIALIZED (
+  SELECT w{p}.j,
+    floor((w{p}.w - 2.0 * ((coalesce(g{i}.sq, 0) / {grad})
+           / (SELECT n_docs FROM nn))) * {wq}) / {wq} AS w
+  FROM w{p} LEFT JOIN g{i} USING (j)
+)"""
+    body = "".join(
+        step.format(i=i, p=i - 1, dot=dot, grad=grad, wq=wq) for i in (1, 2, 3)
+    )
+    return head + body + "\nSELECT j AS feature, w AS weight FROM w3 ORDER BY feature"
+
+
+def q132_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-span EXCISION (operators/spans.py:
+    remove_duplicate_spans) — Lee et al. 2021's actual dedup step at
+    word resolution, complementing q105's exposure stats: maximal
+    cross-document-duplicated 3-gram runs covering >= 6 words are cut
+    from every document, survivors re-joined in order. The oracle
+    replays coverage, islands, interval expansion, and the ordered
+    re-join on the raw gram text (the semantic contract the xxhash64
+    digest keys approximate)."""
+    from .operators.spans import remove_duplicate_spans
+
+    d = load_table(spark, sf, "documents")
+    return remove_duplicate_spans(d, n=3, min_span=6)
+
+
+Q132_SQL = r"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+pos AS MATERIALIZED (
+  SELECT doc_id, i::BIGINT - 1 AS idx, array_to_string(ws[i:(i+2)], ' ') AS g
+  FROM w, LATERAL unnest(range(1, len(ws) - 1)) AS t(i)
+),
+dpg AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT doc_id, idx FROM pos JOIN dpg USING (g)),
+runs AS (
+  SELECT doc_id, min(idx) AS a, max(idx) AS b FROM (
+    SELECT doc_id, idx,
+           idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+    FROM dup) GROUP BY doc_id, grp
+  HAVING max(idx) - min(idx) + 3 >= 6
+),
+cov AS (SELECT DISTINCT doc_id, widx FROM runs, LATERAL unnest(range(a, b + 3)) t(widx)),
+words AS (
+  SELECT doc_id, i::BIGINT - 1 AS widx, ws[i] AS wrd
+  FROM w, LATERAL unnest(range(1, len(ws) + 1)) AS t(i)
+),
+kept AS (
+  SELECT wo.doc_id, wo.widx, wo.wrd, cov.widx IS NOT NULL AS rm
+  FROM words wo LEFT JOIN cov ON wo.doc_id = cov.doc_id AND wo.widx = cov.widx
+),
+agg AS (
+  SELECT doc_id, count(*) AS nw, CAST(sum(CAST(rm AS INT)) AS BIGINT) AS nr,
+         string_agg(CASE WHEN NOT rm THEN wrd END, ' ' ORDER BY widx) AS ct
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+       coalesce(a.nr, 0) AS n_removed, coalesce(a.ct, '') AS cleaned_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4966,18 +5098,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: the FIRST 50 entries (CORRECTNESS_r01-r07 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round so every entry's newest driver row stays <= 2 rounds
-#: old. Round 8 fronts: 1 new entry (q130, JsonStreamDemux's first
-#: driver row — VERDICT r7 item 1), the 2 dynamic-pipeline entries
+#: old. Round 8 fronts: 3 new entries (q130, JsonStreamDemux's first
+#: driver row — VERDICT r7 item 1; q131 replayable distributed GD;
+#: q132 duplicated-span excision), the 2 dynamic-pipeline entries
 #: touched by this round's infer_schema change (q34, q125 — the
 #: convert=False tag fix refactored infer_and_convert), the 28
 #: r5-attested entries whose newest rows turn 3 rounds old this
 #: round (q47-q66, q68-q73, q126-q127 — VERDICT r7 item 3), and the
-#: 19 oldest r6-attested entries (q128, q67, q108, q74-q80, q83-q91).
-#: q30/q33/q94 stay behind the cap: their rows are permanently
-#: rows-only by declared design (engine-hash values; md5 twins
-#: q123/q124/q129 carry the value-level record) and fronting them
-#: would spend window slots re-recording a weaker check. Total:
-#: 1+2+28+19 = 50, every one with a value oracle. Behind the cap:
+#: 17 oldest r6-attested entries (q128, q67, q108, q74-q80, q83-q89;
+#: q90/q91 slip just below the cap carrying their r6 rows — front
+#: them in r9). q30/q33/q94 stay behind the cap: their rows are
+#: permanently rows-only by declared design (engine-hash values; md5
+#: twins q123/q124/q129 carry the value-level record) and fronting
+#: them would spend window slots re-recording a weaker check. Total:
+#: 3+2+28+17 = 50, every one with a value oracle. Behind the cap:
 #: the remaining r6-attested entries, then the 47 r7-attested ones.
 #: Every entry, either side of the cap, runs against its oracle in
 #: tests/test_entry_oracle.py on every pytest run.
@@ -4988,6 +5122,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # dynamic-path re-attestation after the infer_schema refactor:
     "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
     "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
+    # new this round — replayable distributed GD + span excision:
+    "q131_hashed_logreg": (q131_hashed_logreg, None),  # oracle generated below
+    "q132_span_removal": (q132_span_removal, Q132_SQL),
     # r5-attested block — newest rows turn 3 rounds old in r8 (28):
     "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
     "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
@@ -5127,6 +5264,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 # Generated oracles (built from the same profile constants the Spark
 # side uses, so the two can never drift apart).
+REGISTRY["q131_hashed_logreg"] = (q131_hashed_logreg, _q131_sql())
 REGISTRY["q24_lang_id"] = (q24_lang_id, _q24_sql())
 REGISTRY["q25_quality_score"] = (q25_quality_score, _q25_sql())
 REGISTRY["q64_pii_redaction"] = (q64_pii_redaction, _q64_sql())

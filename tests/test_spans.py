@@ -3,7 +3,11 @@
 import pyspark.sql.functions as F
 import pytest
 
-from relationalize_spark.operators.spans import duplicate_span_stats, segment_dedup
+from relationalize_spark.operators.spans import (
+    duplicate_span_stats,
+    remove_duplicate_spans,
+    segment_dedup,
+)
 
 
 @pytest.fixture(scope="module")
@@ -119,6 +123,75 @@ def test_short_documents_yield_no_positions(spark):
     df = spark.createDataFrame([(1, "only two")], "doc_id int, text string")
     assert segment_dedup(df).count() == 1  # one short segment, kept
     assert duplicate_span_stats(df, n=3).count() == 0  # no 3-gram fits
+
+
+def test_remove_duplicate_spans_known_corpus(spark):
+    # Shared 6-word prefix (3-gram run positions 0..3 -> covers words
+    # 0..5, span 6 >= min_span 6): excised from BOTH docs (Lee et al.
+    # remove every copy of a duplicated substring, unlike keep-first
+    # segment_dedup); unique tails survive.
+    shared = "a b c d e f"
+    df = spark.createDataFrame(
+        [(1, shared + " p q"), (2, shared + " x y z")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, n=3, min_span=6).collect()}
+    assert out[1].n_words == 8 and out[1].n_removed == 6
+    assert out[1].cleaned_text == "p q"
+    assert out[2].n_words == 9 and out[2].n_removed == 6
+    assert out[2].cleaned_text == "x y z"
+
+
+def test_remove_duplicate_spans_min_span_gate(spark):
+    # Shared 3-gram only (coverage 3 words) < min_span 6: kept.
+    df = spark.createDataFrame(
+        [(1, "a b c p q r s"), (2, "a b c x y z w")], "doc_id int, text string"
+    )
+    out = remove_duplicate_spans(df, n=3, min_span=6).collect()
+    assert all(r.n_removed == 0 for r in out)
+    # With min_span = n the same corpus loses the shared gram's words.
+    out2 = {r.doc_id: r for r in remove_duplicate_spans(df, n=3, min_span=3).collect()}
+    assert out2[1].n_removed == 3 and out2[1].cleaned_text == "p q r s"
+
+
+def test_remove_duplicate_spans_short_and_empty_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "   "), (4, "a b c d e f"),
+         (5, "a b c d e f tail")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, n=3, min_span=6).collect()}
+    assert len(out) == 5  # one row per document, always
+    assert out[1].n_words == 2 and out[1].n_removed == 0
+    assert out[1].cleaned_text == "only two"
+    assert out[2].n_words == 0 and out[2].cleaned_text == ""
+    assert out[3].n_words == 0 and out[3].cleaned_text == ""
+    # docs 4/5 share the 6-word prefix -> both excised.
+    assert out[4].cleaned_text == "" and out[4].n_removed == 6
+    assert out[5].cleaned_text == "tail"
+
+
+def test_remove_duplicate_spans_overlapping_run_coverage(spark):
+    # dup - unique - dup with n=3: run [0,0] covers words 0..2, run
+    # [4,5] covers 4..7; the unique word 3 survives. Coverage distinct
+    # is exercised when spans touch.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c UNIQ1 d e f g"),
+            (2, "a b c UNIQ2 d e f g"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, n=3, min_span=3).collect()}
+    assert out[1].n_removed == 7 and out[1].cleaned_text == "UNIQ1"
+    assert out[2].cleaned_text == "UNIQ2"
+
+
+def test_remove_duplicate_spans_deterministic_under_repartition(spark):
+    rows = [(i, f"common run of words {i % 3} plus tail t{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = sorted(map(tuple, remove_duplicate_spans(df, n=3).collect()))
+    b = sorted(map(tuple, remove_duplicate_spans(df.repartition(13), n=3).collect()))
+    assert a == b
 
 
 def test_char_entropy_known_values(spark):
