@@ -490,6 +490,31 @@ def main() -> None:
 
         return run
 
+    def span_removal_op(sf):
+        def run():
+            from relationalize_spark.operators.spans import remove_duplicate_spans
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return remove_duplicate_spans(d, "doc_id", "text", n=3, min_span=6)
+
+        return run
+
+    def logreg_op(sf):
+        def run():
+            from relationalize_spark.operators.classify import hashed_logreg
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            # contains(), not token equality: replica tagging rewrites
+            # 'spark' -> 'spark#r', and the spotcheck should keep the
+            # label distribution (and thus the gradient work) constant
+            # across scales. Training is eager — the fit's 3 GD
+            # iterations run inside fn(), which is what timed() sees.
+            return hashed_logreg(
+                d, F.col("text").contains("spark"), dim=32, lr=2.0, iters=3
+            )
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -521,6 +546,8 @@ def main() -> None:
         "chunk_docs_q77shape": chunk_op,
         "dynamic_relationalize_q125shape": dynrel_op,
         "kmv_sketch_q126shape": kmv_op,
+        "span_removal_q132shape": span_removal_op,
+        "hashed_logreg_q131shape": logreg_op,
     }
     wanted = None
     for arg in sys.argv[1:]:
