@@ -515,6 +515,18 @@ def main() -> None:
 
         return run
 
+    def bpe_op(sf):
+        def run():
+            from relationalize_spark.operators.bpe import bpe_train_df
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            # replica tagging multiplies the distinct-word vocab 100x
+            # (tok#r suffixes), which is exactly the dimension BPE
+            # training scales in — training is eager inside fn()
+            return bpe_train_df(d, "text", merges=5)
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -548,6 +560,7 @@ def main() -> None:
         "kmv_sketch_q126shape": kmv_op,
         "span_removal_q132shape": span_removal_op,
         "hashed_logreg_q131shape": logreg_op,
+        "bpe_train_q133shape": bpe_op,
     }
     wanted = None
     for arg in sys.argv[1:]:
