@@ -157,6 +157,58 @@ def bpe_train_df(
     )
 
 
+def bpe_eval(
+    df: DataFrame,
+    merge_rules: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility per group under learned merges:
+    ``group_col, n_words, n_tokens, tokens_per_word``.
+
+    One shuffle (the per-(group, word) count); the per-word subword
+    count is a pure projection over that bounded table — the k
+    replaces and the split are applied to each DISTINCT (group, word)
+    once, never to the corpus. Integer sums + one exact IEEE division
+    keep the result engine-replayable (q134)."""
+    words = (
+        df.select(
+            F.col(group_col).alias("__g__"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("__w__"),
+        )
+        .select(
+            "__g__", F.translate(F.col("__w__"), SYM_L + SYM_R, "").alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("__g__", "word")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    sym = _symbolize(F.col("word"))
+    for x, y in merge_rules:
+        sym = F.replace(
+            sym,
+            F.lit(SYM_L + x + SYM_R + SYM_L + y + SYM_R),
+            F.lit(SYM_L + x + y + SYM_R),
+        )
+    n_tok = F.size(F.split(sym.substr(F.lit(2), F.length(sym) - 2), PAIR_SEP))
+    return (
+        words.withColumn("__t__", n_tok.cast("long"))
+        .groupBy("__g__")
+        .agg(
+            F.sum("__c__").alias("n_words"),
+            F.sum(F.col("__c__") * F.col("__t__")).alias("n_tokens"),
+        )
+        .select(
+            F.col("__g__").alias(group_col),
+            "n_words",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+                "tokens_per_word"
+            ),
+        )
+    )
+
+
 def bpe_apply(
     df: DataFrame,
     merge_rules: list[tuple[str, str]],

@@ -5101,10 +5101,11 @@ def q133_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train_df(d, "text", merges=5)
 
 
-def _q133_sql(merges: int = 5) -> str:
-    """Generated oracle: one (pair-count, argmax, rewrite) CTE block
-    per merge, built from the same framing constants the Spark side
-    uses. ``chr(30)/chr(31)`` are the SYM_L/SYM_R frames;
+def _bpe_merge_ctes(merges: int = 5) -> str:
+    """Shared oracle prelude for q133/q134: the word-frequency vocab,
+    its framed symbolization, and one (pair-count, argmax, rewrite)
+    CTE block per merge — built from the same framing constants the
+    Spark side uses. ``chr(30)/chr(31)`` are the SYM_L/SYM_R frames;
     ``chr(31)||chr(30)`` is the pair-key separator, chosen so the
     framed merge pattern is literally ``chr(30) || pair || chr(31)``."""
     head = r"""
@@ -5136,13 +5137,17 @@ v{i} AS MATERIALIZED (
             chr(30) || replace(b.p, chr(31) || chr(30), '') || chr(31)) AS sym
   FROM v{prev}, b{i} b
 )"""
-    body = "".join(step.format(i=i, prev=i - 1) for i in range(1, merges + 1))
+    return head + "".join(
+        step.format(i=i, prev=i - 1) for i in range(1, merges + 1)
+    )
+
+
+def _q133_sql(merges: int = 5) -> str:
     union = "\nUNION ALL ".join(
         f"SELECT {i} AS step, p, f FROM b{i}" for i in range(1, merges + 1)
     )
     return (
-        head
-        + body
+        _bpe_merge_ctes(merges)
         + f"""
 SELECT step,
   string_split(p, chr(31) || chr(30))[1] AS merge_left,
@@ -5151,6 +5156,54 @@ SELECT step,
   CAST(f AS BIGINT) AS pair_freq
 FROM ({union})
 ORDER BY step"""
+    )
+
+
+def q134_tokenizer_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-coverage evaluation (operators/bpe.py): learn the
+    q133 merges, apply them to the corpus vocabulary, and report
+    per-source fertility — word count, subword-token count, and
+    tokens-per-word. Closes the train -> apply -> eval loop with one
+    extra corpus shuffle (the per-(source, word) count); token counts
+    come from the learned vocabulary, never by re-tokenizing the
+    corpus. Integer-only sums + one exact final division, so the
+    oracle replays training AND evaluation value-for-value."""
+    from .operators.bpe import bpe_eval, bpe_train
+
+    d = load_table(spark, sf, "documents")
+    rules = [(l, r) for _, l, r, _, _ in bpe_train(d, "text", merges=5)]
+    return bpe_eval(d, rules, text_col="text", group_col="source").orderBy("source")
+
+
+def _q134_sql(merges: int = 5) -> str:
+    """q133's merge CTEs + the evaluation block: per-word token counts
+    off the final rewritten vocab, joined to per-(source, word)
+    corpus counts."""
+    return (
+        _bpe_merge_ctes(merges)
+        + f""",
+vtok AS (
+  SELECT word,
+    CAST(len(string_split(substr(sym, 2, len(sym) - 2),
+                          chr(31) || chr(30))) AS BIGINT) AS n_tok
+  FROM v{merges}
+),
+src_words AS (
+  SELECT source, w AS word, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT source,
+           translate(unnest(regexp_split_to_array(text, '\\s+')),
+                     chr(30) || chr(31), '') AS w
+    FROM documents) WHERE w <> '' GROUP BY source, w
+),
+per AS (
+  SELECT source, sum(c) AS n_words, sum(c * n_tok) AS n_tokens
+  FROM src_words JOIN vtok USING (word) GROUP BY source
+)
+SELECT source, CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS tokens_per_word
+FROM per
+ORDER BY source"""
     )
 
 
@@ -5166,22 +5219,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: the FIRST 50 entries (CORRECTNESS_r01-r07 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round so every entry's newest driver row stays <= 2 rounds
-#: old. Round 8 fronts: 4 new entries (q130, JsonStreamDemux's first
+#: old. Round 8 fronts: 5 new entries (q130, JsonStreamDemux's first
 #: driver row — VERDICT r7 item 1; q131 replayable distributed GD;
-#: q132 duplicated-span excision; q133 replayable BPE training), the
-#: 2 dynamic-pipeline entries touched by this round's infer_schema
-#: change (q34, q125 — the convert=False tag fix refactored
-#: infer_and_convert), the 28 r5-attested entries whose newest rows
-#: turn 3 rounds old this round (q47-q66, q68-q73, q126-q127 —
-#: VERDICT r7 item 3), and the 16 oldest r6-attested entries (q128,
-#: q67, q108, q74-q80, q83-q88; q89/q90/q91 slip just below the cap
-#: carrying their r6 rows — front them in r9). q30/q33/q94 stay
-#: behind the cap: their rows are permanently rows-only by declared
-#: design (engine-hash values; md5 twins q123/q124/q129 carry the
-#: value-level record) and fronting them would spend window slots
-#: re-recording a weaker check. Total: 4+2+28+16 = 50, every one
-#: with a value oracle. Behind the cap: the remaining r6-attested
-#: entries, then the 47 r7-attested ones.
+#: q132 duplicated-span excision; q133 replayable BPE training; q134
+#: tokenizer-fertility eval), the 2 dynamic-pipeline entries touched
+#: by this round's infer_schema change (q34, q125 — the
+#: convert=False tag fix refactored infer_and_convert), the 28
+#: r5-attested entries whose newest rows turn 3 rounds old this
+#: round (q47-q66, q68-q73, q126-q127 — VERDICT r7 item 3), and the
+#: 15 oldest r6-attested entries (q128, q67, q108, q74-q80,
+#: q83-q87; q88-q91 slip just below the cap carrying their r6 rows —
+#: front them in r9). q30/q33/q94 stay behind the cap: their rows
+#: are permanently rows-only by declared design (engine-hash values;
+#: md5 twins q123/q124/q129 carry the value-level record) and
+#: fronting them would spend window slots re-recording a weaker
+#: check. Total: 5+2+28+15 = 50, every one with a value oracle.
+#: Behind the cap: the remaining r6-attested entries, then the 47
+#: r7-attested ones.
 #: Every entry, either side of the cap, runs against its oracle in
 #: tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -5196,6 +5250,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q131_hashed_logreg": (q131_hashed_logreg, None),  # oracle generated below
     "q132_span_removal": (q132_span_removal, Q132_SQL),
     "q133_bpe_train": (q133_bpe_train, None),  # oracle generated below
+    "q134_tokenizer_eval": (q134_tokenizer_eval, None),  # oracle generated below
     # r5-attested block — newest rows turn 3 rounds old in r8 (28):
     "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
     "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
@@ -5337,6 +5392,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # side uses, so the two can never drift apart).
 REGISTRY["q131_hashed_logreg"] = (q131_hashed_logreg, _q131_sql())
 REGISTRY["q133_bpe_train"] = (q133_bpe_train, _q133_sql())
+REGISTRY["q134_tokenizer_eval"] = (q134_tokenizer_eval, _q134_sql())
 REGISTRY["q24_lang_id"] = (q24_lang_id, _q24_sql())
 REGISTRY["q25_quality_score"] = (q25_quality_score, _q25_sql())
 REGISTRY["q64_pii_redaction"] = (q64_pii_redaction, _q64_sql())

@@ -94,6 +94,22 @@ def test_train_deterministic_under_repartition(spark, corpus):
     assert a == b
 
 
+def test_bpe_eval_hand_computed(spark, corpus):
+    from relationalize_spark.operators.bpe import bpe_eval
+
+    # after (l,o), (lo,w), (e,s): low->1 token; lower->3 (low,e,r);
+    # newest->5 (n,e,w,es,t); widest->5 (w,i,d,es,t)
+    df = spark.createDataFrame(
+        [("s1", "low low lower"), ("s2", "newest widest")],
+        "source string, text string",
+    )
+    rules = [(l, r) for _, l, r, _, _ in bpe_train(corpus, merges=3)]
+    got = {r.source: r for r in bpe_eval(df, rules).collect()}
+    assert got["s1"].n_words == 3 and got["s1"].n_tokens == 1 + 1 + 3
+    assert got["s2"].n_words == 2 and got["s2"].n_tokens == 5 + 5
+    assert got["s2"].tokens_per_word == 5.0
+
+
 def test_single_char_vocab_stops_early(spark):
     df = spark.createDataFrame([(1, "a b c a")], "doc_id int, text string")
     assert bpe_train(df, merges=3) == []  # no adjacent pairs anywhere
