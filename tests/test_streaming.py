@@ -506,3 +506,36 @@ def test_json_stream_demux_casefold_duplicate_keys(spark, tmp_path):
     tables = demux.finalize(spark)
     row = tables["root"].collect()[0].asDict()
     assert row["w1"] == 5 and row["W1"] == "x"
+
+
+def test_json_stream_demux_write_pool_parity(spark, tmp_path):
+    """r8: the default 8-thread write pool must produce EXACTLY the
+    serial submission's output — same discovered schemas, same
+    finalize values, same per-batch directory layout — including
+    after a replayed batch (the schema-before-rows invariant is
+    per-table and each pool task owns one table end to end)."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    lines = [
+        ('{"k": 1, "b": 5, "c": [1, 2]}',),
+        ('{"k": 2, "b": [10], "d": {"x": 1}}',),
+        ('{"k": 3, "b": {"y": "s"}, "c": [3]}',),
+    ]
+    batch = spark.createDataFrame(lines, "value string")
+    outs = {}
+    for label, conc in (("serial", 1), ("pool", 8)):
+        base = str(tmp_path / label)
+        d = JsonStreamDemux(base, "root", key_cols=["k"], write_concurrency=conc)
+        d.process_batch(batch, 0)
+        d.process_batch(batch, 0)  # replay: overwrite must stay per-table
+        d.process_batch(batch, 1)
+        tables = d.finalize(spark)
+        outs[label] = (
+            {t: s.serialize() for t, s in d.schemas.items()},
+            {
+                t: sorted(repr(tuple(r)) for r in df.collect())
+                for t, df in sorted(tables.items())
+            },
+        )
+    assert outs["serial"][0] == outs["pool"][0]
+    assert outs["serial"][1] == outs["pool"][1]
