@@ -250,20 +250,28 @@ def score_documents(
     text_col: str = "text",
     *,
     dim: int = 32,
+    quantize: bool = False,
 ) -> DataFrame:
     """Score documents under a fitted model: ``id, score`` with
     ``score = sigmoid(w . x + b)`` on the same fixed-point lattice as
     training. Pure projection over the feature build — the weights
     are a folded map literal, so scoring fuses into the scan (zero
-    extra shuffles beyond the feature aggregation)."""
+    extra shuffles beyond the feature aggregation).
+
+    ``quantize=True`` floors the score onto the 1e-9 lattice (the
+    training-side sigmoid treatment), making the output
+    engine-replayable — what q135's value oracle checks."""
     label = F.lit(0.0)  # unused by scoring; reuse the feature builder
     feats = hashed_features(df, label, id_col, text_col, dim=dim)
     wm = _wmap(weights)
     dot_fp = float(10 ** REPLAY_DOT)
+    grad_fp = float(10 ** REPLAY_GRAD)
     zq = F.aggregate(
         "feats",
         F.lit(0).cast("bigint"),
         lambda acc, f: acc + F.floor(F.element_at(wm, f.j) * f.x * F.lit(dot_fp)),
     )
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(zq / F.lit(dot_fp))))
+    if quantize:
+        score = F.floor(score * F.lit(grad_fp)) / F.lit(grad_fp)
     return feats.select(F.col("id").alias(id_col), score.alias("score"))

@@ -4972,10 +4972,11 @@ def q131_hashed_logreg(spark: SparkSession, sf: str) -> DataFrame:
     return hashed_logreg(d, label, dim=32, lr=2.0, iters=3).orderBy("feature")
 
 
-def _q131_sql() -> str:
-    """The oracle is generated: one CTE block per GD iteration, built
-    from the same constants the Spark side uses (dim=32, lr=2.0,
-    REPLAY_DOT/GRAD/W scales), so the two can never drift apart."""
+def _logreg_ctes(iters: int = 3) -> str:
+    """Shared oracle prelude for q131/q135: features + one CTE block
+    per GD iteration, built from the same constants the Spark side
+    uses (dim=32, lr=2.0, REPLAY_DOT/GRAD/W scales), so the two can
+    never drift apart."""
     from .operators.classify import REPLAY_DOT, REPLAY_GRAD, REPLAY_W
 
     dot = f"{10 ** REPLAY_DOT}.0"
@@ -5028,9 +5029,57 @@ w{i} AS MATERIALIZED (
   FROM w{p} LEFT JOIN g{i} USING (j)
 )"""
     body = "".join(
-        step.format(i=i, p=i - 1, dot=dot, grad=grad, wq=wq) for i in (1, 2, 3)
+        step.format(i=i, p=i - 1, dot=dot, grad=grad, wq=wq)
+        for i in range(1, iters + 1)
     )
-    return head + body + "\nSELECT j AS feature, w AS weight FROM w3 ORDER BY feature"
+    return head + body
+
+
+def _q131_sql(iters: int = 3) -> str:
+    return (
+        _logreg_ctes(iters)
+        + f"\nSELECT j AS feature, w AS weight FROM w{iters} ORDER BY feature"
+    )
+
+
+def q135_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-classifier scoring (operators/classify.py:
+    score_documents): train the q131 model, then score every
+    non-empty document — the apply half of the quality-filter loop,
+    a pure fused projection over the feature build (the weight
+    vector is a folded map literal; no join, no broadcast).
+    ``quantize=True`` floors each sigmoid onto the training lattice,
+    so the oracle recomputes the weights (the q131 CTEs) AND replays
+    every document's score value-for-value."""
+    from .operators.classify import hashed_logreg, score_documents
+
+    d = load_table(spark, sf, "documents")
+    label = F.array_contains(F.split(F.col("text"), r"\s+"), "spark")
+    w = {
+        r.feature: r.weight
+        for r in hashed_logreg(d, label, dim=32, lr=2.0, iters=3).collect()
+    }
+    return score_documents(d, w, dim=32, quantize=True).orderBy("doc_id")
+
+
+def _q135_sql(iters: int = 3) -> str:
+    from .operators.classify import REPLAY_DOT, REPLAY_GRAD
+
+    dot = f"{10 ** REPLAY_DOT}.0"
+    grad = f"{10 ** REPLAY_GRAD}.0"
+    return (
+        _logreg_ctes(iters)
+        + f""",
+zf AS (
+  SELECT f.doc_id,
+         sum(CAST(floor(w.w * f.x * {dot}) AS BIGINT)) AS zq
+  FROM feats f JOIN w{iters} w USING (j) GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+  floor((1.0 / (1.0 + exp(-(zf.zq / {dot})))) * {grad}) / {grad} AS score
+FROM docs d JOIN zf USING (doc_id)
+ORDER BY d.doc_id"""
+    )
 
 
 def q132_span_removal(spark: SparkSession, sf: str) -> DataFrame:
@@ -5219,23 +5268,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: the FIRST 50 entries (CORRECTNESS_r01-r07 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round so every entry's newest driver row stays <= 2 rounds
-#: old. Round 8 fronts: 5 new entries (q130, JsonStreamDemux's first
+#: old. Round 8 fronts: 6 new entries (q130, JsonStreamDemux's first
 #: driver row — VERDICT r7 item 1; q131 replayable distributed GD;
 #: q132 duplicated-span excision; q133 replayable BPE training; q134
-#: tokenizer-fertility eval), the 2 dynamic-pipeline entries touched
-#: by this round's infer_schema change (q34, q125 — the
-#: convert=False tag fix refactored infer_and_convert), the 28
-#: r5-attested entries whose newest rows turn 3 rounds old this
-#: round (q47-q66, q68-q73, q126-q127 — VERDICT r7 item 3), and the
-#: 15 oldest r6-attested entries (q128, q67, q108, q74-q80,
-#: q83-q87; q88-q91 slip just below the cap carrying their r6 rows —
-#: front them in r9). q30/q33/q94 stay behind the cap: their rows
-#: are permanently rows-only by declared design (engine-hash values;
-#: md5 twins q123/q124/q129 carry the value-level record) and
-#: fronting them would spend window slots re-recording a weaker
-#: check. Total: 5+2+28+15 = 50, every one with a value oracle.
-#: Behind the cap: the remaining r6-attested entries, then the 47
-#: r7-attested ones.
+#: tokenizer-fertility eval; q135 quantized classifier scoring), the
+#: 2 dynamic-pipeline entries touched by this round's infer_schema
+#: change (q34, q125 — the convert=False tag fix refactored
+#: infer_and_convert), the 28 r5-attested entries whose newest rows
+#: turn 3 rounds old this round (q47-q66, q68-q73, q126-q127 —
+#: VERDICT r7 item 3), and the 14 oldest r6-attested entries (q128,
+#: q67, q108, q74-q80, q83-q86; q87-q91 slip just below the cap
+#: carrying their r6 rows — front them in r9). q30/q33/q94 stay
+#: behind the cap: their rows are permanently rows-only by declared
+#: design (engine-hash values; md5 twins q123/q124/q129 carry the
+#: value-level record) and fronting them would spend window slots
+#: re-recording a weaker check. Total: 6+2+28+14 = 50, every one
+#: with a value oracle. Behind the cap: the remaining r6-attested
+#: entries, then the 47 r7-attested ones.
 #: Every entry, either side of the cap, runs against its oracle in
 #: tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -5251,6 +5300,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q132_span_removal": (q132_span_removal, Q132_SQL),
     "q133_bpe_train": (q133_bpe_train, None),  # oracle generated below
     "q134_tokenizer_eval": (q134_tokenizer_eval, None),  # oracle generated below
+    "q135_quality_scores": (q135_quality_scores, None),  # oracle generated below
     # r5-attested block — newest rows turn 3 rounds old in r8 (28):
     "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
     "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
@@ -5393,6 +5443,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 REGISTRY["q131_hashed_logreg"] = (q131_hashed_logreg, _q131_sql())
 REGISTRY["q133_bpe_train"] = (q133_bpe_train, _q133_sql())
 REGISTRY["q134_tokenizer_eval"] = (q134_tokenizer_eval, _q134_sql())
+REGISTRY["q135_quality_scores"] = (q135_quality_scores, _q135_sql())
 REGISTRY["q24_lang_id"] = (q24_lang_id, _q24_sql())
 REGISTRY["q25_quality_score"] = (q25_quality_score, _q25_sql())
 REGISTRY["q64_pii_redaction"] = (q64_pii_redaction, _q64_sql())
