@@ -66,13 +66,53 @@ def main() -> None:
     after_near = kept.count()
 
     # Drop documents that are mostly duplicated 5-gram spans of the
-    # rest of the corpus (cross-document boilerplate survivors).
-    from relationalize_spark.operators.spans import duplicate_span_stats
+    # rest of the corpus (cross-document boilerplate survivors) ...
+    from relationalize_spark.operators.spans import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
 
     spans = duplicate_span_stats(kept, "doc_id", "text", n=5)
     heavy = spans.where(F.col("dup_frac") > 0.9).select("doc_id")
     kept = kept.join(heavy, "doc_id", "left_anti")
+    # ... and EXCISE the long duplicated runs from the survivors
+    # (Lee et al. 2021's dedup step, r8): spans of >= 15 words
+    # duplicated across documents are cut out, the rest of each
+    # document survives — finer than dropping whole documents.
+    cleaned = remove_duplicate_spans(kept, "doc_id", "text", n=5, min_span=15)
+    kept = kept.drop("text").join(
+        cleaned.where(F.col("n_words") > F.col("n_removed")).select(
+            "doc_id", F.col("cleaned_text").alias("text")
+        ),
+        "doc_id",
+    )
     after_spans = kept.count()
+
+    # Model-based quality filter (r8): train the hashed-feature
+    # logistic regression on a weak label (here: mentions of the
+    # domain term), score every document with the fused-projection
+    # apply path, and keep the confident half. On a real corpus the
+    # label comes from a curated seed set; the machinery is the same.
+    from relationalize_spark.operators.classify import (
+        hashed_logreg,
+        score_documents,
+    )
+
+    label = F.array_contains(F.split(F.col("text"), r"\s+"), "spark")
+    w = {
+        r.feature: r.weight
+        for r in hashed_logreg(kept, label, dim=64, lr=2.0, iters=3).collect()
+    }
+    scores = score_documents(kept, w, dim=64)
+    # data-driven cut: drop the least-confident decile (a fixed 0.5
+    # threshold is meaningless when the label prior is skewed);
+    # approx_percentile is the sketch the same cut uses at 100 TB.
+    cut = scores.agg(
+        F.expr("approx_percentile(score, 0.10)").alias("c")
+    ).collect()[0].c
+    kept = kept.join(scores.where(F.col("score") >= cut).select("doc_id"),
+                     "doc_id", "left_semi")
+    after_model = kept.count()
 
     # Semantic dedup (SemDeDup): k-means cells over the documents'
     # embeddings, exact within-cell cosine; drop the higher id of
@@ -120,6 +160,7 @@ def main() -> None:
     print(f"after exact dedup:{after_exact}")
     print(f"after near dedup: {after_near}")
     print(f"after span filter:{after_spans}")
+    print(f"after model filt.:{after_model}")
     print(f"after sem dedup:  {after_sem}")
     print(f"after mix+quota:  {after_mix}")
     print(f"tokens kept:      {tokens_total}")
@@ -140,6 +181,18 @@ def main() -> None:
     plan = joined._jdf.queryExecution().executedPlan().toString()
     print(f"curated+embeddings rows: {joined.count()}")
     print(f"shuffle-free co-located join: {'Exchange' not in plan}")
+
+    # Tokenizer stage (r8): learn the first BPE merges on the CURATED
+    # corpus (one corpus shuffle, vocab-bounded iterations) and report
+    # per-source fertility — the go/no-go signal for a tokenizer
+    # before committing to a full vocabulary build.
+    from relationalize_spark.operators.bpe import bpe_eval, bpe_train
+
+    rules = [(l, r) for _, l, r, _, _ in bpe_train(kept, "text", merges=8)]
+    print(f"BPE merges learned: {[a + b for a, b in rules]}")
+    bpe_eval(kept, rules, text_col="text", group_col="source").orderBy(
+        F.desc("tokens_per_word")
+    ).show(5)
 
     # Final stage: chunk the curated corpus into token windows and
     # pack chunks into ~512-token training shards (greedy running sum
