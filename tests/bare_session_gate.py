@@ -9,9 +9,11 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 8 HEAD (post-r8-rotation; q130 JsonStreamDemux
-driver query, q129 relative-bound merge law, exactly_once demux
-default in) — BARE-SESSION GATE: ALL 130 OK.
+Last full run: round 8 final HEAD (q130 JsonStreamDemux driver query,
+q131/q135 replayable logreg train+score, q132 span excision,
+q133/q134 replayable BPE train+eval, demux write pool in) —
+BARE-SESSION GATE: ALL 135 OK. (Mid-round run at the 130-query
+registry: ALL 130 OK.)
 """
 
 import os
