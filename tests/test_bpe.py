@@ -113,3 +113,49 @@ def test_bpe_eval_hand_computed(spark, corpus):
 def test_single_char_vocab_stops_early(spark):
     df = spark.createDataFrame([(1, "a b c a")], "doc_id int, text string")
     assert bpe_train(df, merges=3) == []  # no adjacent pairs anywhere
+
+
+# --- property: framed replace IS greedy-leftmost pair merging --------
+# Python str.replace and Spark/DuckDB replace share leftmost
+# non-overlapping replace-all semantics, so the framing argument can
+# be proven engine-free: for ANY symbol sequence and merge pair, the
+# framed string rewrite equals the scan-based greedy merge. (Engine
+# parity itself is pinned by q133's DuckDB oracle + the unit cases.)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+settings.register_profile("no-deadline-bpe", deadline=None)
+settings.load_profile("no-deadline-bpe")
+
+_sym = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters=[SYM_L, SYM_R]
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _greedy_merge(syms: list[str], x: str, y: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=300)
+@given(st.lists(_sym, min_size=1, max_size=12), _sym, _sym)
+def test_framed_replace_is_greedy_leftmost(syms, x, y):
+    framed = "".join(SYM_L + s + SYM_R for s in syms)
+    rewritten = framed.replace(
+        SYM_L + x + SYM_R + SYM_L + y + SYM_R, SYM_L + x + y + SYM_R
+    )
+    assert rewritten.startswith(SYM_L) and rewritten.endswith(SYM_R)
+    back = rewritten[1:-1].split(SYM_R + SYM_L)
+    assert back == _greedy_merge(syms, x, y)

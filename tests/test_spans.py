@@ -194,6 +194,59 @@ def test_remove_duplicate_spans_deterministic_under_repartition(spark):
     assert a == b
 
 
+def _ref_remove_spans(docs, n, min_span, min_docs=2):
+    """Independent pure-Python reference of remove_duplicate_spans
+    (dict/scan implementation — no shared code with the Spark plan)."""
+    toks = {i: [w for w in t.split() if w] for i, t in docs.items()}
+    gram_docs = {}
+    for i, ws in toks.items():
+        for k in range(len(ws) - n + 1):
+            gram_docs.setdefault(tuple(ws[k : k + n]), set()).add(i)
+    out = {}
+    for i, ws in toks.items():
+        dup = [
+            k
+            for k in range(len(ws) - n + 1)
+            if len(gram_docs[tuple(ws[k : k + n])]) >= min_docs
+        ]
+        covered = set()
+        run = []
+        for k in dup + [None]:
+            if run and (k is None or k != run[-1] + 1):
+                a, b = run[0], run[-1]
+                if b - a + n >= min_span:
+                    covered.update(range(a, b + n))
+                run = []
+            if k is not None:
+                run.append(k)
+        keep = [w for j, w in enumerate(ws) if j not in covered]
+        out[i] = (len(ws), len(ws) - len(keep), " ".join(keep))
+    return out
+
+
+def test_remove_duplicate_spans_randomized_differential(spark):
+    # Random corpora with heavy cross-doc overlap (small vocab, short
+    # docs) diffed against the independent reference implementation.
+    import random
+
+    for seed in (1, 7, 20260815):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(8)]
+        docs = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14)))
+            for i in range(25)
+        }
+        n, min_span = rng.choice([(2, 4), (3, 3), (3, 6)])
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id int, text string"
+        )
+        got = {
+            r.doc_id: (r.n_words, r.n_removed, r.cleaned_text)
+            for r in remove_duplicate_spans(df, n=n, min_span=min_span).collect()
+        }
+        assert got == _ref_remove_spans(docs, n, min_span), (seed, n, min_span)
+
+
 def test_char_entropy_known_values(spark):
     from relationalize_spark.operators.text import char_entropy
 
