@@ -4954,6 +4954,75 @@ FROM base
 """
 
 
+def q136_streaming_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming x sketches (the one previously unattested
+    intersection): per-hour distinct users over the watermarked
+    events stream via ``hll_sketch_agg`` — exact distinct aggregation
+    is UNSUPPORTED in streaming (unbounded per-window state), so the
+    sketch IS the streaming answer, with O(windows x 4 KiB) state
+    regardless of user cardinality. Driven to completion
+    (AvailableNow, complete-mode memory sink, the q54 pattern), then
+    joined to the batch exact counts so the output carries only
+    engine-replayable values: the exact count and the estimate's 2%
+    bound as a boolean (lgConfigK=12 RSE ~0.8%, and the hourly
+    cardinalities here sit in HLL's sparse/exact regime, so the bound
+    is deterministic for a fixed corpus — the q129 discipline)."""
+    stream = _events_stream(spark, sf)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "est",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q136_sketch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("q136_sketch")
+    # batch side normalized to the SAME instant encoding as the
+    # stream (_events_stream): NTZ wall clock taken as UTC, so the
+    # window_start join keys agree under every testdata ts encoding.
+    from .functions.timeutil import as_instant
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("ts", as_instant(F.col("ts"), ev.schema["ts"].dataType))
+    exact = ev.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        streamed.join(exact, "window_start")
+        .select(
+            "window_start",
+            "window_end",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")
+                <= F.lit(0.02)
+            ).alias("within_2pct"),
+        )
+        .orderBy("window_start")
+    )
+
+
+Q136_SQL = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+  CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+  count(DISTINCT user_id) AS n_exact,
+  TRUE AS within_2pct
+FROM events
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
 def q131_hashed_logreg(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed hashed-feature logistic regression
     (operators/classify.py) — the fastText-style quality-classifier
@@ -5268,23 +5337,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: the FIRST 50 entries (CORRECTNESS_r01-r07 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round so every entry's newest driver row stays <= 2 rounds
-#: old. Round 8 fronts: 6 new entries (q130, JsonStreamDemux's first
+#: old. Round 8 fronts: 7 new entries (q130, JsonStreamDemux's first
 #: driver row — VERDICT r7 item 1; q131 replayable distributed GD;
 #: q132 duplicated-span excision; q133 replayable BPE training; q134
-#: tokenizer-fertility eval; q135 quantized classifier scoring), the
-#: 2 dynamic-pipeline entries touched by this round's infer_schema
-#: change (q34, q125 — the convert=False tag fix refactored
-#: infer_and_convert), the 28 r5-attested entries whose newest rows
-#: turn 3 rounds old this round (q47-q66, q68-q73, q126-q127 —
-#: VERDICT r7 item 3), and the 14 oldest r6-attested entries (q128,
-#: q67, q108, q74-q80, q83-q86; q87-q91 slip just below the cap
-#: carrying their r6 rows — front them in r9). q30/q33/q94 stay
-#: behind the cap: their rows are permanently rows-only by declared
-#: design (engine-hash values; md5 twins q123/q124/q129 carry the
-#: value-level record) and fronting them would spend window slots
-#: re-recording a weaker check. Total: 6+2+28+14 = 50, every one
-#: with a value oracle. Behind the cap: the remaining r6-attested
-#: entries, then the 47 r7-attested ones.
+#: tokenizer-fertility eval; q135 quantized classifier scoring; q136
+#: streaming windowed HLL distinct), the 2 dynamic-pipeline entries
+#: touched by this round's infer_schema change (q34, q125 — the
+#: convert=False tag fix refactored infer_and_convert), the 28
+#: r5-attested entries whose newest rows turn 3 rounds old this
+#: round (q47-q66, q68-q73, q126-q127 — VERDICT r7 item 3), and the
+#: 13 oldest r6-attested entries (q128, q67, q108, q74-q80, q83-q85;
+#: q86-q91 slip just below the cap carrying their r6 rows — front
+#: them in r9). q30/q33/q94 stay behind the cap: their rows are
+#: permanently rows-only by declared design (engine-hash values; md5
+#: twins q123/q124/q129 carry the value-level record) and fronting
+#: them would spend window slots re-recording a weaker check. Total:
+#: 7+2+28+13 = 50, every one with a value oracle. Behind the cap:
+#: the remaining r6-attested entries, then the 47 r7-attested ones.
 #: Every entry, either side of the cap, runs against its oracle in
 #: tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -5301,6 +5370,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q133_bpe_train": (q133_bpe_train, None),  # oracle generated below
     "q134_tokenizer_eval": (q134_tokenizer_eval, None),  # oracle generated below
     "q135_quality_scores": (q135_quality_scores, None),  # oracle generated below
+    "q136_streaming_distinct_sketch": (q136_streaming_distinct_sketch, Q136_SQL),
     # r5-attested block — newest rows turn 3 rounds old in r8 (28):
     "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
     "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
