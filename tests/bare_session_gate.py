@@ -11,9 +11,9 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
 Last full run: round 8 final HEAD (q130 JsonStreamDemux driver query,
 q131/q135 replayable logreg train+score, q132 span excision,
-q133/q134 replayable BPE train+eval, demux write pool in) —
-BARE-SESSION GATE: ALL 135 OK. (Mid-round run at the 130-query
-registry: ALL 130 OK.)
+q133/q134 replayable BPE train+eval, q136 streaming windowed HLL
+distinct, demux write pool in) — BARE-SESSION GATE: ALL 136 OK.
+(Earlier same-round runs: ALL 130 OK, ALL 135 OK.)
 """
 
 import os
