@@ -80,11 +80,23 @@ def main() -> None:
     # duplicated across documents are cut out, the rest of each
     # document survives — finer than dropping whole documents.
     cleaned = remove_duplicate_spans(kept, "doc_id", "text", n=5, min_span=15)
-    kept = kept.drop("text").join(
-        cleaned.where(F.col("n_words") > F.col("n_removed")).select(
-            "doc_id", F.col("cleaned_text").alias("text")
-        ),
-        "doc_id",
+    # rewrite ONLY excised documents (untouched docs keep their
+    # original bytes — cleaned_text is whitespace-renormalized, which
+    # would otherwise silently reflow the whole corpus); drop docs the
+    # excision emptied entirely.
+    kept = (
+        kept.join(
+            cleaned.select("doc_id", "n_words", "n_removed", "cleaned_text"),
+            "doc_id",
+        )
+        .where(F.col("n_words") > F.col("n_removed"))
+        .withColumn(
+            "text",
+            F.when(F.col("n_removed") > 0, F.col("cleaned_text")).otherwise(
+                F.col("text")
+            ),
+        )
+        .drop("n_words", "n_removed", "cleaned_text")
     )
     after_spans = kept.count()
 

@@ -247,7 +247,16 @@ def remove_duplicate_spans(
         )
         .distinct()  # adjacent maximal runs can overlap in coverage
         .withColumn("__rm__", F.lit(True))
+        .persist()
     )
+    # Materialize the (much smaller, removed-words-proportional)
+    # covered set now so the corpus-proportional position cache can be
+    # released immediately instead of living for the session (the
+    # operator is eager to this extent, like hashed_logreg). Block
+    # loss just recomputes through the scan — cache semantics, safe
+    # on clusters with executor churn (unlike localCheckpoint).
+    covered.count()
+    pos.unpersist()
     words = base.select("id", F.posexplode_outer(toks).alias("widx", "wrd"))
     kept = words.join(covered.hint("merge"), ["id", "widx"], "left")
     return (
@@ -328,11 +337,19 @@ def duplicate_span_stats(
         .agg(F.count("*").alias("__run__"))
         .groupBy("id")
         .agg(F.max("__run__").alias("max_dup_run"))
+        .persist()
     )
     per_doc = dup.groupBy("id").agg(
         F.count("*").alias("n_positions"),
         F.sum(F.col("is_dup").cast("int")).alias("dup_positions"),
-    )
+    ).persist()
+    # Materialize the two document-proportional aggregates now and
+    # release the corpus-proportional position cache (r8: each call
+    # previously pinned `pos` for the session; across a 136-query
+    # gate run that compounds). The operator is eager to this extent.
+    runs.count()
+    per_doc.count()
+    pos.unpersist()
     return (
         per_doc.join(runs.hint("merge"), "id", "left")
         .select(

@@ -4883,6 +4883,12 @@ def q130_stream_demux_dynamic(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("}"),
     )
     work = tempfile.mkdtemp(prefix="q130_")
+    # the returned DataFrame READS from this directory (lazy), so it
+    # cannot be removed before the caller executes — clean at process
+    # exit instead of leaking a corpus copy per gate run
+    import atexit
+
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     src, base, ckpt = (os.path.join(work, d) for d in ("in", "out", "ckpt"))
     os.makedirs(src)
     ldf = o.select((F.col("o_orderkey") % 4).alias("b"), line.alias("value"))
@@ -5290,6 +5296,16 @@ def q134_tokenizer_eval(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     rules = [(l, r) for _, l, r, _, _ in bpe_train(d, "text", merges=5)]
+    if len(rules) != 5:
+        # the generated oracle's v5 CTE is empty when fewer than 5
+        # merges are learnable (its per-step rewrite cross-joins the
+        # 1-row argmax), so a degenerate corpus must fail LOUDLY here
+        # rather than hand the driver a silent Spark-vs-oracle
+        # divergence. Never fires on the gate corpora (each learns
+        # >= 5 merges); a corpus that can't should use q133's shape.
+        raise ValueError(
+            f"q134 needs a corpus with >= 5 learnable BPE merges, got {len(rules)}"
+        )
     return bpe_eval(d, rules, text_col="text", group_col="source").orderBy("source")
 
 
@@ -5400,7 +5416,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
     "q126_kmv_distinct": (q126_kmv_distinct, Q126_SQL),
     "q127_kmv_vocab_overlap": (q127_kmv_vocab_overlap, Q127_SQL),
-    # oldest r6-attested entries (19):
+    # oldest r6-attested entries (13 in-window; the cap cuts after
+    # q85 — see the docstring's window arithmetic):
     "q128_kmv_shard_merge": (q128_kmv_shard_merge, Q128_SQL),
     "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),  # replayable Lloyd's
     "q108_semdedup": (q108_semdedup, Q108_SQL),  # replayable k-means
@@ -5414,14 +5431,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q83_streaming_dedup": (q83_streaming_dedup, Q83_SQL),
     "q84_unpivot": (q84_unpivot, Q84_SQL),
     "q85_rolling_time_window": (q85_rolling_time_window, Q85_SQL),
+    # --- behind the cap (entry 51+): every entry below carries a ---
+    # --- full-green r6 or r7 driver row as its durable record ------
+    # r6-attested, slipped below the cap by the r8 additions — front
+    # these six in r9:
     "q86_argmax_groups": (q86_argmax_groups, Q86_SQL),
     "q87_source_mixing": (q87_source_mixing, Q87_SQL),
     "q88_nullsafe_join": (q88_nullsafe_join, Q88_SQL),
     "q89_date_battery": (q89_date_battery, Q89_SQL),
     "q90_volume_shipping": (q90_volume_shipping, Q90_SQL),
     "q91_market_share": (q91_market_share, Q91_SQL),
-    # --- behind the cap: every entry below carries a full-green ----
-    # --- r6 or r7 driver row as its durable record -----------------
     # remaining r6-attested:
     "q92_product_profit": (q92_product_profit, Q92_SQL),
     "q93_top_supplier": (q93_top_supplier, Q93_SQL),

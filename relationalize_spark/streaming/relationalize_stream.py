@@ -103,6 +103,20 @@ def _fs_has_data_files(spark: SparkSession, path_str: str) -> bool:
     return False
 
 
+def _dedup_lines(df: DataFrame, col: str = "value") -> DataFrame:
+    """Drop byte-identical lines keyed on a 192-bit digest pair
+    (xxhash64 + md5): shuffle comparisons touch 24-byte keys instead
+    of whole documents, and collision across BOTH digests is ~2^-96 —
+    negligible against corpus sizes. One definition so the table-side
+    (finalize) and quarantine-side replays can never drift apart."""
+    return (
+        df.withColumn("__d1__", F.xxhash64(col))
+        .withColumn("__d2__", F.md5(col))
+        .dropDuplicates(["__d1__", "__d2__"])
+        .drop("__d1__", "__d2__")
+    )
+
+
 def _has_variant(dt: ST.DataType) -> bool:
     if isinstance(dt, ST.VariantType):
         return True
@@ -230,6 +244,12 @@ class JsonStreamDemux:
     #: under uuid rids. exactly_once=False keeps the reference's flat
     #: append-to-one-output layout (reference relationalize.py:57-80)
     #: for sinks that must stay byte-compatible with it.
+    #: MIGRATION: when pointing an exactly_once demux at a base_path
+    #: previously written in the FLAT layout, any batch that crashed
+    #: mid-append pre-upgrade left flat copies the replayed batch=N
+    #: directory now duplicates — run the first post-upgrade
+    #: finalize(dedup_replays=True) once (hash rids), or clean the
+    #: flat files, before trusting the no-dedup view.
     exactly_once: bool = True
     #: per-batch table writes run on a driver thread pool of this
     #: size (1 = serial). Part of the ~0.7 s/table per-batch floor is
@@ -342,10 +362,12 @@ class JsonStreamDemux:
                 ).observe(obs, F.count(F.lit(1)).alias("malformed")).write.mode(
                     "append"
                 ).text(f"{self.base_path}/_quarantine")
-                self.quarantine_counts[batch_id] = (
-                    self.quarantine_counts.get(batch_id, 0)
-                    + int(obs.get["malformed"])
-                )
+                # plain assignment, not accumulation: a replayed batch
+                # (same batch_id through the same instance) re-observes
+                # the same lines, and the metric is documented as
+                # per-batch malformed count — idempotent under replay,
+                # consistent with read_quarantine()'s deduped view.
+                self.quarantine_counts[batch_id] = int(obs.get["malformed"])
                 batch_df = parsed.where(F.col("v").isNotNull()).select("v")
             else:
                 batch_df = lines.select(F.parse_json(F.col(col)).alias("v"))
@@ -457,11 +479,8 @@ class JsonStreamDemux:
                     .where(F.length(F.trim("value")) > 0)
                 )
                 if dedup_replays:
-                    vdf = (
-                        lines.withColumn("__d1__", F.xxhash64("value"))
-                        .withColumn("__d2__", F.md5("value"))
-                        .dropDuplicates(["__d1__", "__d2__"])
-                        .select(F.parse_json("value").alias("v"))
+                    vdf = _dedup_lines(lines).select(
+                        F.parse_json("value").alias("v")
                     )
                 else:
                     vdf = lines.select(F.parse_json("value").alias("v"))
@@ -492,16 +511,16 @@ class JsonStreamDemux:
         read-back — the same digest-keyed dedup finalize applies to
         table rows. Pass ``dedup_replays=False`` to audit raw delivery
         (e.g. to count replay amplification)."""
-        q = spark.read.option("recursiveFileLookup", "true").text(
-            f"{self.base_path}/_quarantine"
-        )
+        qpath = f"{self.base_path}/_quarantine"
+        fs, p = _fs_for(spark, qpath)
+        if not fs.exists(p):
+            # no quarantined line yet (quarantine=False, or no batch
+            # has misparsed): the natural answer is 0 rows, not a
+            # PATH_NOT_FOUND crash at the monitoring caller.
+            return spark.createDataFrame([], "value string")
+        q = spark.read.option("recursiveFileLookup", "true").text(qpath)
         if dedup_replays:
-            q = (
-                q.withColumn("__d1__", F.xxhash64("value"))
-                .withColumn("__d2__", F.md5("value"))
-                .dropDuplicates(["__d1__", "__d2__"])
-                .select("value")
-            )
+            q = _dedup_lines(q)
         return q
 
 

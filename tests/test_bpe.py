@@ -125,9 +125,6 @@ def test_single_char_vocab_stops_early(spark):
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-settings.register_profile("no-deadline-bpe", deadline=None)
-settings.load_profile("no-deadline-bpe")
-
 _sym = st.text(
     alphabet=st.characters(
         codec="utf-8", exclude_characters=[SYM_L, SYM_R]
@@ -149,7 +146,7 @@ def _greedy_merge(syms: list[str], x: str, y: str) -> list[str]:
     return out
 
 
-@settings(max_examples=300)
+@settings(max_examples=300, deadline=None)
 @given(st.lists(_sym, min_size=1, max_size=12), _sym, _sym)
 def test_framed_replace_is_greedy_leftmost(syms, x, y):
     framed = "".join(SYM_L + s + SYM_R for s in syms)

@@ -539,3 +539,29 @@ def test_json_stream_demux_write_pool_parity(spark, tmp_path):
         )
     assert outs["serial"][0] == outs["pool"][0]
     assert outs["serial"][1] == outs["pool"][1]
+
+
+def test_read_quarantine_missing_dir_is_empty(spark, tmp_path):
+    """r8 review: a clean stream (quarantine never triggered, or
+    quarantine=False) has no _quarantine directory — the monitoring
+    answer is 0 rows, not PATH_NOT_FOUND."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    d = JsonStreamDemux(str(tmp_path / "out"), "root", key_cols=["k"])
+    d.process_batch(spark.createDataFrame([('{"k": 1}',)], "value string"), 0)
+    q = d.read_quarantine(spark)
+    assert q.columns == ["value"] and q.count() == 0
+
+
+def test_quarantine_counts_idempotent_under_replay(spark, tmp_path):
+    """r8 review: replaying the same batch through the SAME instance
+    must not inflate the per-batch malformed metric."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    d = JsonStreamDemux(
+        str(tmp_path / "out"), "root", key_cols=["k"], quarantine=True
+    )
+    batch = spark.createDataFrame([('{"k": 1}',), ("{bad",)], "value string")
+    d.process_batch(batch, 0)
+    d.process_batch(batch, 0)  # same instance, same batch_id (replay)
+    assert d.quarantine_counts == {0: 1}
