@@ -9,11 +9,13 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 8 final HEAD (q130 JsonStreamDemux driver query,
-q131/q135 replayable logreg train+score, q132 span excision,
-q133/q134 replayable BPE train+eval, q136 streaming windowed HLL
-distinct, demux write pool in) — BARE-SESSION GATE: ALL 136 OK.
-(Earlier same-round runs: ALL 130 OK, ALL 135 OK.)
+Last full run: round 8 final HEAD, post-self-review hardening (q130
+JsonStreamDemux driver query, q131/q135 replayable logreg
+train+score, q132 span excision, q133/q134 replayable BPE
+train+eval, q136 streaming windowed HLL distinct, demux write pool,
+spans cache-lifecycle fix in) — BARE-SESSION GATE: ALL 136 OK.
+(Earlier same-round runs: ALL 130 OK, ALL 135 OK, ALL 136 OK
+pre-hardening.)
 """
 
 import os
