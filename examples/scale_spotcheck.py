@@ -527,6 +527,24 @@ def main() -> None:
 
         return run
 
+    def pq_op(sf):
+        def run():
+            from relationalize_spark.operators.similarity import (
+                pq_encode,
+                pq_topk,
+                pq_train,
+            )
+
+            e = spark.read.parquet(f"{sf}/embeddings.parquet")
+            # training + encoding are eager/corpus-wide; the search
+            # panel stays fixed at replica 0 (corpus-side scaling)
+            books = pq_train(e, m=4, k=16, iters=3)
+            codes = pq_encode(e, books)
+            q = e.filter((F.col("vec_id") < 500) & (F.col("vec_id") % 40 == 0))
+            return pq_topk(codes, q, books, k=5)
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -561,6 +579,7 @@ def main() -> None:
         "span_removal_q132shape": span_removal_op,
         "hashed_logreg_q131shape": logreg_op,
         "bpe_train_q133shape": bpe_op,
+        "pq_ann_q137shape": pq_op,
     }
     wanted = None
     for arg in sys.argv[1:]:

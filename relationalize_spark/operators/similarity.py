@@ -493,3 +493,150 @@ def quantized_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "score")
     )
+
+
+# -- Product quantization (PQ) + asymmetric-distance (ADC) search ----------
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jegou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): the vector
+    space splits into ``m`` contiguous subspaces and each gets its own
+    k-means codebook. Returns ``m`` codebooks of ``k x (dim/m)``
+    centroids.
+
+    Runs every subspace fit in REPLAYABLE mode
+    (clustering.kmeans_fit: integer-lattice centroid sums, floored
+    assignment scores, lowest-id init), so the entire training —
+    and everything downstream of it (encode, ADC distances) — is an
+    engine-replayable pure function of (data, parameters): that is
+    what gives q137 a full chained-CTE value oracle for a
+    quantized-ANN pipeline.
+
+    Scale shape: m independent Lloyd's fits, each one scan +
+    ``k x dim/m``-row shuffle per iteration over the SLICED vectors
+    (never the full width); driver state is the m codebooks."""
+    from .clustering import kmeans_fit
+
+    dim = vector_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(as_double(vec_col), j * d + 1, d).alias("__sub__"),
+        )
+        books.append(
+            kmeans_fit(
+                sub, "__sub__", k=k, max_iter=iters, id_col=id_col,
+                replayable=True,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m`` small codes: per subspace, the
+    replayable nearest-centroid assignment over the sliced vector.
+    Output: ``id_col, code_0 .. code_{m-1}`` — the dim-doubles row
+    becomes m small ints (the 32x storage/IO compression that makes
+    billion-vector search feasible). Pure projection per subspace
+    (one Arrow-batched matmul each), no shuffle."""
+    from .clustering import assign_clusters
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    out = df.select(F.col(id_col), as_double(vec_col).alias("__v__"))
+    for j in range(m):
+        out = assign_clusters(
+            out.withColumn("__sub__", F.slice("__v__", j * d + 1, d)),
+            codebooks[j],
+            "__sub__",
+            f"code_{j}",
+            replayable=True,
+        ).drop("__sub__")
+    return out.drop("__v__")
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: queries stay exact floats;
+    each query precomputes an ``m x k`` distance table against the
+    codebooks, and a corpus vector's distance is the sum of m table
+    lookups on its codes — no float math touches the corpus at query
+    time.
+
+    Engine-replayable by construction: table entries are the floored
+    assignment-score lattice (``floor((|c|^2/2 - q.c) * 1e9)`` as
+    BIGINT, clustering.REPLAY_SCORE), so per-vector distances are
+    exact integer sums — order-free, bit-identical in any engine —
+    and ties break to the lowest neighbor id.
+
+    Returns ``(query_id, neighbor_id, pq_dist)``, ``k`` rows per
+    query, self-matches excluded. Plan: the 640-entry distance table
+    (Q x m x k) broadcasts; corpus codes explode to m rows each, join
+    the table on (subspace, code), and one (query, vector)-key sum +
+    window takes the top k. Shuffle traffic is (ids, BIGINT) pairs
+    bounded by corpus x Q — the query panel must be
+    broadcast-small, the same contract as brute_force_topk."""
+    import math
+
+    import numpy as np
+
+    from .clustering import REPLAY_SCORE
+
+    spark = corpus_codes.sparkSession
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    qrows = queries.select(
+        F.col(id_col), as_double(vec_col).alias("__v__")
+    ).collect()
+    scale = 10.0 ** REPLAY_SCORE
+    trows = []
+    for r in qrows:
+        qv = np.asarray(r["__v__"], dtype=np.float64)
+        for j, book in enumerate(codebooks):
+            cm = np.asarray(book, dtype=np.float64)  # (k, d)
+            scores = 0.5 * (cm * cm).sum(axis=1) - cm @ qv[j * d : (j + 1) * d]
+            for c, s in enumerate(scores):
+                trows.append((r[id_col], j, c, int(math.floor(s * scale))))
+    tdf = spark.createDataFrame(
+        trows, "query_id long, j int, c int, t long"
+    )
+    code_arr = F.array(*[F.col(f"code_{j}") for j in range(m)])
+    exploded = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode(code_arr).alias("j", "c")
+    )
+    dist = (
+        exploded.join(F.broadcast(tdf), ["j", "c"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("t").alias("pq_dist"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("pq_dist"), F.asc("neighbor_id"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "pq_dist")
+    )
