@@ -545,6 +545,23 @@ def main() -> None:
 
         return run
 
+    def dsir_op(sf):
+        def run():
+            from relationalize_spark.operators.dsir import dsir_select
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            # the LM fit is eager inside fn() (one dim-key shuffle over
+            # the 100x token stream); scoring is the zero-shuffle scan
+            # fold and the fixed k=25 panel materializes via the sink.
+            # source is untouched by replica tagging, so the
+            # target/raw split (and the fit's label work) stays
+            # proportionally constant across scales.
+            return dsir_select(
+                d, F.col("source").isin("src0", "src1"), dim=64, k=25
+            )
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -580,6 +597,7 @@ def main() -> None:
         "hashed_logreg_q131shape": logreg_op,
         "bpe_train_q133shape": bpe_op,
         "pq_ann_q137shape": pq_op,
+        "dsir_select_q138shape": dsir_op,
     }
     wanted = None
     for arg in sys.argv[1:]:

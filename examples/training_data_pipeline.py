@@ -2,10 +2,11 @@
 
 Chains the LLM-pipeline operators end to end: corpus-wide segment
 dedup -> language ID + quality scoring -> quality filter -> exact
-dedup -> MinHash near-dedup -> duplicate-span filter -> semantic
-dedup over embeddings -> source mixing + per-source caps -> token
-accounting -> BUCKETED output — the shape of a 100 TB curation job,
-runnable here on the sf test data.
+dedup -> MinHash near-dedup -> duplicate-span filter -> model-based
+quality filter -> DSIR importance resampling toward the target
+distribution -> semantic dedup over embeddings -> source mixing +
+per-source caps -> token accounting -> BUCKETED output — the shape
+of a 100 TB curation job, runnable here on the sf test data.
 
 The bucketed write is the load-for-downstream-joins step: curated
 documents and their embeddings land hash-bucketed on doc_id, so every
@@ -126,6 +127,49 @@ def main() -> None:
                      "doc_id", "left_semi")
     after_model = kept.count()
 
+    # Lineage cut: every stage so far derives kept from itself via a
+    # join, so the un-materialized plan DOUBLES per stage (the DSIR
+    # stage below branches it again) — by this point plan analysis
+    # alone exhausts the example-scale heap. At 100 TB the pipeline
+    # would land each mega-stage to parquet; locally an eager
+    # localCheckpoint is the same cut without the I/O.
+    kept = kept.localCheckpoint(eager=True)
+
+    # DSIR importance resampling (r8): re-shape the non-target pool
+    # toward the target distribution (here: the src0/src1 docs).
+    # dsir_select's top-k is the right call for a fixed budget; for a
+    # FRACTION of an unbounded corpus the scale-correct form is the
+    # one below — per-doc Gumbel keys (zero-shuffle scan fold) cut at
+    # an approx_percentile threshold, a distributed filter with no
+    # top-k funnel through the driver.
+    from relationalize_spark.operators.dsir import (
+        dsir_weights,
+        gumbel_key,
+        hashed_lm_logratio,
+    )
+
+    tgt = F.col("source").isin("src0", "src1")
+    lrq = hashed_lm_logratio(kept, tgt, dim=64)
+    # cache the keys: the percentile collect AND the join both read
+    # them — without the persist the per-doc scoring scan runs twice
+    keyed = dsir_weights(kept.where(~tgt), lrq, id_col="doc_id").select(
+        F.col("id").alias("doc_id"),
+        (F.col("weight_q") + gumbel_key(F.col("id"))).alias("key_q"),
+    ).persist()
+    key_cut = keyed.agg(
+        F.expr("approx_percentile(key_q, 0.30)").alias("c")
+    ).collect()[0].c
+    kept = kept.join(
+        keyed.where(F.col("key_q") >= key_cut).select(
+            "doc_id", F.lit(True).alias("__dsir__")
+        ),
+        "doc_id",
+        "left",
+    ).where(tgt | F.col("__dsir__").isNotNull()).drop("__dsir__")
+    kept = kept.localCheckpoint(eager=True)  # cut before unpersisting
+    keyed.unpersist()
+    after_dsir = kept.count()
+
     # Semantic dedup (SemDeDup): k-means cells over the documents'
     # embeddings, exact within-cell cosine; drop the higher id of
     # each >=0.97 pair.
@@ -173,6 +217,7 @@ def main() -> None:
     print(f"after near dedup: {after_near}")
     print(f"after span filter:{after_spans}")
     print(f"after model filt.:{after_model}")
+    print(f"after DSIR:       {after_dsir}")
     print(f"after sem dedup:  {after_sem}")
     print(f"after mix+quota:  {after_mix}")
     print(f"tokens kept:      {tokens_total}")

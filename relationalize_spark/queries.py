@@ -5473,6 +5473,170 @@ ORDER BY source"""
     )
 
 
+def q138_dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py) — Xie et al.
+    2023's data-selection step, the third leg of the curation stack
+    beside the heuristic filters and the q131/q135 quality
+    classifier. Target distribution = the src0/src1 documents; every
+    other document is weighted by its hashed-unigram importance
+    log-ratio (one dim-key shuffle fits BOTH LMs; scoring is a
+    zero-shuffle scan fold over a constant-folded map literal) and
+    the top 25 Gumbel-perturbed keys are selected (TakeOrdered — no
+    global sort). Every transcendental is floored onto the 1e-9
+    lattice immediately and every cross-row sum is a BIGINT, so the
+    oracle replays LM counts, smoothing, log-ratios, per-doc weights,
+    Gumbel keys, and the final top-k value-for-value."""
+    from .operators.dsir import dsir_select
+
+    d = load_table(spark, sf, "documents")
+    target = F.col("source").isin("src0", "src1")
+    return dsir_select(d, target, dim=64, k=25)
+
+
+def _q138_sql(dim: int = 64, k: int = 25) -> str:
+    """Chained-CTE replay of the full DSIR pipeline. Exact-int token
+    counts convert to DOUBLE exactly (gate corpora are far below
+    2^53 tokens), so each smoothing ratio is the identical IEEE
+    division Python's int true-division performs; ln / Gumbel values
+    floor onto the shared lattice (operators/dsir.py REPLAY_LNR)."""
+    from .operators.dsir import REPLAY_LNR
+
+    fp = f"{10 ** REPLAY_LNR}.0"
+    # 2^60 + 256, NOT + 1: the ulp at 2^60 is 128, so "+ 1" rounds to
+    # exactly 2^60 = the max rounded numerator, letting u hit 1.0 and
+    # DuckDB abort on ln(0) (see operators/dsir.py:_U_DEN)
+    u_den = f"CAST({2 ** 60 + 256} AS DOUBLE)"
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, (source IN ('src0', 'src1')) AS tgt,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+ne AS MATERIALIZED (SELECT * FROM d WHERE len(ws) > 0),
+tok AS MATERIALIZED (
+  SELECT doc_id, tgt,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {dim} AS INT) AS j
+  FROM (SELECT doc_id, tgt, unnest(ws) AS tok FROM ne)
+),
+cnt AS (
+  SELECT j, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+  FROM tok GROUP BY j
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS rt FROM cnt),
+lr AS MATERIALIZED (
+  SELECT CAST(r.j AS INT) AS j,
+    CAST(floor((ln(CAST(coalesce(c.ct, 0) + 1 AS DOUBLE)
+                   / CAST((SELECT tt FROM tot) + {dim} AS DOUBLE))
+              - ln(CAST(coalesce(c.cr, 0) + 1 AS DOUBLE)
+                   / CAST((SELECT rt FROM tot) + {dim} AS DOUBLE)))
+             * {fp}) AS BIGINT) AS lrq
+  FROM range(0, {dim}) r(j) LEFT JOIN cnt c ON c.j = r.j
+),
+wq AS (
+  SELECT t.doc_id, CAST(sum(lr.lrq) AS BIGINT) AS weight_q
+  FROM tok t JOIN lr USING (j)
+  WHERE NOT t.tgt
+  GROUP BY t.doc_id
+),
+keyed AS (
+  SELECT doc_id, weight_q,
+    weight_q + CAST(floor(-ln(-ln(
+        (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS DOUBLE) + 1.0) / {u_den}))
+      * {fp}) AS BIGINT) AS key_q
+  FROM wq
+)
+SELECT doc_id, weight_q, key_q FROM keyed
+ORDER BY key_q DESC, doc_id
+LIMIT {k}"""
+
+
+def q139_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout key (plans/zorder.py:add_zorder_key) — the
+    Delta/Iceberg OPTIMIZE ZORDER primitive as pure Catalyst
+    shift/mask/or expressions: min/max-normalize (user_id, value) to
+    10-bit ranks (one tiny broadcastable agg, literals folded into
+    the plan) and bit-interleave them into the Morton key every file
+    range would be laid out along. First driver row for the plans/
+    100 TB layout toolkit (previously plan-asserted only): the oracle
+    replays the min/max stats, the rank arithmetic (same IEEE op
+    order), and all 20 interleaved bits value-for-value."""
+    from .plans.zorder import add_zorder_key
+
+    e = load_table(spark, sf, "events")
+    keyed = add_zorder_key(e, ["user_id", "value"], bits=10)
+    return keyed.select("event_id", "zkey").orderBy("event_id")
+
+
+def _q139_sql(bits: int = 10) -> str:
+    """Mirror of plans/zorder.py: rank = least(top, floor(((c - mn) /
+    span) * top)) with span = (mx - mn) or 1.0, then bit b of column
+    i lands at position b*n + i."""
+    top = (1 << bits) - 1
+    n = 2
+    parts = []
+    for i in range(n):
+        for b in range(bits):
+            parts.append(f"(((r{i} >> {b}) & 1) << {b * n + i})")
+    inter = " | ".join(parts)
+    return f"""
+WITH st AS (
+  SELECT CAST(min(user_id) AS DOUBLE) AS mn0, CAST(max(user_id) AS DOUBLE) AS mx0,
+         CAST(min(value) AS DOUBLE) AS mn1, CAST(max(value) AS DOUBLE) AS mx1
+  FROM events
+),
+rk AS (
+  SELECT event_id,
+    CAST(least({top}, CAST(floor((CAST(user_id AS DOUBLE) - mn0)
+      / (CASE WHEN mx0 = mn0 THEN 1.0 ELSE mx0 - mn0 END) * {top}) AS BIGINT)) AS BIGINT) AS r0,
+    CAST(least({top}, CAST(floor((value - mn1)
+      / (CASE WHEN mx1 = mn1 THEN 1.0 ELSE mx1 - mn1 END) * {top}) AS BIGINT)) AS BIGINT) AS r1
+  FROM events, st
+)
+SELECT event_id, CAST({inter} AS BIGINT) AS zkey FROM rk
+ORDER BY event_id"""
+
+
+def q140_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Replicated skew join (plans/scale.py:replicated_skew_join) —
+    the salting transform for hot-key joins where the right side is
+    above broadcast size: each left row routes to one of 8 replicas
+    by a hash of its full content, the right side is replicated to
+    all 8, and a hot key's rows land on 8 reducers instead of one.
+    The attested contract is that the transform is CORRECTNESS-
+    PRESERVING: the oracle is the PLAIN join (events x per-user
+    profile), which the salted plan must reproduce row-for-row. The
+    profile's float sum rides the 1e-6 BIGINT lattice so the joined
+    values replay exactly."""
+    from .plans.scale import replicated_skew_join
+
+    e = load_table(spark, sf, "events")
+    prof = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_n"),
+        F.sum(F.floor(F.col("value") * F.lit(1000000.0)))
+        .cast("long")
+        .alias("user_value_q"),
+    )
+    j = replicated_skew_join(
+        e.select("event_id", "user_id"), prof, on="user_id", replicas=8
+    )
+    return j.select("event_id", "user_id", "user_n", "user_value_q").orderBy(
+        "event_id"
+    )
+
+
+Q140_SQL = """
+WITH prof AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS user_n,
+         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS user_value_q
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, p.user_n, p.user_value_q
+FROM events e JOIN prof p USING (user_id)
+ORDER BY e.event_id"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5485,22 +5649,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: the FIRST 50 entries (CORRECTNESS_r01-r07 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round so every entry's newest driver row stays <= 2 rounds
-#: old. Round 8 fronts: 8 new entries (q130, JsonStreamDemux's first
-#: driver row — VERDICT r7 item 1; q131 replayable distributed GD;
-#: q132 duplicated-span excision; q133 replayable BPE training; q134
-#: tokenizer-fertility eval; q135 quantized classifier scoring; q136
-#: streaming windowed HLL distinct; q137 replayable PQ/ADC ANN), the
-#: 2 dynamic-pipeline entries touched by this round's infer_schema
+#: old. Round 8 fronts: 11 new entries (q130, JsonStreamDemux's
+#: first driver row — VERDICT r7 item 1; q131 replayable distributed
+#: GD; q132 duplicated-span excision; q133 replayable BPE training;
+#: q134 tokenizer-fertility eval; q135 quantized classifier scoring;
+#: q136 streaming windowed HLL distinct; q137 replayable PQ/ADC ANN;
+#: q138 replayable DSIR importance resampling; q139/q140, the first
+#: driver rows for the plans/ layout-and-skew toolkit), the 2
+#: dynamic-pipeline entries touched by this round's infer_schema
 #: change (q34, q125 — the convert=False tag fix refactored
 #: infer_and_convert), the 28 r5-attested entries whose newest rows
 #: turn 3 rounds old this round (q47-q66, q68-q73, q126-q127 —
-#: VERDICT r7 item 3), and the 12 oldest r6-attested entries (q128,
-#: q67, q108, q74-q80, q83, q84; q85-q91 slip just below the cap
-#: carrying their r6 rows — front them in r9). q30/q33/q94 stay
-#: behind the cap: their rows are permanently rows-only by declared
-#: design (engine-hash values; md5 twins q123/q124/q129 carry the
+#: VERDICT r7 item 3), and the 9 oldest r6-attested entries (q128,
+#: q67, q108, q74-q79; q80/q83-q91 slip just below the cap carrying
+#: their r6 rows — front them in r9). q30/q33/q94 stay behind the
+#: cap: their rows are permanently rows-only by declared design
+#: (engine-hash values; md5 twins q123/q124/q129 carry the
 #: value-level record) and fronting them would spend window slots
-#: re-recording a weaker check. Total: 8+2+28+12 = 50, every one
+#: re-recording a weaker check. Total: 11+2+28+9 = 50, every one
 #: with a value oracle. Behind the cap: the remaining r6-attested
 #: entries, then the 47 r7-attested ones.
 #: Every entry, either side of the cap, runs against its oracle in
@@ -5521,6 +5687,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q135_quality_scores": (q135_quality_scores, None),  # oracle generated below
     "q136_streaming_distinct_sketch": (q136_streaming_distinct_sketch, Q136_SQL),
     "q137_pq_ann": (q137_pq_ann, None),  # oracle generated below
+    # new this round — DSIR importance resampling (full lattice replay):
+    "q138_dsir_selection": (q138_dsir_selection, None),  # oracle generated below
+    # new this round — first driver rows for the plans/ 100 TB toolkit:
+    "q139_zorder_key": (q139_zorder_key, None),  # oracle generated below
+    "q140_skew_join": (q140_skew_join, Q140_SQL),
     # r5-attested block — newest rows turn 3 rounds old in r8 (28):
     "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
     "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
@@ -5550,8 +5721,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
     "q126_kmv_distinct": (q126_kmv_distinct, Q126_SQL),
     "q127_kmv_vocab_overlap": (q127_kmv_vocab_overlap, Q127_SQL),
-    # oldest r6-attested entries (12 in-window; the cap cuts after
-    # q84 — see the docstring's window arithmetic):
+    # oldest r6-attested entries (9 in-window; the cap cuts after
+    # q79 — see the docstring's window arithmetic):
     "q128_kmv_shard_merge": (q128_kmv_shard_merge, Q128_SQL),
     "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),  # replayable Lloyd's
     "q108_semdedup": (q108_semdedup, Q108_SQL),  # replayable k-means
@@ -5668,6 +5839,8 @@ REGISTRY["q133_bpe_train"] = (q133_bpe_train, _q133_sql())
 REGISTRY["q134_tokenizer_eval"] = (q134_tokenizer_eval, _q134_sql())
 REGISTRY["q135_quality_scores"] = (q135_quality_scores, _q135_sql())
 REGISTRY["q137_pq_ann"] = (q137_pq_ann, _q137_sql())
+REGISTRY["q138_dsir_selection"] = (q138_dsir_selection, _q138_sql())
+REGISTRY["q139_zorder_key"] = (q139_zorder_key, _q139_sql())
 REGISTRY["q24_lang_id"] = (q24_lang_id, _q24_sql())
 REGISTRY["q25_quality_score"] = (q25_quality_score, _q25_sql())
 REGISTRY["q64_pii_redaction"] = (q64_pii_redaction, _q64_sql())
