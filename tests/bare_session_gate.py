@@ -9,13 +9,15 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 8 final HEAD, post-self-review hardening (q130
-JsonStreamDemux driver query, q131/q135 replayable logreg
-train+score, q132 span excision, q133/q134 replayable BPE
-train+eval, q136 streaming windowed HLL distinct, demux write pool,
-spans cache-lifecycle fix in) — BARE-SESSION GATE: ALL 136 OK.
-(Earlier same-round runs: ALL 130 OK, ALL 135 OK, ALL 136 OK
-pre-hardening.)
+Last full run: round 8 final HEAD (q130 JsonStreamDemux driver
+query, q131/q135 replayable logreg train+score, q132 span excision,
+q133/q134 replayable BPE train+eval, q136 streaming windowed HLL
+distinct, q137 replayable PQ/ADC ANN, q138 replayable DSIR
+importance resampling, q139/q140 plans-toolkit driver rows, demux
+write pool, both self-review hardening passes in) — BARE-SESSION
+GATE: ALL 140 OK.
+(Earlier same-round runs as the registry grew: ALL 130 / 135 / 136
+/ 137.)
 """
 
 import os
