@@ -545,6 +545,24 @@ def main() -> None:
 
         return run
 
+    def ivfpq_op(sf):
+        def run():
+            from relationalize_spark.operators.similarity import (
+                ivfpq_index,
+                ivfpq_topk,
+            )
+
+            e = spark.read.parquet(f"{sf}/embeddings.parquet")
+            # coarse fit + residuals + 4 sub-fits + encode are eager /
+            # corpus-wide; the 13-query panel probes 2 of 8 cells
+            coarse, books, codes = ivfpq_index(
+                e, cells=8, coarse_iters=2, m=4, k=16, pq_iters=2
+            )
+            q = e.filter((F.col("vec_id") < 500) & (F.col("vec_id") % 40 == 0))
+            return ivfpq_topk(codes, q, coarse, books, nprobe=2, k=5)
+
+        return run
+
     def dsir_op(sf):
         def run():
             from relationalize_spark.operators.dsir import dsir_select
@@ -598,6 +616,7 @@ def main() -> None:
         "bpe_train_q133shape": bpe_op,
         "pq_ann_q137shape": pq_op,
         "dsir_select_q138shape": dsir_op,
+        "ivfpq_ann_q142shape": ivfpq_op,
     }
     wanted = None
     for arg in sys.argv[1:]:

@@ -243,6 +243,65 @@ def hashed_logreg(
     return spark.createDataFrame(rows, "feature int, weight double")
 
 
+def stateless_score_col(
+    weights: dict[int, float],
+    text_col: str = "text",
+    *,
+    dim: int = 32,
+    as_quanta: bool = False,
+) -> Column:
+    """Streaming-safe scoring as a PURE EXPRESSION — the form a
+    Structured Streaming pipeline needs, because
+    :func:`score_documents`' feature build is two aggregations and
+    chained streaming aggregations are unsupported.
+
+    Uses the identity ``sum_j w_j * (c_j / n) = (sum_tokens
+    w[bucket(tok)]) / n`` to fold the whole dot product over the raw
+    token array in one scan-side pass (the DSIR fold shape): zero
+    shuffles, zero state, weights constant-folded into the plan. The
+    per-row token count is deliberately NOT captured inside the fold
+    lambda — Catalyst does no CSE in HOF lambdas, so a captured
+    ``size(split(...))`` would re-split the document once PER TOKEN
+    (the quadratic trap pinned in BASELINE.md r3); instead the fold
+    sums integer quanta and the single division happens once outside.
+
+    Quantization contract (deliberately DIFFERENT from
+    :func:`score_documents`' per-feature lattice, and self-consistent):
+    ``sq = sum_tokens floor(w[bucket(tok)] * 1e12)`` (an order-free
+    BIGINT fold), then ``z = (floor(w_intercept * 1e12) + sq / n) /
+    1e12`` (three IEEE ops in a fixed order) and the sigmoid floored
+    onto the 1e-9 lattice — every term engine-replayable, which is
+    what gives the streaming query (q141) a full value oracle.
+
+    ``as_quanta=True`` returns the BIGINT lattice point
+    ``floor(score * 1e9)`` instead of the quantized double — the form
+    to SUM downstream (re-deriving the integer from the divided-back
+    double via another floor could step one lattice point down when
+    ``k/1e9 * 1e9`` rounds below ``k``).
+
+    NULL for zero-token documents (no signal; filter them out)."""
+    import math
+
+    wm = _wmap(weights)
+    dot_fp = float(10 ** REPLAY_DOT)
+    grad_fp = float(10 ** REPLAY_GRAD)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    sq = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.floor(F.element_at(wm, hash_bucket(t, dim)) * F.lit(dot_fp)),
+    )
+    z = (
+        F.lit(float(math.floor(weights[INTERCEPT] * dot_fp)))
+        + sq.cast("double") / F.size(toks).cast("double")
+    ) / F.lit(dot_fp)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    quanta = F.floor(score * F.lit(grad_fp)).cast("long")
+    quant = quanta / F.lit(grad_fp) if not as_quanta else quanta
+    return F.when(F.size(toks) > 0, quant)
+
+
 def score_documents(
     df: DataFrame,
     weights: dict[int, float],

@@ -640,3 +640,171 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "pq_dist")
     )
+
+
+# -- IVF-PQ: coarse cells + PQ on residuals (the FAISS IVFPQ shape) ---------
+
+def ivfpq_index(
+    df: DataFrame,
+    *,
+    cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 16,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """Build the IVF-PQ index (Jegou et al. 2011 §V: IVFADC): a
+    coarse quantizer partitions the corpus into ``cells`` inverted
+    lists, and product quantization encodes each vector's RESIDUAL
+    against its cell centroid — residuals are far more concentrated
+    than raw vectors, so the same code budget quantizes them with
+    much less distortion, and search only touches the probed cells'
+    lists. Returns ``(coarse_centroids, codebooks, codes)`` where
+    ``codes`` has ``id_col, cell, code_0..code_{m-1}``.
+
+    Every stage is the replayable lattice machinery: the coarse fit
+    and assignment are clustering.py's replayable k-means, the
+    residual is an elementwise IEEE double subtract against the
+    constant-folded centroid map (``zip_with`` — JVM-side, no UDF),
+    and the PQ codebooks train on the residual frame through the same
+    replayable path — so the ENTIRE index is an engine-replayable
+    pure function of (data, parameters), which is what gives q142 a
+    full chained-CTE value oracle for the production
+    billion-vector index shape.
+
+    Scale: coarse fit is ``coarse_iters`` (scan + cells x dim-row
+    shuffle); residuals are a pure projection; PQ adds m independent
+    sliced fits. Driver state: cells x dim + m x k x dim/m doubles."""
+    from .clustering import assign_clusters, kmeans_fit
+
+    coarse = kmeans_fit(
+        df, vec_col, k=cells, max_iter=coarse_iters, id_col=id_col,
+        replayable=True,
+    )
+    base = df.select(F.col(id_col), as_double(vec_col).alias("__v__"))
+    asg = assign_clusters(base, coarse, "__v__", "cell", replayable=True)
+    cmap = F.create_map(
+        *[
+            c
+            for cell, cen in enumerate(coarse)
+            for c in (F.lit(cell), F.array(*[F.lit(x) for x in cen]))
+        ]
+    )
+    res = asg.select(
+        F.col(id_col),
+        "cell",
+        F.zip_with(
+            "__v__", F.element_at(cmap, F.col("cell")), lambda a, b: a - b
+        ).alias("__res__"),
+    ).persist()
+    # res feeds 6 consumers (4 sub-fits, encode, the cell re-attach);
+    # uncached, each re-runs the coarse-assignment matmul over the
+    # whole corpus. Persist for the builds, then cut lineage with an
+    # eager checkpoint of the SMALL codes frame (id + m codes + cell —
+    # no vectors) and release the corpus-sized cache before returning
+    # (the spans.py cache-lifecycle rule: operators must not leak
+    # corpus-proportional cached frames to the caller).
+    try:
+        books = pq_train(
+            res, "__res__", m=m, k=k, iters=pq_iters, id_col=id_col
+        )
+        codes = pq_encode(res, books, vec_col="__res__", id_col=id_col).join(
+            res.select(id_col, "cell"), id_col
+        )
+        codes = codes.localCheckpoint(eager=True)
+    finally:
+        res.unpersist()
+    return coarse, books, codes
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-bounded ADC search over the IVF-PQ index: each query
+    picks its ``nprobe`` nearest cells (replayable floored coarse
+    scores, ties to the lowest cell), computes its RESIDUAL against
+    each probed centroid, and precomputes one ``m x k`` floored
+    distance table per (query, probed cell). A corpus vector is
+    scored only if its cell is probed — the inverted-list bound that
+    makes billion-vector search tractable — and its distance is the
+    exact BIGINT sum of m table lookups (order-free, engine-
+    replayable; the pq_topk discipline with a per-cell table).
+
+    Returns ``(query_id, neighbor_id, adc_dist)``, ties to the lowest
+    neighbor id, self-matches excluded. The (query, cell, subspace,
+    code) table is Q x nprobe x m x k rows — broadcast-small by the
+    same contract as pq_topk's panel.
+
+    Cross-cell comparability: flat PQ may drop the per-query constant
+    ``|q|^2/2`` from its tables (rank-invariant), but composed IVF-PQ
+    must NOT drop the analogous ``|q - c_cell|^2/2`` — it differs per
+    probed cell, so candidates from two cells would be ranked on
+    incomparable scales (a real defect this module shipped for one
+    commit; pinned by test_ivfpq_contracts_on_clustered_data). The
+    floored constant is added once per (query, cell) onto the
+    subspace-0 table rows, making ``adc_dist`` the lattice image of
+    exactly ``0.5 * |qres - decoded_residual|^2 >= 0``."""
+    import math
+
+    import numpy as np
+
+    from .clustering import REPLAY_SCORE
+
+    spark = codes.sparkSession
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cm = np.asarray(coarse, dtype=np.float64)  # (cells, dim)
+    half_c2 = 0.5 * (cm * cm).sum(axis=1)
+    scale = 10.0 ** REPLAY_SCORE
+    qrows = queries.select(
+        F.col(id_col), as_double(vec_col).alias("__v__")
+    ).collect()
+    trows = []
+    for r in qrows:
+        qv = np.asarray(r["__v__"], dtype=np.float64)
+        fs = np.floor((half_c2 - cm @ qv) * scale)
+        order = np.lexsort((np.arange(len(coarse)), fs))[:nprobe]
+        for cell in order:
+            qres = qv - cm[cell]
+            qc = int(math.floor(0.5 * float(qres @ qres) * scale))
+            for j, book in enumerate(codebooks):
+                bm = np.asarray(book, dtype=np.float64)  # (k, d)
+                scores = 0.5 * (bm * bm).sum(axis=1) - bm @ qres[
+                    j * d : (j + 1) * d
+                ]
+                for c, s in enumerate(scores):
+                    t = int(math.floor(s * scale)) + (qc if j == 0 else 0)
+                    trows.append((r[id_col], int(cell), j, c, t))
+    tdf = spark.createDataFrame(
+        trows, "query_id long, cell int, j int, c int, t long"
+    )
+    code_arr = F.array(*[F.col(f"code_{j}") for j in range(m)])
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        F.posexplode(code_arr).alias("j", "c"),
+    )
+    dist = (
+        exploded.join(F.broadcast(tdf), ["cell", "j", "c"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("t").alias("adc_dist"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )

@@ -2449,6 +2449,27 @@ GROUP BY 1, 2
 """
 
 
+def _stream_parquet(spark: SparkSession, sf: str, table: str):
+    """File stream over ``{sf}/{table}.parquet``, handling both
+    physical layouts the testdata has shipped: a DIRECTORY of part
+    files (Spark-written — stream it directly, a name glob would
+    match nothing) and a single file (stream the parent with a
+    pathGlobFilter). The one streaming-read fallback, shared by
+    every streaming gate query (events + documents) so a fix here
+    cannot drift across copies."""
+    import os
+
+    path = f"{sf}/{table}.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(raw_schema).parquet(path)
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf)
+    )
+
+
 def _events_stream(spark: SparkSession, sf: str):
     """File stream over events.parquet with the ts column normalized
     to TIMESTAMP whatever the file's physical encoding — INT64 nanos
@@ -2457,21 +2478,8 @@ def _events_stream(spark: SparkSession, sf: str):
     the streaming gate queries."""
     from .functions.timeutil import as_instant
 
-    import os
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
-        # Spark-written layout: events.parquet is a DIRECTORY of part
-        # files; stream it directly (a name glob would match nothing).
-        stream = spark.readStream.schema(raw_schema).parquet(path)
-    else:
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf)
-        )
+    stream = _stream_parquet(spark, sf, "events")
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
@@ -4008,20 +4016,9 @@ def q115_streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     arrival-order dependent, so the query projects the surviving
     segment VALUES — that set is deterministic and the oracle is the
     batch DISTINCT over the same segmentation."""
-    import os
-
     from .streaming.segments import stream_segment_dedup
 
-    path = f"{sf}/documents.parquet"
-    raw_schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
-        stream = spark.readStream.schema(raw_schema).parquet(path)
-    else:
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf)
-        )
+    stream = _stream_parquet(spark, sf, "documents")
     # Synthetic clock starts a day AFTER epoch 0: the initial
     # streaming watermark is epoch 0, and a row timestamped exactly
     # at the watermark is treated as late and silently dropped
@@ -5052,20 +5049,32 @@ def q137_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(codes, q, books, k=5)
 
 
-def _pq_replay_ctes(m: int, k: int, iters: int, subdim: int) -> str:
-    """Per-subspace chained-CTE replay for q137: _kmeans_replay_ctes'
-    quantization discipline (integer-lattice centroid sums, floored
-    1e-9 assignment scores, lowest-id init, empty clusters keep their
-    centroid) applied to each of the ``m`` vector slices, ending in
-    ``asg{j}(vec_id, cluster)`` (the codes) and ``tq{j}(query_id,
-    cluster, t)`` (the floored ADC distance tables for the vec_id<10
-    panel)."""
-    parts = [
-        """ve AS MATERIALIZED (
+def _pq_replay_ctes(
+    m: int,
+    k: int,
+    iters: int,
+    subdim: int,
+    src: str = "ve",
+    emit_tq: bool = True,
+) -> str:
+    """Per-subspace chained-CTE replay for q137/q142:
+    _kmeans_replay_ctes' quantization discipline (integer-lattice
+    centroid sums, floored 1e-9 assignment scores, lowest-id init,
+    empty clusters keep their centroid) applied to each of the ``m``
+    vector slices, ending in ``asg{j}(vec_id, cluster)`` (the codes)
+    and — when ``emit_tq`` — ``tq{j}(query_id, cluster, t)`` (the
+    floored ADC distance tables for the vec_id<10 panel). ``src``
+    names the CTE holding ``(vec_id, e)``; the default emits the raw
+    embeddings as ``ve`` (q137), while q142 points it at its residual
+    CTE and builds probe-aware tables itself."""
+    parts = []
+    if src == "ve":
+        parts.append(
+            """ve AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 )"""
-    ]
+        )
     for j in range(m):
         lo, hi = j * subdim + 1, (j + 1) * subdim
 
@@ -5080,7 +5089,7 @@ def _pq_replay_ctes(m: int, k: int, iters: int, subdim: int) -> str:
   SELECT vec_id, e[{lo}:{hi}] AS s,
          list_transform(e[{lo}:{hi}],
                         x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS f
-  FROM ve
+  FROM {src}
 ),
 c{j}x0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, s AS c
@@ -5118,15 +5127,18 @@ c{j}x{i + 1} AS MATERIALIZED (
                          ORDER BY {score(f'c{j}x{iters}')}, c{j}x{iters}.cluster) AS rk
     FROM v{j} v CROSS JOIN c{j}x{iters}
   ) WHERE rk = 1
-),
-tq{j} AS MATERIALIZED (
+)"""
+        )
+        if emit_tq:
+            parts.append(
+                f"""tq{j} AS MATERIALIZED (
   SELECT q.vec_id AS query_id, cc.cluster,
     CAST(floor((0.5 * list_inner_product(cc.c, cc.c)
      - list_inner_product(q.s, cc.c)) * 1000000000.0) AS BIGINT) AS t
   FROM (SELECT vec_id, s FROM v{j} WHERE vec_id < 10) q
   CROSS JOIN c{j}x{iters} cc
 )"""
-        )
+            )
     return ",\n".join(parts)
 
 
@@ -5637,6 +5649,205 @@ FROM events e JOIN prof p USING (user_id)
 ORDER BY e.event_id"""
 
 
+def q141_streaming_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming x ML (the q136 pattern applied to the classifier):
+    train the q131 hashed-feature logistic regression in batch, then
+    score a STREAM of documents with the stateless per-token lattice
+    fold (operators/classify.py:stateless_score_col — the feature
+    build's chained aggregations are unsupported in streaming, so the
+    scoring must be a pure projection, and here it provably is) and
+    aggregate per-source document counts + BIGINT score sums in one
+    streaming aggregation (complete mode, AvailableNow). Every term
+    rides the replay lattices, so unlike q136's bound check the
+    oracle replays the training trajectory AND every streamed
+    document's score into exact per-source sums — a full value oracle
+    for the streaming model-apply path."""
+    from .operators.classify import hashed_logreg, stateless_score_col
+
+    d = load_table(spark, sf, "documents")
+    label = F.array_contains(F.split(F.col("text"), r"\s+"), "spark")
+    w = {
+        r.feature: r.weight
+        for r in hashed_logreg(d, label, dim=32, lr=2.0, iters=3).collect()
+    }
+    stream = _stream_parquet(spark, sf, "documents")
+    sq = stateless_score_col(w, "text", dim=32, as_quanta=True)
+    scored = stream.select("source", sq.alias("sq")).where(
+        F.col("sq").isNotNull()
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("sq").alias("score_q_sum"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q141_scores")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q141_scores").orderBy("source")
+
+
+def _q141_sql(iters: int = 3) -> str:
+    """q131's training prelude + the stateless-score replay: per-token
+    BIGINT quanta folded per document, one division by the token
+    count OUTSIDE the fold, sigmoid floored onto the 1e-9 lattice,
+    then per-source sums (the exact contract of
+    operators/classify.py:stateless_score_col)."""
+    from .operators.classify import REPLAY_DOT, REPLAY_GRAD
+
+    dot = f"{10 ** REPLAY_DOT}.0"
+    grad = f"{10 ** REPLAY_GRAD}.0"
+    return (
+        _logreg_ctes(iters)
+        + f""",
+tokr AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 32 AS INT) AS j
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM docs)
+),
+sq AS (
+  SELECT t.doc_id, sum(CAST(floor(w.w * {dot}) AS BIGINT)) AS s
+  FROM tokr t JOIN w{iters} w USING (j) GROUP BY t.doc_id
+),
+sc AS (
+  SELECT d.doc_id,
+    CAST(floor((1.0 / (1.0 + exp(-((
+        CAST(floor((SELECT w FROM w{iters} WHERE j = -1) * {dot}) AS DOUBLE)
+        + CAST(s AS DOUBLE) / d.nt) / {dot})))) * {grad}) AS BIGINT) AS score_q
+  FROM docs d JOIN sq USING (doc_id)
+)
+SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(sc.score_q) AS BIGINT) AS score_q_sum
+FROM sc JOIN documents doc USING (doc_id)
+GROUP BY doc.source
+ORDER BY doc.source"""
+    )
+
+
+def q142_ivfpq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py: ivfpq_index/ivfpq_topk —
+    Jegou et al. 2011 §V, the FAISS IVFADC shape and the production
+    billion-vector index): a replayable coarse quantizer (8 cells, 2
+    Lloyd's iterations) partitions the corpus into inverted lists,
+    PQ codebooks train on the RESIDUALS against the cell centroids
+    (4 subspaces x 16 codes, 2 iterations — residuals quantize far
+    tighter than raw vectors), and the vec_id<10 panel searches only
+    its nprobe=2 nearest cells with exact-BIGINT ADC sums. The
+    oracle replays the COMPOSED pipeline end to end: the coarse
+    trajectory, every residual, all 4 sub-trajectories on residuals,
+    the codes, the probe choice, the per-(query, cell) tables, and
+    the probe-bounded top-5 — value-for-value. q137 attests flat PQ;
+    this attests the composition that actually ships at scale."""
+    from .operators.similarity import ivfpq_index, ivfpq_topk
+
+    e = load_table(spark, sf, "embeddings")
+    coarse, books, codes = ivfpq_index(
+        e, cells=8, coarse_iters=2, m=4, k=16, pq_iters=2
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(codes, q, coarse, books, nprobe=2, k=5).orderBy(
+        "query_id", "adc_dist", "neighbor_id"
+    )
+
+
+def _q142_sql(
+    cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 16,
+    pq_iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 5,
+    dim: int = 64,
+) -> str:
+    """The composed replay: _kmeans_replay_ctes (coarse, over the
+    embeddings' full width) -> residual CTE (elementwise IEEE double
+    subtract of the assigned centroid) -> _pq_replay_ctes sourced
+    from the residuals -> probe selection (floored coarse scores,
+    nprobe lowest) -> per-(query, probed cell) residual tables ->
+    probe-bounded ADC top-k."""
+    subdim = dim // m
+    score_v = (
+        "CAST(floor((0.5 * list_inner_product(cc.c, cc.c)"
+        " - list_inner_product(v.e, cc.c)) * 1000000000.0) AS BIGINT)"
+    )
+    # subspace 0 carries the per-(query, cell) constant
+    # floor(0.5 * |qres|^2 * 1e9) exactly once, so distances compare
+    # across probed cells (see similarity.ivfpq_topk's docstring)
+    qc0 = (
+        "\n     + CAST(floor(0.5 * list_inner_product(q.e, q.e)"
+        " * 1000000000.0) AS BIGINT)"
+    )
+    pt = "\n".join(
+        f""",
+pt{j} AS MATERIALIZED (
+  SELECT q.query_id, q.cluster AS pcell, cc.cluster AS code,
+    CAST(floor((0.5 * list_inner_product(cc.c, cc.c)
+     - list_inner_product(q.e[{j * subdim + 1}:{(j + 1) * subdim}], cc.c))
+     * 1000000000.0) AS BIGINT){qc0 if j == 0 else ""} AS t
+  FROM qres q CROSS JOIN c{j}x{pq_iters} cc
+)"""
+        for j in range(m)
+    )
+    cjoins = "\n  ".join(
+        f"JOIN asg{j} a{j} ON a{j}.vec_id = ca.vec_id" for j in range(1, m)
+    )
+    tjoins = "\n  ".join(
+        f"JOIN pt{j} t{j} ON t{j}.query_id = p.query_id"
+        f" AND t{j}.pcell = ca.cluster AND t{j}.code = a{j}.cluster"
+        for j in range(1, m)
+    )
+    dsum = " + ".join(f"t{j}.t" for j in range(m))
+    return (
+        "WITH "
+        + _kmeans_replay_ctes(cells, coarse_iters)
+        + f""",
+rsd AS MATERIALIZED (
+  SELECT v.vec_id,
+         list_transform(range(1, {dim + 1}), i -> v.e[i] - cc.c[i]) AS e
+  FROM v JOIN asg USING (vec_id) JOIN c{coarse_iters} cc USING (cluster)
+),
+"""
+        + _pq_replay_ctes(m, k, pq_iters, subdim, src="rsd", emit_tq=False)
+        + f""",
+probe AS MATERIALIZED (
+  SELECT query_id, cluster FROM (
+    SELECT v.vec_id AS query_id, cc.cluster,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {score_v}, cc.cluster) AS rk
+    FROM v CROSS JOIN c{coarse_iters} cc WHERE v.vec_id < 10
+  ) WHERE rk <= {nprobe}
+),
+qres AS MATERIALIZED (
+  SELECT p.query_id, p.cluster,
+         list_transform(range(1, {dim + 1}), i -> v.e[i] - cc.c[i]) AS e
+  FROM probe p
+  JOIN v ON v.vec_id = p.query_id
+  JOIN c{coarse_iters} cc ON cc.cluster = p.cluster
+){pt},
+dist AS (
+  SELECT p.query_id, ca.vec_id, ({dsum}) AS d
+  FROM asg ca
+  JOIN probe p ON p.cluster = ca.cluster
+  JOIN asg0 a0 ON a0.vec_id = ca.vec_id
+  {cjoins}
+  JOIN pt0 t0 ON t0.query_id = p.query_id
+   AND t0.pcell = ca.cluster AND t0.code = a0.cluster
+  {tjoins}
+  WHERE ca.vec_id != p.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, d AS adc_dist FROM (
+  SELECT query_id, vec_id, d,
+    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+  FROM dist
+) WHERE rn <= {topk}
+ORDER BY query_id, adc_dist, neighbor_id"""
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5649,26 +5860,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: the FIRST 50 entries (CORRECTNESS_r01-r07 each contain exactly
 #: 50 rows, cut in registry order). The registry therefore rotates
 #: each round so every entry's newest driver row stays <= 2 rounds
-#: old. Round 8 fronts: 11 new entries (q130, JsonStreamDemux's
+#: old. Round 8 fronts: 13 new entries (q130, JsonStreamDemux's
 #: first driver row — VERDICT r7 item 1; q131 replayable distributed
 #: GD; q132 duplicated-span excision; q133 replayable BPE training;
 #: q134 tokenizer-fertility eval; q135 quantized classifier scoring;
 #: q136 streaming windowed HLL distinct; q137 replayable PQ/ADC ANN;
 #: q138 replayable DSIR importance resampling; q139/q140, the first
-#: driver rows for the plans/ layout-and-skew toolkit), the 2
-#: dynamic-pipeline entries touched by this round's infer_schema
-#: change (q34, q125 — the convert=False tag fix refactored
-#: infer_and_convert), the 28 r5-attested entries whose newest rows
-#: turn 3 rounds old this round (q47-q66, q68-q73, q126-q127 —
-#: VERDICT r7 item 3), and the 9 oldest r6-attested entries (q128,
-#: q67, q108, q74-q79; q80/q83-q91 slip just below the cap carrying
-#: their r6 rows — front them in r9). q30/q33/q94 stay behind the
-#: cap: their rows are permanently rows-only by declared design
-#: (engine-hash values; md5 twins q123/q124/q129 carry the
-#: value-level record) and fronting them would spend window slots
-#: re-recording a weaker check. Total: 11+2+28+9 = 50, every one
-#: with a value oracle. Behind the cap: the remaining r6-attested
-#: entries, then the 47 r7-attested ones.
+#: driver rows for the plans/ layout-and-skew toolkit; q141
+#: streaming x ML full-value scoring; q142 the IVF-PQ composition),
+#: the 2 dynamic-pipeline entries touched by this round's
+#: infer_schema change (q34, q125 — the convert=False tag fix
+#: refactored infer_and_convert), the 28 r5-attested entries whose
+#: newest rows turn 3 rounds old this round (q47-q66, q68-q73,
+#: q126-q127 — VERDICT r7 item 3), and the 7 oldest r6-attested
+#: entries (q128, q67, q108, q74-q77; q78-q80/q83-q91 slip just
+#: below the cap carrying their r6 rows — front them in r9).
+#: q30/q33/q94 stay behind the cap: their rows are permanently
+#: rows-only by declared design (engine-hash values; md5 twins
+#: q123/q124/q129 carry the value-level record) and fronting them
+#: would spend window slots re-recording a weaker check. Total:
+#: 13+2+28+7 = 50, every one with a value oracle. Behind the cap:
+#: the remaining r6-attested entries, then the 47 r7-attested ones.
 #: Every entry, either side of the cap, runs against its oracle in
 #: tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -5692,6 +5904,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # new this round — first driver rows for the plans/ 100 TB toolkit:
     "q139_zorder_key": (q139_zorder_key, None),  # oracle generated below
     "q140_skew_join": (q140_skew_join, Q140_SQL),
+    # new this round — streaming x ML (full value oracle):
+    "q141_streaming_quality_scores": (q141_streaming_quality_scores, None),
+    # new this round — IVF-PQ composition (the production index shape):
+    "q142_ivfpq_ann": (q142_ivfpq_ann, None),  # oracle generated below
     # r5-attested block — newest rows turn 3 rounds old in r8 (28):
     "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
     "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
@@ -5721,8 +5937,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
     "q126_kmv_distinct": (q126_kmv_distinct, Q126_SQL),
     "q127_kmv_vocab_overlap": (q127_kmv_vocab_overlap, Q127_SQL),
-    # oldest r6-attested entries (9 in-window; the cap cuts after
-    # q79 — see the docstring's window arithmetic):
+    # oldest r6-attested entries (7 in-window; the cap cuts after
+    # q77 — see the docstring's window arithmetic):
     "q128_kmv_shard_merge": (q128_kmv_shard_merge, Q128_SQL),
     "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),  # replayable Lloyd's
     "q108_semdedup": (q108_semdedup, Q108_SQL),  # replayable k-means
@@ -5841,6 +6057,11 @@ REGISTRY["q135_quality_scores"] = (q135_quality_scores, _q135_sql())
 REGISTRY["q137_pq_ann"] = (q137_pq_ann, _q137_sql())
 REGISTRY["q138_dsir_selection"] = (q138_dsir_selection, _q138_sql())
 REGISTRY["q139_zorder_key"] = (q139_zorder_key, _q139_sql())
+REGISTRY["q141_streaming_quality_scores"] = (
+    q141_streaming_quality_scores,
+    _q141_sql(),
+)
+REGISTRY["q142_ivfpq_ann"] = (q142_ivfpq_ann, _q142_sql())
 REGISTRY["q24_lang_id"] = (q24_lang_id, _q24_sql())
 REGISTRY["q25_quality_score"] = (q25_quality_score, _q25_sql())
 REGISTRY["q64_pii_redaction"] = (q64_pii_redaction, _q64_sql())

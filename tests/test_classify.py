@@ -103,6 +103,50 @@ def test_all_empty_corpus_raises(spark):
         logreg_fit(feats, dim=8)
 
 
+def test_stateless_score_matches_feature_path_closely(spark, corpus):
+    """The streaming-safe per-token lattice and the batch per-feature
+    lattice approximate the SAME dot product; their floors differ by
+    at most ~(#terms)·1e-12, so scores agree to well under 1e-6 and
+    the class separation is preserved."""
+    from relationalize_spark.operators.classify import stateless_score_col
+
+    w = {
+        r.feature: r.weight
+        for r in hashed_logreg(corpus, _label(), dim=16, lr=2.0, iters=3).collect()
+    }
+    batch = {
+        r.doc_id: r.score
+        for r in score_documents(corpus, w, dim=16)
+        .withColumnRenamed("id", "doc_id")
+        .collect()
+    }
+    fold = {
+        r.doc_id: r.s
+        for r in corpus.select(
+            "doc_id", stateless_score_col(w, dim=16).alias("s")
+        ).collect()
+    }
+    # zero-token docs: NULL from the fold, absent from the batch path
+    assert fold[100] is None and fold[101] is None
+    for doc_id, s in batch.items():
+        assert abs(fold[doc_id] - s) < 1e-6, doc_id
+
+
+def test_stateless_quanta_deterministic_and_integer(spark, corpus):
+    from relationalize_spark.operators.classify import stateless_score_col
+
+    w = {
+        r.feature: r.weight
+        for r in hashed_logreg(corpus, _label(), dim=16, lr=2.0, iters=3).collect()
+    }
+    col = stateless_score_col(w, dim=16, as_quanta=True)
+    a = corpus.select("doc_id", col.alias("q")).collect()
+    b = corpus.repartition(7).select("doc_id", col.alias("q")).collect()
+    assert {r.doc_id: r.q for r in a} == {r.doc_id: r.q for r in b}
+    vals = [r.q for r in a if r.q is not None]
+    assert vals and all(isinstance(v, int) and 0 <= v <= 10**9 for v in vals)
+
+
 def test_hash_bucket_range_and_stability(spark):
     toks = spark.createDataFrame(
         [(f"tok{i}",) for i in range(200)], "t string"

@@ -797,3 +797,101 @@ def test_pq_recall_and_contracts_on_clustered_data(spark):
     assert books == books2
     pq2 = pq_topk(pq_encode(corpus.repartition(5), books2), queries, books2, k=5)
     assert sorted(map(tuple, pq2.collect())) == got
+
+
+def test_ivfpq_contracts_on_clustered_data(spark):
+    """r8: the IVF-PQ composition (q142) in its design regime —
+    residual + assigned centroid must reconstruct the input exactly
+    (pure IEEE subtract), probed search must stay cluster-faithful
+    like flat PQ, only vectors in probed cells may be returned, and
+    the whole index+search must be deterministic under repartition."""
+    import numpy as np
+
+    from relationalize_spark.operators.clustering import assign_clusters
+    from relationalize_spark.operators.similarity import (
+        as_double,
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(13)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((50, 16)) * 0.5 for c in centers]
+    )
+    clusters = np.repeat(np.arange(8), 50)
+    perm = rng.permutation(len(vecs))
+    vecs, clusters = vecs[perm], clusters[perm]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+
+    coarse, books, codes = ivfpq_index(
+        corpus, cells=8, coarse_iters=2, m=4, k=16, pq_iters=2
+    )
+    assert len(coarse) == 8 and len(books) == 4
+    crows = codes.collect()
+    assert all(0 <= r["cell"] < 8 for r in crows)
+    assert all(0 <= r[f"code_{j}"] < 16 for r in crows for j in range(4))
+
+    # engine parity on the residual itself: Spark's zip_with subtract
+    # must produce numpy's float64 v - c bit-for-bit (the property the
+    # q142 oracle rests on — NOT "residual + centroid == v", which
+    # IEEE rounding does not guarantee)
+    cm = np.asarray(coarse)
+    asgd = assign_clusters(
+        corpus.select("vec_id", as_double("embedding").alias("v")),
+        coarse, "v", "cell", replayable=True,
+    )
+    cmap = F.create_map(
+        *[
+            c
+            for cell, cen in enumerate(coarse)
+            for c in (F.lit(cell), F.array(*[F.lit(x) for x in cen]))
+        ]
+    )
+    sample = asgd.filter(F.col("vec_id") < 5).select(
+        "vec_id", "cell",
+        F.zip_with(
+            "v", F.element_at(cmap, F.col("cell")), lambda a, b: a - b
+        ).alias("r"),
+    ).collect()
+    assert sample
+    # the corpus column is array<float>: mirror Spark's float32
+    # storage before the float64 subtract, as the oracle's parquet
+    # read does implicitly
+    byid = {
+        i: np.asarray(v, dtype=np.float32).astype(np.float64)
+        for i, v in rows
+        if i < 5
+    }
+    for r in sample:
+        want = byid[r.vec_id] - cm[r.cell]
+        assert [float(x) for x in r.r] == want.tolist()
+
+    got = sorted(map(tuple, ivfpq_topk(
+        codes, queries, coarse, books, nprobe=2, k=5
+    ).collect()))
+    assert len(got) == 50 and all(q != n for q, n, _ in got)
+    # cluster-faithful retrieval (the flat-PQ contract holds composed)
+    assert all(clusters[n] == clusters[q] for q, n, _ in got)
+    # probe bound: every returned neighbor lives in a probed cell
+    cellof = {r.vec_id: r.cell for r in crows}
+    half_c2 = 0.5 * (cm * cm).sum(axis=1)
+    for r in queries.collect():
+        qv = np.asarray([float(x) for x in r.embedding], dtype=np.float64)
+        fs = np.floor((half_c2 - cm @ qv) * 1e9)
+        probed = set(np.lexsort((np.arange(8), fs))[:2].tolist())
+        for q, n, _ in got:
+            if q == r.vec_id:
+                assert cellof[n] in probed
+
+    # determinism under repartition, end to end
+    coarse2, books2, codes2 = ivfpq_index(
+        corpus.repartition(7), cells=8, coarse_iters=2, m=4, k=16, pq_iters=2
+    )
+    assert coarse == coarse2 and books == books2
+    got2 = sorted(map(tuple, ivfpq_topk(
+        codes2.repartition(5), queries, coarse2, books2, nprobe=2, k=5
+    ).collect()))
+    assert got2 == got
