@@ -13,11 +13,12 @@ Last full run: round 8 final HEAD (q130 JsonStreamDemux driver
 query, q131/q135 replayable logreg train+score, q132 span excision,
 q133/q134 replayable BPE train+eval, q136 streaming windowed HLL
 distinct, q137 replayable PQ/ADC ANN, q138 replayable DSIR
-importance resampling, q139/q140 plans-toolkit driver rows, demux
-write pool, both self-review hardening passes in) — BARE-SESSION
-GATE: ALL 140 OK.
+importance resampling, q139/q140 plans-toolkit driver rows, q141
+streaming x ML full-value scoring, q142 IVF-PQ composition, demux
+write pool, all three self-review hardening passes in) —
+BARE-SESSION GATE: ALL 142 OK.
 (Earlier same-round runs as the registry grew: ALL 130 / 135 / 136
-/ 137.)
+/ 137 / 140.)
 """
 
 import os
