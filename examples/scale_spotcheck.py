@@ -545,6 +545,46 @@ def main() -> None:
 
         return run
 
+    def stream_score_op(sf):
+        def run():
+            from relationalize_spark.operators.classify import (
+                hashed_logreg,
+                stateless_score_col,
+            )
+
+            # train ONCE on the 1x corpus at both scales: the row
+            # isolates the STREAMING scan+fold+aggregation scaling
+            # (training's own scaling is the hashed_logreg row)
+            d1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            w = {
+                r.feature: r.weight
+                for r in hashed_logreg(
+                    d1, F.col("text").contains("spark"), dim=32, lr=2.0, iters=3
+                ).collect()
+            }
+            from relationalize_spark.queries import _stream_parquet
+
+            stream = _stream_parquet(spark, sf, "documents")
+            sq = stateless_score_col(w, "text", dim=32, as_quanta=True)
+            agg = (
+                stream.select("source", sq.alias("sq"))
+                .where(F.col("sq").isNotNull())
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("sq").alias("score_q_sum"))
+            )
+            import uuid
+
+            name = f"spot_q141_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.format("memory").queryName(name)
+                .outputMode("complete").trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            return spark.table(name)
+
+        return run
+
     def ivfpq_op(sf):
         def run():
             from relationalize_spark.operators.similarity import (
@@ -617,6 +657,7 @@ def main() -> None:
         "pq_ann_q137shape": pq_op,
         "dsir_select_q138shape": dsir_op,
         "ivfpq_ann_q142shape": ivfpq_op,
+        "streaming_score_q141shape": stream_score_op,
     }
     wanted = None
     for arg in sys.argv[1:]:
