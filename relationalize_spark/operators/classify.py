@@ -141,6 +141,25 @@ def hashed_features(
     )
 
 
+def _check_weights(
+    weights: dict[int, float], dim: int, *, intercept: bool = True
+) -> None:
+    """Fail fast on a weights/dim mismatch. A map literal built from
+    ``weights`` returns NULL from ``element_at`` for any missing
+    bucket, and that NULL is indistinguishable from the documented
+    empty-document NULL — scoring with the wrong ``dim`` would
+    silently drop every row instead of erroring."""
+    missing = [j for j in range(dim) if j not in weights]
+    if intercept and INTERCEPT not in weights:
+        missing.append(INTERCEPT)
+    if missing:
+        raise ValueError(
+            f"weights do not cover dim={dim}: missing buckets "
+            f"{missing[:8]}{'...' if len(missing) > 8 else ''} "
+            "(was the model fit with a different dim?)"
+        )
+
+
 def _wmap(weights: dict[int, float]) -> Column:
     """The current weight vector as a map literal — all children are
     literals, so Catalyst's ConstantFolding collapses it to one map
@@ -279,9 +298,13 @@ def stateless_score_col(
     double via another floor could step one lattice point down when
     ``k/1e9 * 1e9`` rounds below ``k``).
 
-    NULL for zero-token documents (no signal; filter them out)."""
+    NULL for zero-token documents (no signal; filter them out).
+    Raises ``ValueError`` if ``weights`` does not cover
+    ``range(dim)`` plus the intercept (a dim mismatch would otherwise
+    NULL every row, indistinguishable from empty documents)."""
     import math
 
+    _check_weights(weights, dim)
     wm = _wmap(weights)
     dot_fp = float(10 ** REPLAY_DOT)
     grad_fp = float(10 ** REPLAY_GRAD)
@@ -320,6 +343,7 @@ def score_documents(
     ``quantize=True`` floors the score onto the 1e-9 lattice (the
     training-side sigmoid treatment), making the output
     engine-replayable — what q135's value oracle checks."""
+    _check_weights(weights, dim)
     label = F.lit(0.0)  # unused by scoring; reuse the feature builder
     feats = hashed_features(df, label, id_col, text_col, dim=dim)
     wm = _wmap(weights)

@@ -41,9 +41,11 @@ DuckDB value oracle, q138):
   order-free by integer associativity, so partial aggregation /
   fold order cannot change them;
 - the resampling "randomness" is an md5-derived uniform
-  ``u = (md5_60(doc_id) + 1) / (2^60 + 1)`` (the dedup.py md5_60
-  lane), so the Gumbel perturbation is a pure function of the row —
-  deterministic, seedless, computable in any SQL engine.
+  ``u = (md5_60(doc_id) + 1) / (2^60 + 256)`` (the dedup.py md5_60
+  lane; the ``+ 256`` — not ``+ 1`` — keeps ``u`` strictly below 1.0
+  after IEEE rounding, see the ``_U_DEN`` comment), so the Gumbel
+  perturbation is a pure function of the row — deterministic,
+  seedless, computable in any SQL engine.
 
 Reference parity: none (capability beyond the reference's surface,
 cited as such in SURVEY.md §8.4).
@@ -154,7 +156,17 @@ def dsir_weights(
     ``weight_q = sum_tokens lrq[bucket(tok)]`` (BIGINT lattice
     quanta). A pure projection: the fold runs inside the scan via
     ``F.aggregate`` over the token array with the map literal — zero
-    shuffles, zero joins. Empty-token documents are excluded."""
+    shuffles, zero joins. Empty-token documents are excluded.
+    Raises ``ValueError`` if ``lrq`` does not cover ``range(dim)``
+    (a dim mismatch would otherwise NULL every weight via a missing
+    ``element_at`` bucket, indistinguishable from empty docs)."""
+    missing = [j for j in range(dim) if j not in lrq]
+    if missing:
+        raise ValueError(
+            f"log-ratio table does not cover dim={dim}: missing buckets "
+            f"{missing[:8]}{'...' if len(missing) > 8 else ''} "
+            "(was dsir_fit run with a different dim?)"
+        )
     wm = _lrq_map(lrq)
     toks = _tokens(text_col)
     wq = F.aggregate(
@@ -172,8 +184,11 @@ def dsir_weights(
 def gumbel_key(id_col: Column) -> Column:
     """Replayable Gumbel(0, 1) perturbation on the lattice:
     ``floor(-ln(-ln(u)) * 10^REPLAY_LNR)`` with the md5-derived
-    uniform ``u = (md5_60(id) + 1) / (2^60 + 1)``. A pure function of
-    the id — any SQL engine computes the identical BIGINT."""
+    uniform ``u = (md5_60(id) + 1) / (2^60 + 256)`` (``_U_DEN``; the
+    ``+ 256`` keeps ``u`` strictly below 1.0 after IEEE rounding so
+    ``ln(ln(u))`` never hits ``ln(0)`` — see the ``_U_DEN`` comment).
+    A pure function of the id — any SQL engine computes the identical
+    BIGINT."""
     h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast(
         "long"
     )

@@ -42,6 +42,27 @@ from pyspark.sql import functions as F
 #: whitespace-split tokens can never straddle a boundary ambiguously.
 _SEP = "\x1f"
 
+#: Caches the returned (lazy) frames still depend on — one entry per
+#: operator call that must leave a persisted frame alive (e.g.
+#: :func:`remove_duplicate_spans`' covered-word set, bounded by the
+#: words actually removed). Long-lived sessions that run these
+#: operators repeatedly should call :func:`release_span_caches`
+#: after materializing (writing/collecting) the returned frames, or
+#: the per-call residuals compound.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_span_caches() -> int:
+    """Unpersist every residual cache recorded by this module's
+    operators and return how many were released. Safe to call at any
+    time — a returned frame consumed AFTER release simply recomputes
+    through its (uncached) lineage; correctness is unaffected."""
+    n = len(_LIVE_CACHES)
+    for f in _LIVE_CACHES:
+        f.unpersist()
+    _LIVE_CACHES.clear()
+    return n
+
 
 def _digest(c: Column, digest: str) -> Column:
     if digest == "xxhash64":
@@ -255,8 +276,13 @@ def remove_duplicate_spans(
     # operator is eager to this extent, like hashed_logreg). Block
     # loss just recomputes through the scan — cache semantics, safe
     # on clusters with executor churn (unlike localCheckpoint).
+    # `covered` itself must stay cached until the RETURNED frame is
+    # consumed (it feeds the final join); it is recorded in
+    # _LIVE_CACHES so repeated calls in one session can reclaim the
+    # residuals via release_span_caches() (ADVICE r8).
     covered.count()
     pos.unpersist()
+    _LIVE_CACHES.append(covered)
     words = base.select("id", F.posexplode_outer(toks).alias("widx", "wrd"))
     kept = words.join(covered.hint("merge"), ["id", "widx"], "left")
     return (
@@ -307,11 +333,16 @@ def duplicate_span_stats(
 
     Plan: explode positions (T rows per doc, three longs wide) →
     per-gram distinct document count → join the bounded
-    ``(digest, df)`` table back → per-doc fold with one window for
-    the run-length islands. The position table feeds both the
-    aggregation and the join, so it is persisted rather than
-    recomputed (at 100x the double computation plus string keys
-    exhausted the heap).
+    ``(digest, df)`` table back → ONE windowed island labeling → a
+    single two-stage aggregation that yields counts, dup counts, and
+    the longest island together (r9: the old shape computed ``runs``
+    and ``per_doc`` as two separately-persisted aggregates and joined
+    them, leaving two caches pinned per call — ADVICE r8). The
+    position table feeds both the gram aggregation and the join, so
+    it is persisted, materialized through the final (small, per-doc
+    numeric) result, and released before returning; only the returned
+    stats frame itself stays cached, recorded in ``_LIVE_CACHES`` for
+    :func:`release_span_caches`.
     """
     toks = _tokens(F.col("__t__"))
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
@@ -327,36 +358,52 @@ def duplicate_span_stats(
     dup = pos.join(docs_per_gram, "g").select(
         "id", "idx", (F.col("__docs__") >= 2).alias("is_dup")
     )
-    # Island detection: among duplicated positions in doc order,
-    # idx - row_number() is constant per consecutive run.
-    w = Window.partitionBy("id").orderBy("idx")
-    runs = (
-        dup.where("is_dup")
-        .withColumn("__grp__", F.col("idx") - F.row_number().over(w))
-        .groupBy("id", "__grp__")
-        .agg(F.count("*").alias("__run__"))
-        .groupBy("id")
-        .agg(F.max("__run__").alias("max_dup_run"))
-        .persist()
+    # Island detection over ALL positions in one window: the running
+    # count of duplicated positions equals row_number() among the
+    # duplicated subset, so idx - cum_dup is constant per consecutive
+    # duplicated run (and strictly increases across runs — each gap
+    # of non-duplicated positions bumps idx without bumping cum_dup).
+    # Non-duplicated rows get a NULL label and collapse into one
+    # per-doc group that only contributes to the totals.
+    w = (
+        Window.partitionBy("id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    per_doc = dup.groupBy("id").agg(
-        F.count("*").alias("n_positions"),
-        F.sum(F.col("is_dup").cast("int")).alias("dup_positions"),
-    ).persist()
-    # Materialize the two document-proportional aggregates now and
-    # release the corpus-proportional position cache (r8: each call
-    # previously pinned `pos` for the session; across a 136-query
-    # gate run that compounds). The operator is eager to this extent.
-    runs.count()
-    per_doc.count()
-    pos.unpersist()
-    return (
-        per_doc.join(runs.hint("merge"), "id", "left")
+    cum_dup = F.sum(F.col("is_dup").cast("int")).over(w)
+    labeled = dup.select(
+        "id", F.when(F.col("is_dup"), F.col("idx") - cum_dup).alias("__grp__")
+    )
+    out = (
+        labeled.groupBy("id", "__grp__")
+        .agg(F.count("*").alias("__cnt__"))
+        .groupBy("id")
+        .agg(
+            F.sum("__cnt__").alias("n_positions"),
+            F.sum(
+                F.when(F.col("__grp__").isNotNull(), F.col("__cnt__")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_positions"),
+            F.coalesce(
+                F.max(F.when(F.col("__grp__").isNotNull(), F.col("__cnt__"))),
+                F.lit(0),
+            ).alias("max_dup_run"),
+        )
         .select(
             F.col("id").alias(id_col),
             "n_positions",
             "dup_positions",
             (F.col("dup_positions") / F.col("n_positions")).alias("dup_frac"),
-            F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
+            "max_dup_run",
         )
+        .persist()
     )
+    # Materialize the per-doc numeric result while `pos` is cached
+    # (the plan consumes it twice), then release the
+    # corpus-proportional cache; only `out` — five numeric columns
+    # per doc — remains, reclaimable via release_span_caches().
+    out.count()
+    pos.unpersist()
+    _LIVE_CACHES.append(out)
+    return out

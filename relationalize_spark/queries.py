@@ -4828,6 +4828,11 @@ ORDER BY source
 """
 
 
+#: Per-sf work dir of the most recent q130 run — see the cleanup
+#: comment inside q130_stream_demux_dynamic.
+_Q130_WORK: dict[str, str] = {}
+
+
 def q130_stream_demux_dynamic(spark: SparkSession, sf: str) -> DataFrame:
     """JsonStreamDemux end-to-end under the driver oracle (r8): the
     q125 dynamic corpus — key ``v`` int / list / object per row
@@ -4879,12 +4884,20 @@ def q130_stream_demux_dynamic(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.lit("}"),
     )
-    work = tempfile.mkdtemp(prefix="q130_")
     # the returned DataFrame READS from this directory (lazy), so it
-    # cannot be removed before the caller executes — clean at process
-    # exit instead of leaking a corpus copy per gate run
+    # cannot be removed before the caller executes. One dir per sf is
+    # kept alive (for the still-lazy previous result); invoking again
+    # at the same sf reclaims the previous run's corpus + checkpoint
+    # copy first, so long-lived gate/bench sessions hold at most one
+    # copy per sf instead of one per call (ADVICE r8); process exit
+    # sweeps the rest.
     import atexit
 
+    prev = _Q130_WORK.pop(sf, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix="q130_")
+    _Q130_WORK[sf] = work
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     src, base, ckpt = (os.path.join(work, d) for d in ("in", "out", "ckpt"))
     os.makedirs(src)

@@ -155,3 +155,22 @@ def test_hash_bucket_range_and_stability(spark):
     assert all(0 <= r.j < 32 for r in got)
     again = toks.select(hash_bucket(F.col("t"), 32).alias("j")).collect()
     assert [r.j for r in got] == [r.j for r in again]
+
+
+def test_weights_dim_mismatch_raises(spark, corpus):
+    # ADVICE r8: a weights/dim mismatch used to NULL every score via
+    # missing element_at buckets — indistinguishable from the
+    # empty-document NULL. Both scoring paths must fail fast instead.
+    from relationalize_spark.operators.classify import stateless_score_col
+
+    w16 = {j: 0.1 for j in range(16)}
+    w16[INTERCEPT] = -0.5
+    with pytest.raises(ValueError, match="missing buckets"):
+        stateless_score_col(w16, dim=32)
+    with pytest.raises(ValueError, match="missing buckets"):
+        score_documents(corpus, w16, dim=32)
+    no_intercept = {j: 0.1 for j in range(16)}
+    with pytest.raises(ValueError, match="missing buckets"):
+        stateless_score_col(no_intercept, dim=16)
+    # the matching dim still builds a column without touching data
+    assert stateless_score_col(w16, dim=16) is not None

@@ -164,3 +164,13 @@ def test_all_target_or_all_raw_still_finite(spark):
     lrq = hashed_lm_logratio(df, F.col("tgt"), dim=8)
     assert all(isinstance(v, int) for v in lrq.values())
     assert dsir_select(df, F.col("tgt"), dim=8, k=3).count() == 0
+
+
+def test_dsir_weights_dim_mismatch_raises(spark, corpus):
+    # ADVICE r8: same fail-fast contract as classify — a log-ratio
+    # table fit at a different dim must raise, not NULL every weight.
+    from relationalize_spark.operators.dsir import dsir_weights
+
+    lrq32 = {j: 100 for j in range(32)}
+    with pytest.raises(ValueError, match="missing buckets"):
+        dsir_weights(corpus, lrq32, dim=64)

@@ -268,3 +268,24 @@ def test_char_entropy_plan_is_shuffle_free(spark):
     plan = df.select(char_entropy("t")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_release_span_caches_reclaims_residuals(spark, corpus):
+    # ADVICE r8: each call leaves exactly one recorded residual cache
+    # (covered set / stats frame) and release_span_caches() reclaims
+    # them all without breaking a still-lazy or already-collected
+    # result.
+    from relationalize_spark.operators import spans
+
+    spans.release_span_caches()  # start clean
+    df, _ = corpus
+    stats = duplicate_span_stats(df, n=2)
+    cleaned = remove_duplicate_spans(df, n=2, min_span=2)
+    assert len(spans._LIVE_CACHES) == 2
+    before = {r.doc_id: r.max_dup_run for r in stats.collect()}
+    released = spans.release_span_caches()
+    assert released == 2 and not spans._LIVE_CACHES
+    # post-release consumption recomputes through lineage, same values
+    after = {r.doc_id: r.max_dup_run for r in stats.collect()}
+    assert after == before
+    assert cleaned.count() == df.count()
