@@ -718,3 +718,122 @@ def unigram_nll_scores(
             ),
         )
     )
+
+
+def bigram_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(document, bigram) frequency table: ``(id, v, w, dl, tf)``
+    where ``(v, w)`` are consecutive lowercased whitespace tokens,
+    ``dl`` the document length in tokens, and ``tf`` the bigram's
+    count in the document. Documents with fewer than two tokens
+    contribute no rows. One explode + one shuffle on ``(id, v, w)``
+    (partial-aggregated map-side), the same posting shape as
+    :func:`term_stats` one order up."""
+    toks = tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("__toks__"),
+            token_count(text_col).alias("dl"),
+        )
+        .where(F.col("dl") >= 2)
+        .select(
+            "id",
+            "dl",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__toks__"), 1, F.col("dl") - 1),
+                    F.slice(F.col("__toks__"), 2, F.col("dl") - 1),
+                    lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("id", F.col("bg.v").alias("v"), F.col("bg.w").alias("w"), "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bigram_nll_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated-bigram fluency filter — :func:`unigram_nll_scores`
+    one order up, the scalable core of a KenLM-style perplexity
+    filter (Heafield, "KenLM", 2011; CCNet uses LM perplexity as its
+    quality axis). Scores every document with at least two tokens by
+    its average negative log-likelihood under
+
+        p(w | v) = lam * (c(v,w) + 1) / (c(v.) + V)
+                 + (1 - lam) * (c(w) + 1) / (N + V)
+
+    — a Laplace-smoothed bigram interpolated with the Laplace
+    unigram, fit on the corpus itself. High-NLL documents are the
+    gibberish tail; pathologically LOW NLL flags boilerplate.
+    Returns ``(id_col, n_tokens, avg_nll)`` with the mean taken over
+    the ``dl - 1`` bigram positions.
+
+    Plan shape: the bigram posting table (one explode, shuffle keyed
+    by ``(id, v, w)``) feeds corpus bigram counts (``(v, w)``-keyed,
+    partial-aggregated); context counts ``c(v.)`` reduce from the
+    bigram counts (``v``-keyed — never a second pass over the
+    corpus); unigram counts come from :func:`term_stats`. All three
+    model tables are corpus-vocabulary-proportional, so the joins
+    back onto the posting table are sort-merge (never broadcast —
+    the dedup.py invariant); the 1-row corpus totals ride a broadcast
+    cross join. Per-bigram log-probs are quantized to DECIMAL(18,9)
+    BEFORE the per-document sum (the unigram_nll_scores trick), so
+    the score is exact-arithmetic deterministic under any
+    partitioning and replayable in any SQL engine.
+
+    The interpolation is evaluated in one fixed IEEE expression
+    (two divisions, two multiplies, one add, one ``ln``), so engines
+    agree bit-for-bit up to the ``ln`` ulp absorbed by the
+    quantization.
+    """
+    bs = bigram_stats(df, id_col, text_col)
+    # unigram model: counts + vocab size + corpus size (shared V
+    # between the two smoothing terms — one vocabulary, two orders).
+    uni = term_stats(df, id_col, text_col).groupBy("term").agg(
+        F.sum("tf").alias("cu")
+    )
+    tot = uni.agg(
+        F.sum("cu").alias("n_corpus"), F.count(F.lit(1)).alias("v_size")
+    )
+    bg = bs.groupBy("v", "w").agg(F.sum("tf").alias("cb"))
+    ctx = bg.groupBy("v").agg(F.sum("cb").alias("cv"))
+    logp = (
+        bg.join(ctx.hint("merge"), "v")
+        .join(uni.hint("merge"), bg["w"] == uni["term"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "w",
+            F.round(
+                F.log(
+                    F.lit(lam)
+                    * ((F.col("cb") + 1) / (F.col("cv") + F.col("v_size")))
+                    + F.lit(1.0 - lam)
+                    * ((F.col("cu") + 1) / (F.col("n_corpus") + F.col("v_size")))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+    )
+    return (
+        bs.join(logp.hint("merge"), ["v", "w"])
+        .groupBy("id", "dl")
+        .agg(F.sum(F.col("tf") * F.col("logp")).alias("s"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dl").alias("n_tokens"),
+            F.round(
+                -F.col("s").cast("double") / (F.col("dl") - 1), 6
+            ).alias("avg_nll"),
+        )
+    )

@@ -5861,6 +5861,56 @@ ORDER BY query_id, adc_dist, neighbor_id"""
     )
 
 
+def q143_bigram_nll(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated-bigram fluency scoring (operators/text.py:
+    bigram_nll_scores): average NLL per document under a
+    Laplace-smoothed bigram LM interpolated (lam=0.75) with the
+    Laplace unigram, fit on the corpus itself — unigram q101 one
+    order up, the scalable core of a KenLM/CCNet-style perplexity
+    filter. Per-bigram log-probs quantize to DECIMAL(18,9) before the
+    per-doc sum, so the score is deterministic under any partitioning
+    and the DuckDB oracle replays it value-for-value."""
+    from .operators.text import bigram_nll_scores
+
+    d = load_table(spark, sf, "documents")
+    return bigram_nll_scores(d)
+
+
+Q143_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(lower(text), '\s+') AS tk,
+         len(regexp_split_to_array(text, '\s+')) AS dl
+  FROM documents),
+bs0 AS (
+  SELECT id, dl,
+         unnest(list_transform(range(1, dl),
+                i -> struct_pack(v := tk[i], w := tk[i + 1]))) AS bg
+  FROM toks WHERE dl >= 2),
+bs AS (
+  SELECT id, bg.v AS v, bg.w AS w, dl, count(*) AS tf
+  FROM bs0 GROUP BY id, bg.v, bg.w, dl),
+uni AS (
+  SELECT term, count(*) AS cu FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+    FROM documents)
+  GROUP BY term),
+tot AS (SELECT sum(cu) AS n_corpus, count(*) AS v_size FROM uni),
+bgc AS (SELECT v, w, sum(tf) AS cb FROM bs GROUP BY v, w),
+ctx AS (SELECT v, sum(cb) AS cv FROM bgc GROUP BY v),
+lp AS (
+  SELECT v, w,
+    CAST(ROUND(ln(0.75 * ((cb + 1) / (cv + v_size))
+               + 0.25 * ((cu + 1) / (n_corpus + v_size))), 9)
+         AS DECIMAL(18,9)) AS logp
+  FROM bgc JOIN ctx USING (v) JOIN uni ON w = term CROSS JOIN tot)
+SELECT id AS doc_id, CAST(dl AS INT) AS n_tokens,
+       ROUND(-CAST(SUM(tf * logp) AS DOUBLE) / (dl - 1), 6) AS avg_nll
+FROM bs JOIN lp USING (v, w)
+GROUP BY id, dl
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6079,6 +6129,9 @@ REGISTRY["q24_lang_id"] = (q24_lang_id, _q24_sql())
 REGISTRY["q25_quality_score"] = (q25_quality_score, _q25_sql())
 REGISTRY["q64_pii_redaction"] = (q64_pii_redaction, _q64_sql())
 REGISTRY["q68_curation_funnel"] = (q68_curation_funnel, _q68_sql())
+
+# --- r9 additions (final window ordering happens in the r9 rotation) ---
+REGISTRY["q143_bigram_nll"] = (q143_bigram_nll, Q143_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

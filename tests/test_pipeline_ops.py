@@ -895,3 +895,57 @@ def test_ivfpq_contracts_on_clustered_data(spark):
         codes2.repartition(5), queries, coarse2, books2, nprobe=2, k=5
     ).collect()))
     assert got2 == got
+
+
+def test_bigram_nll_matches_python_mirror(spark):
+    # Exact mirror of the interpolated-bigram math, including the
+    # decimal quantization points, on a tiny corpus.
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from relationalize_spark.operators.text import bigram_nll_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the cat food"),
+        (3, "dog"),          # 1 token: no bigrams, excluded
+        (4, "mat on the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    lam = 0.75
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    docs = {}
+    for i, t in rows:
+        toks = t.lower().split()
+        uni.update(toks)
+        pairs = list(zip(toks, toks[1:]))
+        bg.update(pairs)
+        if len(toks) >= 2:
+            docs[i] = (len(toks), pairs)
+    n_corpus, v_size = sum(uni.values()), len(uni)
+    cv = Counter()
+    for (v, w), c in bg.items():
+        cv[v] += c
+    want = {}
+    for i, (dl, pairs) in docs.items():
+        s = Decimal(0)
+        for v, w in pairs:
+            p = lam * ((bg[(v, w)] + 1) / (cv[v] + v_size)) + (1 - lam) * (
+                (uni[w] + 1) / (n_corpus + v_size)
+            )
+            s += Decimal(str(round(math.log(p), 9)))
+        want[i] = (dl, round(-float(s) / (dl - 1), 6))
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_nll)
+        for r in bigram_nll_scores(df).collect()
+    }
+    assert got == want
+    # repartition-invariant (the decimal quantization point is what
+    # makes the sum order-free)
+    got2 = {
+        r.doc_id: (r.n_tokens, r.avg_nll)
+        for r in bigram_nll_scores(df.repartition(7)).collect()
+    }
+    assert got2 == want
