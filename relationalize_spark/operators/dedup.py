@@ -22,12 +22,15 @@ Everything is built-in Catalyst expressions — no Python UDFs.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine
+from ..plans.caches import register_cache
 from ..plans.scale import ensure_parallelism
 from .text import WS, tokens
 
@@ -867,4 +870,123 @@ def minhash_incremental_pairs(
     )
     return common.select("corpus_id", "new_id", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def tfidf_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.25,
+    max_df: int = 1000,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity >= threshold
+    — the sparse-vector all-pairs similarity join (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW 2007), the lexical
+    complement of :func:`embedding_dup_pairs`: near-duplication and
+    topical overlap detected from term statistics alone, no
+    embeddings needed.
+
+    Vector space: the df-filtered vocabulary ``V' = {t : df(t) <=
+    max_df}`` (stop-terms carry ~zero idf AND melt a reducer at 100 TB
+    — dropping them from the SPACE, norms included, keeps cosine
+    self-consistent rather than silently partial). Weights are
+    sklearn-convention ``tf * (ln((1+N)/(1+df)) + 1)``, L2-normalized
+    per document.
+
+    Replayable-arithmetic lattice (every cross-row sum is exact):
+
+    - ``idf_q = floor(idf * 1e6)`` — the one transcendental, floored
+      immediately (the dsir.py discipline);
+    - ``wq = tf * idf_q`` (BIGINT exact);
+    - ``norm2 = sum(wq^2)`` as DECIMAL(38,0) — exact and order-free
+      (wq can reach ~3e10, so the square overflows BIGINT; DECIMAL
+      keeps the sum exact in both engines);
+    - ``nwq = floor(wq * 1e6 / sqrt(double(norm2)))`` — one cast, one
+      IEEE sqrt (correctly rounded by IEEE 754 in every engine), one
+      division, floored onto the 1e-6 lattice;
+    - ``dot_q = sum(nwq_i * nwq_j)`` over shared terms — BIGINT exact
+      (each product <= 1e12), order-free;
+    - the threshold compares INTEGERS: ``dot_q >= floor(threshold *
+      1e12)``; the reported ``cos_sim = dot_q / 1e12`` is one exact
+      division.
+
+    Plan shape: one posting-table build (term_stats: one explode, one
+    ``(id, term)`` shuffle), df counts partial-aggregated on the term
+    key, norms on the id key; the pair generation is an
+    inverted-index self-join on the term key with per-term fanout
+    bounded by ``max_df**2`` (terms with df=1 cannot form a pair and
+    are skipped on the join side, though they still count in norms).
+    All corpus-derived joins are sort-merge (merge-hinted); only the
+    1-row corpus total broadcasts — the jaccard_pairs invariant.
+    """
+    from .text import term_stats
+
+    ts = term_stats(df, id_col, text_col)
+    # posting feeds df counts, norms, and both self-join sides.
+    dfreq = ts.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    tot = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        ts.join(dfreq.filter(F.col("dft") <= max_df).hint("merge"), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            "term",
+            "dft",
+            (
+                F.col("tf")
+                * F.floor(
+                    (
+                        F.log(
+                            (F.lit(1) + F.col("n_docs"))
+                            / (F.lit(1) + F.col("dft"))
+                        )
+                        + F.lit(1.0)
+                    )
+                    * F.lit(1e6)
+                ).cast("long")
+            ).alias("wq"),
+        )
+        .persist()
+    )
+    norm2 = w.groupBy("id").agg(
+        F.sum(F.col("wq").cast("decimal(38,0)") * F.col("wq")).alias("n2")
+    )
+    nw = (
+        w.join(norm2.hint("merge"), "id")
+        .select(
+            "id",
+            "term",
+            "dft",
+            F.floor(
+                F.col("wq").cast("double")
+                * F.lit(1e6)
+                / F.sqrt(F.col("n2").cast("double"))
+            )
+            .cast("long")
+            .alias("nwq"),
+        )
+    )
+    joinable = nw.where(F.col("dft") >= 2).select("id", "term", "nwq")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    thr_q = int(math.floor(threshold * 1e12))
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_terms"),
+            F.sum(F.col("a.nwq") * F.col("b.nwq")).alias("dot_q"),
+        )
+        .where(F.col("dot_q") >= F.lit(thr_q))
+        .select(
+            "i",
+            "j",
+            "shared_terms",
+            (F.col("dot_q").cast("double") / F.lit(1e12)).alias("cos_sim"),
+        )
     )

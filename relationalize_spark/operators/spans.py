@@ -48,20 +48,10 @@ _SEP = "\x1f"
 #: words actually removed). Long-lived sessions that run these
 #: operators repeatedly should call :func:`release_span_caches`
 #: after materializing (writing/collecting) the returned frames, or
-#: the per-call residuals compound.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def release_span_caches() -> int:
-    """Unpersist every residual cache recorded by this module's
-    operators and return how many were released. Safe to call at any
-    time — a returned frame consumed AFTER release simply recomputes
-    through its (uncached) lineage; correctness is unaffected."""
-    n = len(_LIVE_CACHES)
-    for f in _LIVE_CACHES:
-        f.unpersist()
-    _LIVE_CACHES.clear()
-    return n
+#: the per-call residuals compound. Shared session-wide registry —
+#: see ``plans/caches.py``.
+from ..plans.caches import LIVE_CACHES as _LIVE_CACHES
+from ..plans.caches import release_caches as release_span_caches
 
 
 def _digest(c: Column, digest: str) -> Column:

@@ -5911,6 +5911,51 @@ GROUP BY id, dl
 """
 
 
+def q144_tfidf_allpairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse all-pairs similarity join (operators/dedup.py:
+    tfidf_pairs): every document pair with TF-IDF cosine >= 0.8 over
+    the df-filtered vocabulary — Bayardo et al.'s APSS, the lexical
+    complement of the embedding dup lanes (q32/q108). Every cross-row
+    sum rides an exact lattice (idf floored to 1e-6, norms as
+    DECIMAL(38,0), normalized weights floored to 1e-6, dot products
+    as BIGINT), so the DuckDB oracle replays pair-for-pair,
+    value-for-value, and the threshold compares integers."""
+    from .operators.dedup import tfidf_pairs
+
+    d = load_table(spark, sf, "documents")
+    return tfidf_pairs(d, threshold=0.8, max_df=1000)
+
+
+Q144_SQL = r"""
+WITH ts AS (
+  SELECT id, term, count(*) AS tf FROM (
+    SELECT doc_id AS id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+    FROM documents)
+  GROUP BY id, term),
+dfreq AS (SELECT term, count(*) AS dft FROM ts GROUP BY term),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT id, term, dft,
+    tf * CAST(FLOOR((ln((1 + n_docs) / (1 + dft)) + 1) * 1e6) AS BIGINT) AS wq
+  FROM ts JOIN dfreq USING (term) CROSS JOIN tot
+  WHERE dft <= 1000),
+norm2 AS (SELECT id, sum(CAST(wq AS HUGEINT) * wq) AS n2 FROM w GROUP BY id),
+nw AS (
+  SELECT id, term,
+    CAST(FLOOR(CAST(wq AS DOUBLE) * 1e6 / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)
+      AS nwq
+  FROM w JOIN norm2 USING (id)
+  WHERE dft >= 2)
+SELECT a.id AS i, b.id AS j,
+  count(*) AS shared_terms,
+  CAST(sum(a.nwq * b.nwq) AS DOUBLE) / 1e12 AS cos_sim
+FROM nw a JOIN nw b ON a.term = b.term AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING sum(a.nwq * b.nwq) >= CAST(FLOOR(0.8 * 1e12) AS BIGINT)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6132,6 +6177,7 @@ REGISTRY["q68_curation_funnel"] = (q68_curation_funnel, _q68_sql())
 
 # --- r9 additions (final window ordering happens in the r9 rotation) ---
 REGISTRY["q143_bigram_nll"] = (q143_bigram_nll, Q143_SQL)
+REGISTRY["q144_tfidf_allpairs"] = (q144_tfidf_allpairs, Q144_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -949,3 +949,59 @@ def test_bigram_nll_matches_python_mirror(spark):
         for r in bigram_nll_scores(df.repartition(7)).collect()
     }
     assert got2 == want
+
+
+def test_tfidf_pairs_matches_python_mirror(spark):
+    import math
+    from collections import Counter
+
+    from relationalize_spark.operators.dedup import tfidf_pairs
+
+    rows = [
+        (1, "apples and oranges are fruit"),
+        (2, "apples and oranges are tasty fruit"),
+        (3, "the stock market fell sharply today"),
+        (4, "stock market prices fell today"),
+        (5, "completely unrelated zebra text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    thr, max_df = 0.25, 4
+    docs = {i: Counter(t.lower().split()) for i, t in rows}
+    dft = Counter(t for c in docs.values() for t in c)
+    n = len(rows)
+    nw = {}
+    for i, c in docs.items():
+        wq = {
+            t: tf * math.floor((math.log((1 + n) / (1 + dft[t])) + 1) * 1e6)
+            for t, tf in c.items()
+            if dft[t] <= max_df
+        }
+        n2 = sum(v * v for v in wq.values())
+        nw[i] = {
+            t: math.floor(v * 1e6 / math.sqrt(float(n2)))
+            for t, v in wq.items()
+            if dft[t] >= 2
+        }
+    want = {}
+    for i in docs:
+        for j in docs:
+            if i < j:
+                dot = sum(nw[i][t] * nw[j][t] for t in nw[i] if t in nw[j])
+                if dot >= math.floor(thr * 1e12):
+                    shared = len(set(nw[i]) & set(nw[j]))
+                    want[(i, j)] = (shared, dot / 1e12)
+    got = {
+        (r.i, r.j): (r.shared_terms, r.cos_sim)
+        for r in tfidf_pairs(df, threshold=thr, max_df=max_df).collect()
+    }
+    assert got == want
+    assert (1, 2) in got and (3, 4) in got  # the planted near-pairs
+    assert not any(5 in p for p in got)
+    # repartition-invariant: every cross-row sum rides the lattice
+    got2 = {
+        (r.i, r.j): (r.shared_terms, r.cos_sim)
+        for r in tfidf_pairs(
+            df.repartition(7), threshold=thr, max_df=max_df
+        ).collect()
+    }
+    assert got2 == want
