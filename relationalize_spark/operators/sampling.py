@@ -250,3 +250,47 @@ def temperature_weights(
     shares = {s: (n / total) ** alpha for s, n in counts.items()}
     z = sum(shares.values())
     return {s: (shares[s] / z) * target / counts[s] for s in counts}
+
+
+def group_relative_filter(
+    df: DataFrame,
+    score: Column,
+    group_cols: list[str],
+    keep_frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group relative thresholding: keep the top ``keep_frac`` of
+    each group by ``score`` — the "filter the worst X% of EVERY
+    domain" curation step. An absolute score cutoff biases the mix
+    (whole domains score systematically low and vanish); ranking
+    WITHIN the group preserves the domain mixture while dropping each
+    domain's own tail (the per-domain relative variant of the
+    quality-classifier filtering in Brown et al., GPT-3 appendix A).
+
+    Exact rank semantics: ``percent_rank() OVER (PARTITION BY
+    group_cols ORDER BY score DESC, id)`` — ties broken by id so the
+    kept set is unique and engine-replayable; a singleton group ranks
+    0 and is kept (both Spark and DuckDB define percent_rank as
+    ``(rank - 1) / (n - 1)`` with 0 for n = 1). Rows with
+    ``percent_rank <= keep_frac`` survive. The returned frame carries
+    ``pct_rank`` so downstream stages can re-threshold without
+    re-sorting.
+
+    Scale shape: ONE shuffle on the group key + a per-group sort —
+    linear, no joins; skew is bounded by the largest single group
+    (for 100 TB single-domain corpora, pre-aggregate a per-group
+    threshold from a GK quantile sketch — operators/sketches.py — and
+    semi-join it instead of ranking every row; rank-based is the
+    exact-semantics default).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__score__").desc(), F.col(id_col)
+    )
+    return (
+        df.select("*", score.alias("__score__"))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .where(F.col("pct_rank") <= F.lit(keep_frac))
+        .drop("__score__")
+    )

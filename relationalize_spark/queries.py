@@ -5956,6 +5956,50 @@ HAVING sum(a.nwq * b.nwq) >= CAST(FLOOR(0.8 * 1e12) AS BIGINT)
 """
 
 
+def q145_relative_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language relative quality thresholding (operators/
+    sampling.py:group_relative_filter): keep each language's own top
+    40% by the q25 composite quality score — the curation step that
+    drops every domain's tail WITHOUT biasing the language mixture
+    the way an absolute cutoff does. percent_rank over (lang) ordered
+    by (score desc, doc_id); one shuffle, no joins; ties and
+    singletons engine-replayable by construction."""
+    from .operators import text as TX
+    from .operators.sampling import group_relative_filter
+
+    d = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    out = group_relative_filter(
+        d, TX.quality_score("text"), ["lang"], keep_frac=0.4
+    )
+    return out.select("doc_id", "lang", "pct_rank")
+
+
+def _q145_sql() -> str:
+    from .operators.text import LANG_PROFILES
+
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[0][1])
+    return rf"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    0.4 * swr + 0.3 * (1.0 - dr) + 0.3 * len_sig AS s
+  FROM (SELECT doc_id, lang,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+          t -> list_contains([{words}], t))) AS DOUBLE)
+      / len(regexp_split_to_array(text, '\s+')) AS swr,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+      / LENGTH(text) AS dr,
+    LEAST(1.0, CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+      / 100.0) AS len_sig
+  FROM documents))
+SELECT doc_id, lang, pct_rank FROM (
+  SELECT doc_id, lang,
+    percent_rank() OVER (PARTITION BY lang ORDER BY s DESC, doc_id)
+      AS pct_rank
+  FROM scored)
+WHERE pct_rank <= 0.4
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6178,6 +6222,7 @@ REGISTRY["q68_curation_funnel"] = (q68_curation_funnel, _q68_sql())
 # --- r9 additions (final window ordering happens in the r9 rotation) ---
 REGISTRY["q143_bigram_nll"] = (q143_bigram_nll, Q143_SQL)
 REGISTRY["q144_tfidf_allpairs"] = (q144_tfidf_allpairs, Q144_SQL)
+REGISTRY["q145_relative_quality_filter"] = (q145_relative_quality_filter, _q145_sql())
 
 
 def queries() -> dict[str, QueryFn]:

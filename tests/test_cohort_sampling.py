@@ -90,3 +90,40 @@ def test_weighted_sample_deterministic_under_repartition(spark, sf_dir):
     b = {r.doc_id for r in
          weighted_quota_sample(d.repartition(11), "source", 7, "n_chars").collect()}
     assert a == b
+
+
+def test_group_relative_filter_keeps_top_frac_per_group(spark):
+    # Two groups with opposite score regimes: an absolute cutoff would
+    # wipe out group b entirely; the relative filter keeps each
+    # group's own top half.
+    import pyspark.sql.functions as F
+
+    from relationalize_spark.operators.sampling import group_relative_filter
+
+    rows = [(i, "a", float(100 + i)) for i in range(10)] + [
+        (100 + i, "b", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, s double")
+    out = group_relative_filter(
+        df, F.col("s"), ["grp"], keep_frac=0.5, id_col="doc_id"
+    )
+    got = {(r.grp, r.doc_id) for r in out.collect()}
+    # top half by score desc = the 5 highest ids in a, 104..109 in b;
+    # percent_rank = (rank-1)/9 <= 0.5 keeps ranks 1..5 plus rank 5.5
+    # boundary: ranks with (rank-1)/9 <= 0.5 → rank <= 5.5 → 5 rows,
+    # plus the 6th row has (6-1)/9 = 0.555 > 0.5 → excluded.
+    want_a = {("a", i) for i in range(5, 10)}
+    want_b = {("b", 100 + i) for i in range(5, 10)}
+    assert got == want_a | want_b
+    # singleton group survives (percent_rank 0)
+    one = spark.createDataFrame([(1, "x", 0.0)], "doc_id int, grp string, s double")
+    assert group_relative_filter(one, F.col("s"), ["grp"], 0.3).count() == 1
+    # deterministic under ties: equal scores break by id
+    ties = spark.createDataFrame(
+        [(i, "t", 1.0) for i in range(4)], "doc_id int, grp string, s double"
+    )
+    kept = {
+        r.doc_id
+        for r in group_relative_filter(ties, F.col("s"), ["grp"], 0.5).collect()
+    }
+    assert kept == {0, 1}  # percent_rank 0, 1/3 <= 0.5; 2/3, 1 excluded
