@@ -837,3 +837,36 @@ def bigram_nll_scores(
             ).alias("avg_nll"),
         )
     )
+
+
+def canonicalize_text(text: Column | str) -> Column:
+    """Normalization-robust canonical form: lowercase, strip every
+    non-alphanumeric non-whitespace character, collapse whitespace
+    runs, trim. Exact dedup on the canonical form catches the
+    near-exact duplicates raw hashing misses (case flips, punctuation
+    and whitespace jitter — the normalize-then-hash step in
+    Gopher/FineWeb-style exact dedup). Pure scan-side expressions;
+    the character class and ``\\s`` are ASCII-identical under Java
+    regex and RE2, so any SQL engine canonicalizes byte-for-byte."""
+    c = F.regexp_replace(F.lower(_c(text)), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def canonical_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicate groups under :func:`canonicalize_text`: one row per
+    canonical form with the surviving (minimum) id, the variant
+    count, and the canonical form's md5 fingerprint (the group key
+    downstream joins use — never the text). One projection + one
+    partial-aggregated shuffle keyed by the canonical hash; at scale
+    the shuffle carries ``(fingerprint, id)`` pairs, not documents."""
+    c = canonicalize_text(text_col)
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(c).alias("canon_fp"))
+        .groupBy("canon_fp")
+        .agg(
+            F.min("id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

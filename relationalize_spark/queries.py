@@ -6000,6 +6000,43 @@ WHERE pct_rank <= 0.4
 """
 
 
+def q146_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-robust exact dedup (operators/text.py:
+    canonicalize_text + canonical_dedup): the corpus is unioned with
+    case-flipped, punctuation-jittered copies of every third document
+    (the q130 corpus-construction pattern — raw exact dedup q26 sees
+    them as distinct), then grouped by the canonical form's md5.
+    Every mutated copy collapses onto its original's group with the
+    original as survivor; the shuffle carries (fingerprint, id)
+    pairs, never text. The oracle replays the canonicalization
+    byte-for-byte (the regex class and \\s are ASCII-identical under
+    Java regex and RE2) including the md5 group keys."""
+    from .operators.text import canonical_dedup
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    noisy = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!  ")).alias("text"),
+    )
+    return canonical_dedup(d.unionByName(noisy))
+
+
+Q146_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || ' !!  ' FROM documents
+  WHERE doc_id % 3 = 0),
+canon AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g'))) AS canon_fp
+  FROM corpus)
+SELECT canon_fp, min(doc_id) AS survivor_id, count(*) AS n_variants
+FROM canon GROUP BY canon_fp
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6223,6 +6260,7 @@ REGISTRY["q68_curation_funnel"] = (q68_curation_funnel, _q68_sql())
 REGISTRY["q143_bigram_nll"] = (q143_bigram_nll, Q143_SQL)
 REGISTRY["q144_tfidf_allpairs"] = (q144_tfidf_allpairs, Q144_SQL)
 REGISTRY["q145_relative_quality_filter"] = (q145_relative_quality_filter, _q145_sql())
+REGISTRY["q146_canonical_dedup"] = (q146_canonical_dedup, Q146_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1005,3 +1005,32 @@ def test_tfidf_pairs_matches_python_mirror(spark):
         ).collect()
     }
     assert got2 == want
+
+
+def test_canonical_dedup_collapses_normalization_variants(spark):
+    from relationalize_spark.operators.text import (
+        canonical_dedup,
+        canonicalize_text,
+    )
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),
+        (3, "HELLO WORLD !!"),
+        (4, "goodbye world"),
+        (5, ""),
+        (6, "  ?!  "),  # canonicalizes to empty too
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    canon = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", canonicalize_text("text").alias("c")
+        ).collect()
+    }
+    assert canon[1] == canon[2] == canon[3] == "hello world"
+    assert canon[5] == canon[6] == ""
+    groups = {
+        r.survivor_id: r.n_variants for r in canonical_dedup(df).collect()
+    }
+    assert groups == {1: 3, 4: 1, 5: 2}
