@@ -808,3 +808,144 @@ def ivfpq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_dist")
     )
+
+
+# -- Johnson-Lindenstrauss random projection --------------------------------
+
+#: Fixed-point lattice for JL projections: embeddings are floored
+#: onto 1e-6 BEFORE projecting, so projections, distances, and
+#: rankings are exact integer arithmetic — order-free and replayable
+#: in any engine (the dsir.py discipline applied to vectors).
+JL_FP = 10**6
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic Rademacher (+/-1) projection matrix, one row per
+    output dimension, derived from md5 parity of ``(seed, k, j)``.
+    Computed driver-side once and shipped as LITERALS to both the
+    Spark plan and the generated SQL oracle — no per-row hashing, and
+    both engines see the identical matrix by construction. A +/-1
+    matrix satisfies the JL lemma with the same distortion bounds as
+    Gaussian entries (Achlioptas, "Database-friendly random
+    projections", 2001) while keeping every product integer-exact."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"jl|{seed}|{k}|{j}".encode()).hexdigest()[:2], 16
+            )
+            % 2
+            == 0
+            else -1
+            for j in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    out_dim: int = 16,
+    seed: int = 0,
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Project embeddings onto ``out_dim`` Rademacher directions:
+    ``(id, proj array<bigint>)`` with ``proj[k] = sum_j s_kj *
+    floor(double(v_j) * 1e6)``. A pure scan-side projection — the
+    sign matrix constant-folds into the plan, nothing shuffles, and
+    the 4x-16x narrower integer vectors are what downstream distance
+    scans read (the point of JL at 100 TB: distance work and shuffle
+    width drop by d/out_dim with rank quality bounded by the JL
+    lemma)."""
+    d = in_dim if in_dim is not None else vector_dim(df, vec_col)
+    signs = jl_signs(d, out_dim, seed)
+    vq = F.transform(
+        as_double(vec_col), lambda x: F.floor(x * F.lit(float(JL_FP)))
+    )
+    comps = []
+    for k in range(out_dim):
+        sk = F.array(*[F.lit(s) for s in signs[k]])
+        comps.append(
+            F.aggregate(
+                F.zip_with(vq, sk, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*comps).alias("proj")
+    )
+
+
+def _int_l2(a, b):
+    """Exact integer squared L2 between two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def jl_recall_eval(
+    corpus: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    out_dim: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Recall@k of JL-projected brute-force kNN against exact kNN on
+    the same fixed-point lattice: ``(query_id, n_overlap, recall_at_k)``
+    — the measurement that justifies (or vetoes) shipping the
+    narrower vectors. The query panel is the first ``n_queries`` ids
+    (bounded, corpus-independent => broadcastable by the repo rule);
+    both distance scans stream the corpus once, keep top-k per query
+    through one window each, and the two neighbor sets join on
+    ``(query_id, neighbor_id)``. Every distance is an exact BIGINT,
+    so ranking (ties broken by neighbor id) is engine-replayable."""
+    pj = jl_project(corpus, id_col, vec_col, out_dim=out_dim, seed=seed)
+    vq = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            as_double(vec_col), lambda x: F.floor(x * F.lit(float(JL_FP)))
+        ).alias("vq"),
+    )
+
+    def topk(frame: DataFrame, col: str) -> DataFrame:
+        q = frame.where(F.col("id") < n_queries).select(
+            F.col("id").alias("query_id"), F.col(col).alias("qv")
+        )
+        d = (
+            frame.crossJoin(F.broadcast(q))
+            .where(F.col("id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                _int_l2(F.col(col), F.col("qv")).alias("d2"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "neighbor_id")
+        )
+    approx = topk(pj, "proj")
+    exact = topk(vq, "vq")
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap") / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )

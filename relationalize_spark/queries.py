@@ -6037,6 +6037,67 @@ FROM canon GROUP BY canon_fp
 """
 
 
+def q147_jl_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection quality (operators/
+    similarity.py:jl_project / jl_recall_eval): recall@10 of
+    brute-force kNN in the 16-dim Rademacher-projected space against
+    exact kNN in the full 64-dim space, both on the 1e-6 fixed-point
+    lattice so every distance is an exact BIGINT and the oracle
+    replays the ENTIRE eval — projection matrix (shipped as literals
+    to both engines), projections, both rankings, the overlap counts
+    — value-for-value. The measurement that justifies shipping 4x
+    narrower vectors into a 100 TB distance scan."""
+    from .operators.similarity import jl_recall_eval
+
+    e = load_table(spark, sf, "embeddings")
+    return jl_recall_eval(e, n_queries=10, k=10, out_dim=16, seed=0)
+
+
+def _q147_sql() -> str:
+    from .operators.similarity import jl_signs
+
+    signs = jl_signs(64, 16, 0)
+    vals = ",".join(
+        f"({k},{j},{v})"
+        for k, row in enumerate(signs)
+        for j, v in enumerate(row)
+    )
+    return f"""
+WITH signs(k, j, s) AS (VALUES {vals}),
+vq AS MATERIALIZED (
+  SELECT vec_id, jj.j AS j,
+    CAST(FLOOR(CAST(embedding[jj.j] AS DOUBLE) * 1e6) AS BIGINT) AS v
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS j) jj),
+proj AS MATERIALIZED (
+  SELECT vec_id, k, sum(s * v) AS p
+  FROM vq JOIN signs ON signs.j = vq.j - 1
+  GROUP BY vec_id, k),
+ad AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum((q.p - c.p) * (q.p - c.p)) AS d2
+  FROM proj q JOIN proj c USING (k)
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+  GROUP BY 1, 2),
+at AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+  FROM ad) WHERE rn <= 10),
+ed AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum((q.v - c.v) * (q.v - c.v)) AS d2
+  FROM vq q JOIN vq c USING (j)
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+  GROUP BY 1, 2),
+et AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+  FROM ed) WHERE rn <= 10)
+SELECT query_id, count(*) AS n_overlap, count(*) / 10.0 AS recall_at_k
+FROM et JOIN at USING (query_id, neighbor_id)
+GROUP BY query_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6261,6 +6322,7 @@ REGISTRY["q143_bigram_nll"] = (q143_bigram_nll, Q143_SQL)
 REGISTRY["q144_tfidf_allpairs"] = (q144_tfidf_allpairs, Q144_SQL)
 REGISTRY["q145_relative_quality_filter"] = (q145_relative_quality_filter, _q145_sql())
 REGISTRY["q146_canonical_dedup"] = (q146_canonical_dedup, Q146_SQL)
+REGISTRY["q147_jl_recall"] = (q147_jl_recall, _q147_sql())
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1034,3 +1034,47 @@ def test_canonical_dedup_collapses_normalization_variants(spark):
         r.survivor_id: r.n_variants for r in canonical_dedup(df).collect()
     }
     assert groups == {1: 3, 4: 1, 5: 2}
+
+
+def test_jl_projection_and_recall(spark):
+    # Clustered corpus: JL with out_dim=16 over 64 dims should keep
+    # most planted same-cluster neighbors; the mirror recomputes the
+    # exact integer pipeline for one query.
+    import hashlib
+    import math
+    import random
+
+    from relationalize_spark.operators.similarity import (
+        JL_FP,
+        jl_project,
+        jl_recall_eval,
+        jl_signs,
+    )
+
+    rng = random.Random(7)
+    # 5 query points, each with 10 planted tight neighbors; 200
+    # scattered distractors. Exact top-10 = the planted set, and the
+    # JL gap is large enough that 16 dims must preserve it.
+    rows = []
+    for q in range(5):
+        center = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((q, center))
+        for c in range(10):
+            rows.append(
+                (100 + q * 10 + c, [x + rng.gauss(0, 0.01) for x in center])
+            )
+    for i in range(200):
+        rows.append((1000 + i, [rng.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # mirror the projection for a handful of vectors
+    signs = jl_signs(64, 16, seed=0)
+    got = {r.id: list(r.proj) for r in jl_project(df, out_dim=16).collect()}
+    f32 = {r.vec_id: list(r.embedding) for r in df.collect()}  # float32 cast
+    for i in (0, 101, 1033):
+        vq = [math.floor(float(x) * JL_FP) for x in f32[i]]
+        want = [sum(s * v for s, v in zip(signs[k], vq)) for k in range(16)]
+        assert got[i] == want, i
+    ev16 = {r.query_id: r.recall_at_k for r in jl_recall_eval(df, 5, 10).collect()}
+    assert set(ev16) == set(range(5))
+    assert all(v >= 0.9 for v in ev16.values()), ev16
