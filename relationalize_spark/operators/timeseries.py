@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.timeutil import epoch_micros, micros_to_timestamp
+from ..functions.timeutil import (
+    col_epoch_micros,
+    epoch_micros,
+    micros_to_timestamp,
+)
 
 _IDX = "__bucket_idx__"
 
@@ -178,4 +182,123 @@ def cohort_retention(
             "period_offset",
             "n_users",
         )
+    )
+
+
+#: Fixed-point lattice for interpolated values (the engine-wide
+#: replayable-arithmetic discipline applied to gauges).
+TS_FP = 10**6
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    *,
+    step_s: int = 3600,
+) -> DataFrame:
+    """Regularize ``(key, ts, value)`` onto a ``step_s``-second grid
+    with LINEAR INTERPOLATION across the holes — the companion to
+    :func:`gap_fill_locf` for gauges where carrying the last value
+    flat misrepresents a trend (sensor readings, prices, rates).
+
+    Returns one row per key per grid bucket between that key's first
+    and last observed bucket (inclusive):
+
+    - ``key, bucket_start`` (epoch seconds, BIGINT — engine- and
+      timezone-neutral),
+    - ``n_obs`` (observations aggregated into the bucket; 0 = hole),
+    - ``value`` — the observed bucket mean, or the linear
+      interpolation between the neighboring observed buckets
+      (weights are integer bucket distances), or the nearest
+      observed value at a one-sided hole; floored onto the 1e-6
+      lattice,
+    - ``src`` — ``observed`` / ``interp`` / ``locf`` / ``nocb``.
+
+    Replayable arithmetic: observed values quantize to BIGINT quanta
+    BEFORE the bucket mean, so the mean, the interpolation expression
+    (fixed IEEE op order, exact integer inputs), and the final floor
+    are identical in every engine — the q148 oracle replays every
+    interpolated cell bit-for-bit.
+
+    Scale shape: one partial-aggregated shuffle onto ``(key,
+    bucket)``, a per-key (min, max) aggregate riding the same key
+    hash, one output-proportional ``sequence`` explode, and two
+    window passes over the grid (each key's grid sorts once — the
+    natural clustering downstream rollups read). Nothing corpus-wide
+    joins or broadcasts.
+    """
+    bucket = (
+        F.floor(col_epoch_micros(df, ts_col) / F.lit(1_000_000 * step_s))
+        * step_s
+    ).alias("bucket_start")
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            bucket,
+            F.floor(F.col(val_col) * F.lit(float(TS_FP)))
+            .cast("long")
+            .alias("vq"),
+        )
+        .groupBy("key", "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_obs"), F.sum("vq").alias("sq"))
+        .select(
+            "key",
+            "bucket_start",
+            "n_obs",
+            (F.col("sq").cast("double") / F.col("n_obs")).alias("oq"),
+        )
+    )
+    grid = (
+        obs.groupBy("key")
+        .agg(
+            F.min("bucket_start").alias("lo"),
+            F.max("bucket_start").alias("hi"),
+        )
+        .select(
+            "key",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(step_s).cast("long"))
+            ).alias("bucket_start"),
+        )
+    )
+    g = grid.join(obs, ["key", "bucket_start"], "left")
+    prev = Window.partitionBy("key").orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    nxt = Window.partitionBy("key").orderBy("bucket_start").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    pb = F.last(
+        F.when(F.col("oq").isNotNull(), F.col("bucket_start")), True
+    ).over(prev)
+    pv = F.last("oq", True).over(prev)
+    nb = F.first(
+        F.when(F.col("oq").isNotNull(), F.col("bucket_start")), True
+    ).over(nxt)
+    nv = F.first("oq", True).over(nxt)
+    interp = pv + (nv - pv) * (
+        (F.col("bucket_start") - pb).cast("double") / (nb - pb).cast("double")
+    )
+    filled_q = (
+        F.when(F.col("oq").isNotNull(), F.col("oq"))
+        .when(pv.isNotNull() & nv.isNotNull(), interp)
+        .when(pv.isNotNull(), pv)
+        .otherwise(nv)
+    )
+    src = (
+        F.when(F.col("oq").isNotNull(), F.lit("observed"))
+        .when(pv.isNotNull() & nv.isNotNull(), F.lit("interp"))
+        .when(pv.isNotNull(), F.lit("locf"))
+        .otherwise(F.lit("nocb"))
+    )
+    return g.select(
+        F.col("key").alias(key_col),
+        "bucket_start",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        (F.floor(filled_q).cast("double") / F.lit(float(TS_FP))).alias(
+            "value"
+        ),
+        src.alias("src"),
     )

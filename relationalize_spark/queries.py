@@ -6098,6 +6098,74 @@ GROUP BY query_id
 """
 
 
+def q148_gapfill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py:
+    gapfill_interpolate): per-user purchase values onto a 6-hour grid
+    with linear interpolation across the holes — the gauge companion
+    to the LOCF lane the hypertable rollup (q02) uses. Values ride
+    the 1e-6 BIGINT lattice through the bucket mean, the
+    interpolation weights are integer bucket distances, and the final
+    floor lands back on the lattice, so every synthesized cell is
+    engine-replayable and the oracle checks each one."""
+    from .operators.timeseries import gapfill_interpolate
+
+    e = load_table(spark, sf, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return gapfill_interpolate(e, "user_id", "ts", "value", step_s=21600)
+
+
+Q148_SQL = """
+WITH obs AS (
+  SELECT user_id,
+    CAST(FLOOR(epoch_us(ts) / 21600000000.0) AS BIGINT) * 21600
+      AS bucket_start,
+    count(*) AS n_obs,
+    sum(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS sq
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2),
+obs2 AS (
+  SELECT user_id, bucket_start, n_obs, CAST(sq AS DOUBLE) / n_obs AS oq
+  FROM obs),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 21600, 21600)) AS bucket_start
+  FROM (SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+        FROM obs2 GROUP BY user_id)),
+g AS (
+  SELECT grid.user_id, grid.bucket_start, obs2.n_obs, obs2.oq
+  FROM grid LEFT JOIN obs2 USING (user_id, bucket_start)),
+f AS (
+  SELECT user_id, bucket_start, n_obs, oq,
+    last_value(CASE WHEN oq IS NOT NULL THEN bucket_start END IGNORE NULLS)
+      OVER pw AS pb,
+    last_value(oq IGNORE NULLS) OVER pw AS pv,
+    first_value(CASE WHEN oq IS NOT NULL THEN bucket_start END IGNORE NULLS)
+      OVER nw AS nb,
+    first_value(oq IGNORE NULLS) OVER nw AS nv
+  FROM g
+  WINDOW
+    pw AS (PARTITION BY user_id ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    nw AS (PARTITION BY user_id ORDER BY bucket_start
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT user_id, bucket_start,
+  COALESCE(n_obs, 0) AS n_obs,
+  CAST(FLOOR(CASE
+    WHEN oq IS NOT NULL THEN oq
+    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      pv + (nv - pv) * (CAST(bucket_start - pb AS DOUBLE)
+                        / CAST(nb - pb AS DOUBLE))
+    WHEN pv IS NOT NULL THEN pv
+    ELSE nv END) AS DOUBLE) / 1e6 AS value,
+  CASE
+    WHEN oq IS NOT NULL THEN 'observed'
+    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+    WHEN pv IS NOT NULL THEN 'locf'
+    ELSE 'nocb' END AS src
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6323,6 +6391,7 @@ REGISTRY["q144_tfidf_allpairs"] = (q144_tfidf_allpairs, Q144_SQL)
 REGISTRY["q145_relative_quality_filter"] = (q145_relative_quality_filter, _q145_sql())
 REGISTRY["q146_canonical_dedup"] = (q146_canonical_dedup, Q146_SQL)
 REGISTRY["q147_jl_recall"] = (q147_jl_recall, _q147_sql())
+REGISTRY["q148_gapfill_interpolate"] = (q148_gapfill_interpolate, Q148_SQL)
 
 
 def queries() -> dict[str, QueryFn]:
