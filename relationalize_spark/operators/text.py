@@ -870,3 +870,81 @@ def canonical_dedup(
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+def class_tfidf_keywords(
+    df: DataFrame,
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_k: int = 5,
+) -> DataFrame:
+    """Class-based TF-IDF keyword extraction (the c-TF-IDF of
+    Grootendorst's BERTopic, 2022): treat each class (domain, source,
+    cluster) as ONE concatenated document, weight terms by in-class
+    frequency times inverse CLASS frequency, and report each class's
+    ``top_k`` terms — the "what is this domain about" report a
+    curation pipeline prints next to its mixture stats.
+
+    Returns ``(class, term, rank, score)`` with ``score = ctf *
+    (ln((1+C)/(1+cdf)) + 1) / 1e6`` where ``ctf`` is the term's total
+    count inside the class, ``C`` the number of classes, and ``cdf``
+    the number of classes containing the term. The idf factor is
+    floored onto the 1e-6 lattice, so scores are products of exact
+    integers and the ranking (ties broken by term) replays in any
+    engine.
+
+    Plan: the term-stats posting table reduces to ``(class, term)``
+    partial-aggregated counts; class-df reduces from THAT table
+    (vocabulary-proportional, never a second corpus pass); the
+    1-row class count broadcasts; top-k is one window over the
+    class-term table.
+    """
+    ts = term_stats(df, id_col, text_col)
+    cls = df.select(
+        F.col(id_col).alias("id"), F.col(class_col).alias("cls")
+    )
+    ct = (
+        ts.join(cls.hint("merge"), "id")
+        .groupBy("cls", "term")
+        .agg(F.sum("tf").alias("ctf"))
+    )
+    cdf = ct.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
+    nc = df.select(F.col(class_col).alias("cls")).distinct().agg(
+        F.count(F.lit(1)).alias("n_classes")
+    )
+    scored = (
+        ct.join(cdf.hint("merge"), "term")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "cls",
+            "term",
+            (
+                F.col("ctf")
+                * F.floor(
+                    (
+                        F.log(
+                            (F.lit(1) + F.col("n_classes"))
+                            / (F.lit(1) + F.col("cdf"))
+                        )
+                        + F.lit(1.0)
+                    )
+                    * F.lit(1e6)
+                ).cast("long")
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("cls").orderBy(
+        F.col("score_q").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("cls").alias(class_col),
+            "term",
+            "rank",
+            (F.col("score_q").cast("double") / F.lit(1e6)).alias("score"),
+        )
+    )

@@ -6166,6 +6166,44 @@ FROM f
 """
 
 
+def q149_class_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source keyword extraction (operators/text.py:
+    class_tfidf_keywords — BERTopic's c-TF-IDF): each source's top-5
+    terms by in-class frequency times inverse class frequency, the
+    "what is this domain about" report beside the mixture stats. The
+    idf factor floors onto the 1e-6 lattice so scores are exact
+    integer products; ranking ties break on the term; the oracle
+    replays counts, idf, scores, and ranks."""
+    from .operators.text import class_tfidf_keywords
+
+    d = load_table(spark, sf, "documents")
+    return class_tfidf_keywords(d, "source", top_k=5)
+
+
+Q149_SQL = r"""
+WITH ts AS (
+  SELECT id, cls, term, count(*) AS tf FROM (
+    SELECT doc_id AS id, source AS cls,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+    FROM documents)
+  GROUP BY id, cls, term),
+ct AS (SELECT cls, term, sum(tf) AS ctf FROM ts GROUP BY cls, term),
+cdf AS (SELECT term, count(*) AS cdf FROM ct GROUP BY term),
+nc AS (SELECT count(DISTINCT source) AS n_classes FROM documents),
+scored AS (
+  SELECT cls, term,
+    ctf * CAST(FLOOR((ln((1 + n_classes) / (1 + cdf)) + 1) * 1e6) AS BIGINT)
+      AS score_q
+  FROM ct JOIN cdf USING (term) CROSS JOIN nc)
+SELECT cls AS source, term, rank, CAST(score_q AS DOUBLE) / 1e6 AS score
+FROM (SELECT cls, term, score_q,
+        row_number() OVER (PARTITION BY cls ORDER BY score_q DESC, term)
+          AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6392,6 +6430,7 @@ REGISTRY["q145_relative_quality_filter"] = (q145_relative_quality_filter, _q145_
 REGISTRY["q146_canonical_dedup"] = (q146_canonical_dedup, Q146_SQL)
 REGISTRY["q147_jl_recall"] = (q147_jl_recall, _q147_sql())
 REGISTRY["q148_gapfill_interpolate"] = (q148_gapfill_interpolate, Q148_SQL)
+REGISTRY["q149_class_tfidf"] = (q149_class_tfidf, Q149_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1078,3 +1078,27 @@ def test_jl_projection_and_recall(spark):
     ev16 = {r.query_id: r.recall_at_k for r in jl_recall_eval(df, 5, 10).collect()}
     assert set(ev16) == set(range(5))
     assert all(v >= 0.9 for v in ev16.values()), ev16
+
+
+def test_class_tfidf_keywords(spark):
+    import math
+
+    from relationalize_spark.operators.text import class_tfidf_keywords
+
+    rows = [
+        (1, "a", "spark shuffle spark partition common"),
+        (2, "a", "spark executor common"),
+        (3, "b", "tokenizer vocab tokenizer merge common"),
+        (4, "b", "tokenizer corpus common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = class_tfidf_keywords(df, top_k=2)
+    got = {(r.source, r.rank): (r.term, r.score) for r in out.collect()}
+    # class-exclusive high-frequency terms win; 'common' (cdf=2) idf
+    # floors to 1.0 exactly: ln(3/3)+1 = 1
+    idf1 = math.floor((math.log(3 / 2) + 1) * 1e6)
+    assert got[("a", 1)] == ("spark", 3 * idf1 / 1e6)
+    assert got[("b", 1)] == ("tokenizer", 3 * idf1 / 1e6)
+    # rank-2: 'common' appears 2x per class with idf exactly 1.0
+    assert got[("a", 2)] == ("common", 2.0)
+    assert got[("b", 2)] == ("common", 2.0)
