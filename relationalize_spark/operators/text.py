@@ -794,11 +794,22 @@ def bigram_nll_scores(
     agree bit-for-bit up to the ``ln`` ulp absorbed by the
     quantization.
     """
+    from ..plans.caches import register_cache
+
     bs = bigram_stats(df, id_col, text_col)
     # unigram model: counts + vocab size + corpus size (shared V
     # between the two smoothing terms — one vocabulary, two orders).
-    uni = term_stats(df, id_col, text_col).groupBy("term").agg(
-        F.sum("tf").alias("cu")
+    # Persisted: vocabulary-proportional (distinct terms, sublinear
+    # in the corpus) and consumed twice (totals + the logp join) —
+    # without the cache the corpus token explode runs a THIRD time
+    # for the 1-row totals (audited r9). Residual recorded in
+    # plans/caches.py. The bigram posting table needs no persist:
+    # Catalyst reuses its shuffle exchange across its two consumers.
+    uni = register_cache(
+        term_stats(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cu"))
+        .persist()
     )
     tot = uni.agg(
         F.sum("cu").alias("n_corpus"), F.count(F.lit(1)).alias("v_size")
