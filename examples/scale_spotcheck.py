@@ -620,6 +620,90 @@ def main() -> None:
 
         return run
 
+
+    def bigram_op(sf):
+        def run():
+            from relationalize_spark.operators.text import bigram_nll_scores
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return bigram_nll_scores(d)
+
+        return run
+
+    def tfidf_pairs_op(sf):
+        def run():
+            from relationalize_spark.operators.dedup import tfidf_pairs
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            # replica tagging keeps pair structure within-replica: the
+            # measured growth is compute + within-replica pair output,
+            # not a cross-replica blowup (the q29 spotcheck regime)
+            return tfidf_pairs(d, threshold=0.8, max_df=1000)
+
+        return run
+
+    def relative_filter_op(sf):
+        def run():
+            from relationalize_spark.operators import text as TX
+            from relationalize_spark.operators.sampling import (
+                group_relative_filter,
+            )
+
+            d = spark.read.parquet(f"{sf}/documents.parquet").select(
+                "doc_id", "lang", "text"
+            )
+            out = group_relative_filter(
+                d, TX.quality_score("text"), ["lang"], keep_frac=0.4
+            )
+            return out.select("doc_id", "lang", "pct_rank")
+
+        return run
+
+    def canonical_dedup_op(sf):
+        def run():
+            from relationalize_spark.operators.text import canonical_dedup
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return canonical_dedup(d)
+
+        return run
+
+    def jl_recall_op(sf):
+        def run():
+            from relationalize_spark.operators.similarity import (
+                jl_recall_eval,
+            )
+
+            e = spark.read.parquet(f"{sf}/embeddings.parquet")
+            # panel fixed at replica 0 (vec_id < 10); the corpus grows
+            return jl_recall_eval(e, n_queries=10, k=10, out_dim=16)
+
+        return run
+
+    def gapfill_op(sf):
+        def run():
+            from relationalize_spark.operators.timeseries import (
+                gapfill_interpolate,
+            )
+
+            e = spark.read.parquet(f"{sf}/events.parquet").where(
+                F.col("event_type") == "purchase"
+            )
+            return gapfill_interpolate(e, "user_id", "ts", "value", step_s=21600)
+
+        return run
+
+    def class_tfidf_op(sf):
+        def run():
+            from relationalize_spark.operators.text import (
+                class_tfidf_keywords,
+            )
+
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            return class_tfidf_keywords(d, "source", top_k=5)
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -658,6 +742,13 @@ def main() -> None:
         "dsir_select_q138shape": dsir_op,
         "ivfpq_ann_q142shape": ivfpq_op,
         "streaming_score_q141shape": stream_score_op,
+        "bigram_nll_q143shape": bigram_op,
+        "tfidf_pairs_q144shape": tfidf_pairs_op,
+        "relative_filter_q145shape": relative_filter_op,
+        "canonical_dedup_q146shape": canonical_dedup_op,
+        "jl_recall_q147shape": jl_recall_op,
+        "gapfill_q148shape": gapfill_op,
+        "class_tfidf_q149shape": class_tfidf_op,
     }
     wanted = None
     for arg in sys.argv[1:]:

@@ -971,9 +971,14 @@ def tfidf_pairs(
     joinable = nw.where(F.col("dft") >= 2).select("id", "term", "nwq")
     a, b = joinable.alias("a"), joinable.alias("b")
     thr_q = int(math.floor(threshold * 1e12))
+    # merge hint: BOTH self-join sides are the corpus-derived posting
+    # table — left to the planner the build side broadcast-promotes
+    # under the small-SF size estimate and OOMs at 100x (the
+    # jaccard_pairs invariant; audited r9: the un-hinted plan chose
+    # BroadcastHashJoin).
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.term") == F.col("b.term"))
             & (F.col("a.id") < F.col("b.id")),
         )

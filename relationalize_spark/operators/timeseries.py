@@ -263,7 +263,11 @@ def gapfill_interpolate(
             ).alias("bucket_start"),
         )
     )
-    g = grid.join(obs, ["key", "bucket_start"], "left")
+    # merge hint: obs is corpus-derived ((key, bucket) cardinality
+    # grows with the data), so a static broadcast promotion would OOM
+    # at scale; the sort-merge join shares the (key, bucket) exchange
+    # the window passes need anyway (audited r9).
+    g = grid.join(obs.hint("merge"), ["key", "bucket_start"], "left")
     prev = Window.partitionBy("key").orderBy("bucket_start").rowsBetween(
         Window.unboundedPreceding, -1
     )

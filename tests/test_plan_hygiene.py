@@ -73,6 +73,9 @@ def test_aggregate_derived_sides_never_broadcast(spark):
     from relationalize_spark.operators.relationalize import relationalize
     from relationalize_spark.operators.spans import duplicate_span_stats
 
+    from relationalize_spark.operators.dedup import tfidf_pairs
+    from relationalize_spark.operators.timeseries import gapfill_interpolate
+
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     span_plan = _plan(duplicate_span_stats(docs, "doc_id", "text", n=3))
 
@@ -82,8 +85,23 @@ def test_aggregate_derived_sides_never_broadcast(spark):
     tables = relationalize(nested, "d", key_cols=["doc_id"])
     nest_plan = _plan(unrelationalize(tables, "d"))
 
+    # r9 additions, same defect class caught by this round's audit:
+    # the APSS posting self-join and the gap-fill grid join both have
+    # corpus-proportional sides the static estimator promoted at
+    # test SF (the 1-row totals cross join is a BroadcastNestedLoop,
+    # deliberately out of scope here).
+    tfidf_plan = _plan(tfidf_pairs(docs, threshold=0.8, max_df=1000))
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(
+        F.col("event_type") == "purchase"
+    )
+    gap_plan = _plan(
+        gapfill_interpolate(ev, "user_id", "ts", "value", step_s=21600)
+    )
+
     for name, plan in (("duplicate_span_stats", span_plan),
-                       ("unrelationalize", nest_plan)):
+                       ("unrelationalize", nest_plan),
+                       ("tfidf_pairs", tfidf_plan),
+                       ("gapfill_interpolate", gap_plan)):
         assert "BroadcastHashJoin" not in plan, (
             f"{name}: aggregate-derived join side is broadcast"
         )
