@@ -121,3 +121,59 @@ def test_deletion_neighborhoods_catch_all_edits(s, edits):
         assert s in _deletes(s, 1)
         return
     assert _deletes(s, k) & _deletes(t, k), (s, t, k)
+
+
+# -- r9: canonicalize_text engine parity -------------------------------------
+# The canonical form must be a pure function with identical semantics
+# in Python (the mirror below), Java regex (Spark), and RE2 (DuckDB).
+# Property-test the Python mirror's algebraic contracts here; the
+# Spark/DuckDB agreement is pinned by q146's value oracle and the
+# unit tests.
+
+import re as _re
+
+
+def _py_canon(t: str) -> str:
+    t = _re.sub(r"[^a-z0-9\s]", "", t.lower())
+    return _re.sub(r"\s+", " ", t).strip()
+
+
+_printable = st.text(
+    st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+@given(_printable)
+def test_canonicalize_idempotent(t):
+    assert _py_canon(_py_canon(t)) == _py_canon(t)
+
+
+@given(_printable, _printable)
+def test_canonicalize_invariant_under_case_punct_ws(a, b):
+    # joining with any amount of whitespace + punctuation noise and
+    # flipping case never changes the canonical form
+    noisy = "  " + a.upper() + " !! ,, " + b.lower() + "\t"
+    clean = a + " " + b
+    assert _py_canon(noisy) == _py_canon(clean)
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    st.lists(
+        st.text(st.sampled_from("aB1 .!"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_canonicalize_spark_matches_python_mirror(spark, texts):
+    # randomized differential: the Catalyst expression IS the mirror
+    from relationalize_spark.operators.text import canonicalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_text("t").alias("c")).collect()
+    }
+    assert got == {i: _py_canon(t) for i, t in enumerate(texts)}
