@@ -61,6 +61,18 @@ def main() -> None:
     kept = exact_dedup(kept, subset=["fingerprint_"], tiebreak="doc_id")
     after_exact = kept.count()
 
+    # Normalization-robust dedup (r9): case flips, punctuation and
+    # whitespace jitter slip past raw-text hashing; collapse each
+    # canonical-form group onto its survivor (min doc_id). The
+    # shuffle carries (md5 fingerprint, id) pairs, never text.
+    from relationalize_spark.operators.text import canonical_dedup
+
+    surv = canonical_dedup(kept, "doc_id", "text").select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    kept = kept.join(surv, "doc_id", "left_semi")
+    after_canonical = kept.count()
+
     near_pairs = minhash_lsh_pairs(kept, "doc_id", "text", threshold=0.8)
     to_drop = near_pairs.select(F.col("j").alias("doc_id")).distinct()
     kept = kept.join(to_drop, "doc_id", "left_anti")
@@ -170,6 +182,25 @@ def main() -> None:
     keyed.unpersist()
     after_dsir = kept.count()
 
+    # Fluency filter (r9): interpolated-bigram LM perplexity (the
+    # KenLM/CCNet quality axis), cut RELATIVELY per source — each
+    # source keeps its own most-fluent 85% (low avg_nll ranks first),
+    # so a systematically noisy source is trimmed without being wiped
+    # out by a global threshold (the mixture-preserving cut).
+    from relationalize_spark.operators.sampling import group_relative_filter
+    from relationalize_spark.operators.text import bigram_nll_scores
+
+    nll = bigram_nll_scores(kept, "doc_id", "text")
+    fluent = group_relative_filter(
+        kept.join(nll.select("doc_id", "avg_nll"), "doc_id"),
+        -F.col("avg_nll"),
+        ["source"],
+        keep_frac=0.85,
+        id_col="doc_id",
+    )
+    kept = kept.join(fluent.select("doc_id"), "doc_id", "left_semi")
+    after_fluency = kept.count()
+
     # Semantic dedup (SemDeDup): k-means cells over the documents'
     # embeddings, exact within-cell cosine; drop the higher id of
     # each >=0.97 pair.
@@ -214,14 +245,24 @@ def main() -> None:
     print(f"after seg dedup:  {after_segments}")
     print(f"after quality:    {after_quality}")
     print(f"after exact dedup:{after_exact}")
+    print(f"after canon dedup:{after_canonical}")
     print(f"after near dedup: {after_near}")
     print(f"after span filter:{after_spans}")
     print(f"after model filt.:{after_model}")
     print(f"after DSIR:       {after_dsir}")
+    print(f"after fluency:    {after_fluency}")
     print(f"after sem dedup:  {after_sem}")
     print(f"after mix+quota:  {after_mix}")
     print(f"tokens kept:      {tokens_total}")
     kept.groupBy("lang_id_").count().show()
+
+    # What made it through, per source — the c-TF-IDF keyword report
+    # (r9) a curation run prints beside its mixture stats.
+    from relationalize_spark.operators.text import class_tfidf_keywords
+
+    class_tfidf_keywords(kept, "source", "doc_id", "text", top_k=3).orderBy(
+        "source", "rank"
+    ).show(12, truncate=False)
 
     # Load for downstream joins: curated docs + their embeddings,
     # co-bucketed on doc_id. The verification join below must run

@@ -939,10 +939,17 @@ def jl_recall_eval(
         )
     approx = topk(pj, "proj")
     exact = topk(vq, "vq")
+    # left join so a query whose projected top-k misses EVERY exact
+    # neighbor still reports recall 0 instead of vanishing from the
+    # eval (caught by the r9 100x spotcheck: 6 of 10 rows at 1x)
     return (
-        exact.join(approx, ["query_id", "neighbor_id"])
+        exact.join(
+            approx.withColumn("__hit__", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.sum(F.coalesce("__hit__", F.lit(0))).alias("n_overlap"))
         .select(
             "query_id",
             "n_overlap",

@@ -6092,9 +6092,11 @@ et AS (SELECT query_id, neighbor_id FROM (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
   FROM ed) WHERE rn <= 10)
-SELECT query_id, count(*) AS n_overlap, count(*) / 10.0 AS recall_at_k
-FROM et JOIN at USING (query_id, neighbor_id)
-GROUP BY query_id
+SELECT et.query_id,
+  CAST(count(at.neighbor_id) AS BIGINT) AS n_overlap,
+  count(at.neighbor_id) / 10.0 AS recall_at_k
+FROM et LEFT JOIN at USING (query_id, neighbor_id)
+GROUP BY et.query_id
 """
 
 
