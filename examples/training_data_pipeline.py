@@ -191,9 +191,12 @@ def main() -> None:
     from relationalize_spark.operators.text import bigram_nll_scores
 
     nll = bigram_nll_scores(kept, "doc_id", "text")
+    # LEFT join: sub-2-token documents get no bigram score — they are
+    # exempt from the fluency cut (coalesced to rank-first), not
+    # silently dropped by an inner join.
     fluent = group_relative_filter(
-        kept.join(nll.select("doc_id", "avg_nll"), "doc_id"),
-        -F.col("avg_nll"),
+        kept.join(nll.select("doc_id", "avg_nll"), "doc_id", "left"),
+        -F.coalesce(F.col("avg_nll"), F.lit(float("-inf"))),
         ["source"],
         keep_frac=0.85,
         id_col="doc_id",

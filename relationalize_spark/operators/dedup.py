@@ -950,6 +950,11 @@ def tfidf_pairs(
         )
         .persist()
     )
+    # `w` feeds the norm aggregation and both self-join sides, so it
+    # stays cached until the returned pair frame is consumed; record
+    # it so release_caches() can reclaim the residual (the spans.py
+    # lifecycle contract).
+    register_cache(w)
     norm2 = w.groupBy("id").agg(
         F.sum(F.col("wq").cast("decimal(38,0)") * F.col("wq")).alias("n2")
     )

@@ -160,13 +160,9 @@ def dsir_weights(
     Raises ``ValueError`` if ``lrq`` does not cover ``range(dim)``
     (a dim mismatch would otherwise NULL every weight via a missing
     ``element_at`` bucket, indistinguishable from empty docs)."""
-    missing = [j for j in range(dim) if j not in lrq]
-    if missing:
-        raise ValueError(
-            f"log-ratio table does not cover dim={dim}: missing buckets "
-            f"{missing[:8]}{'...' if len(missing) > 8 else ''} "
-            "(was dsir_fit run with a different dim?)"
-        )
+    from .classify import _check_weights
+
+    _check_weights(lrq, dim, intercept=False)
     wm = _lrq_map(lrq)
     toks = _tokens(text_col)
     wq = F.aggregate(

@@ -285,6 +285,14 @@ def group_relative_filter(
     """
     from pyspark.sql import Window
 
+    if "__score__" in df.columns:
+        raise ValueError(
+            "group_relative_filter reserves the column name '__score__'"
+        )
+    # re-filtering a previously-filtered frame is the documented
+    # re-threshold path: regenerate pct_rank rather than colliding
+    # with the stale one.
+    df = df.drop("pct_rank")
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("__score__").desc(), F.col(id_col)
     )

@@ -856,11 +856,16 @@ def canonicalize_text(text: Column | str) -> Column:
     runs, trim. Exact dedup on the canonical form catches the
     near-exact duplicates raw hashing misses (case flips, punctuation
     and whitespace jitter — the normalize-then-hash step in
-    Gopher/FineWeb-style exact dedup). Pure scan-side expressions;
-    the character class and ``\\s`` are ASCII-identical under Java
-    regex and RE2, so any SQL engine canonicalizes byte-for-byte."""
-    c = F.regexp_replace(F.lower(_c(text)), r"[^a-z0-9\s]", "")
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    Gopher/FineWeb-style exact dedup). Pure scan-side expressions.
+    The whitespace class is spelled out EXPLICITLY rather than as
+    ``\\s`` because the shorthand is NOT engine-identical: Java's
+    ``\\s`` includes vertical tab U+000B, RE2's (DuckDB) does not —
+    a ``\\s``-based form canonicalizes ``"a\\x0bb"`` to ``"a b"`` on
+    Spark but ``"ab"`` on DuckDB (r9 review finding). With the
+    explicit class every engine canonicalizes byte-for-byte."""
+    ws = " \\t\\n\\x0B\\f\\r"
+    c = F.regexp_replace(F.lower(_c(text)), f"[^a-z0-9{ws}]", "")
+    return F.trim(F.regexp_replace(c, f"[{ws}]+", " "))
 
 
 def canonical_dedup(
@@ -922,8 +927,12 @@ def class_tfidf_keywords(
         .agg(F.sum("tf").alias("ctf"))
     )
     cdf = ct.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
-    nc = df.select(F.col(class_col).alias("cls")).distinct().agg(
-        F.count(F.lit(1)).alias("n_classes")
+    # count_distinct ignores NULL, matching SQL COUNT(DISTINCT cls) —
+    # a NULL class still gets its own keyword group below (GROUP BY
+    # keeps NULL in both engines) but must not inflate the idf
+    # denominator (r9 review: the distinct().count() form counted it)
+    nc = df.agg(
+        F.count_distinct(F.col(class_col)).alias("n_classes")
     )
     scored = (
         ct.join(cdf.hint("merge"), "term")

@@ -4884,13 +4884,16 @@ def q130_stream_demux_dynamic(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.lit("}"),
     )
-    # the returned DataFrame READS from this directory (lazy), so it
-    # cannot be removed before the caller executes. One dir per sf is
-    # kept alive (for the still-lazy previous result); invoking again
+    # the returned DataFrame READS from this directory (lazy), so the
+    # dir must outlive the caller's execution. One dir per sf is kept
+    # alive (backing the MOST RECENT returned frame); invoking again
     # at the same sf reclaims the previous run's corpus + checkpoint
     # copy first, so long-lived gate/bench sessions hold at most one
-    # copy per sf instead of one per call (ADVICE r8); process exit
-    # sweeps the rest.
+    # copy per sf instead of one per call (ADVICE r8). CONTRACT:
+    # re-invoking at the same sf invalidates earlier returned frames
+    # (their backing files are deleted) — consume each result before
+    # requesting the next, which is how the gate, the oracle tests,
+    # and bench loops all behave. Process exit sweeps the rest.
     import atexit
 
     prev = _Q130_WORK.pop(sf, None)
@@ -6014,8 +6017,11 @@ def q146_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import canonical_dedup
 
     d = load_table(spark, sf, "documents").select("doc_id", "text")
+    # offset 10^15: disjoint from any real doc_id until a 10^15-row
+    # documents table (r9 review: 10^6 collides at large SF, silently
+    # — both engines would construct the same corrupted corpus)
     noisy = d.where(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(10**15)).alias("doc_id"),
         F.concat(F.upper(F.col("text")), F.lit(" !!  ")).alias("text"),
     )
     return canonical_dedup(d.unionByName(noisy))
@@ -6025,12 +6031,13 @@ Q146_SQL = r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, upper(text) || ' !!  ' FROM documents
+  SELECT doc_id + 1000000000000000, upper(text) || ' !!  ' FROM documents
   WHERE doc_id % 3 = 0),
 canon AS (
   SELECT doc_id,
-    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-             '\s+', ' ', 'g'))) AS canon_fp
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
+      '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS canon_fp
   FROM corpus)
 SELECT canon_fp, min(doc_id) AS survivor_id, count(*) AS n_variants
 FROM canon GROUP BY canon_fp

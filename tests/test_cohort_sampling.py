@@ -127,3 +127,22 @@ def test_group_relative_filter_keeps_top_frac_per_group(spark):
         for r in group_relative_filter(ties, F.col("s"), ["grp"], 0.5).collect()
     }
     assert kept == {0, 1}  # percent_rank 0, 1/3 <= 0.5; 2/3, 1 excluded
+
+
+def test_group_relative_filter_collision_guards(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from relationalize_spark.operators.sampling import group_relative_filter
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(4)], "doc_id int, grp string, s double"
+    )
+    # re-filtering a filtered frame regenerates pct_rank (no collision)
+    once = group_relative_filter(df, F.col("s"), ["grp"], 0.75)
+    twice = group_relative_filter(once, F.col("s"), ["grp"], 0.5)
+    assert {r.doc_id for r in twice.collect()} == {3, 2}
+    # the reserved internal name raises instead of misbehaving
+    bad = df.withColumn("__score__", F.lit(1.0))
+    with _pt.raises(ValueError, match="__score__"):
+        group_relative_filter(bad, F.col("s"), ["grp"], 0.5)

@@ -1102,3 +1102,46 @@ def test_class_tfidf_keywords(spark):
     # rank-2: 'common' appears 2x per class with idf exactly 1.0
     assert got[("a", 2)] == ("common", 2.0)
     assert got[("b", 2)] == ("common", 2.0)
+
+
+def test_canonicalize_vertical_tab_engine_parity(spark):
+    # Java \s includes \x0b, RE2's does not — the explicit whitespace
+    # class keeps Spark and DuckDB byte-identical (r9 review finding).
+    import duckdb
+
+    from relationalize_spark.operators.text import canonicalize_text
+
+    texts = ["a\x0bb", "A\x0b B!", "x\x0b\x0b\ty"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_text("t").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            r"""SELECT trim(regexp_replace(
+                 regexp_replace(lower(?), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
+                 '[ \t\n\x0B\f\r]+', ' ', 'g'))""",
+            [t],
+        ).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
+    assert got[0] == "a b"
+
+
+def test_tfidf_pairs_registers_residual_cache(spark):
+    from relationalize_spark.plans import caches
+    from relationalize_spark.operators.dedup import tfidf_pairs
+
+    caches.release_caches()
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id int, text string"
+    )
+    out = tfidf_pairs(df, threshold=0.1, max_df=10)
+    assert len(caches.LIVE_CACHES) == 1
+    n = out.count()
+    released = caches.release_caches()
+    assert released == 1 and not caches.LIVE_CACHES
+    assert out.count() == n  # post-release recompute, same result

@@ -133,9 +133,12 @@ def test_deletion_neighborhoods_catch_all_edits(s, edits):
 import re as _re
 
 
+_WS = " \t\n\x0B\f\r"  # explicit: Java \s and RE2 \s disagree on \x0b
+
+
 def _py_canon(t: str) -> str:
-    t = _re.sub(r"[^a-z0-9\s]", "", t.lower())
-    return _re.sub(r"\s+", " ", t).strip()
+    t = _re.sub(f"[^a-z0-9{_WS}]", "", t.lower())
+    return _re.sub(f"[{_WS}]+", " ", t).strip(" ")
 
 
 _printable = st.text(
