@@ -688,10 +688,16 @@ def unigram_nll_scores(
     Two aggregation passes over the posting table (term counts ->
     vocabulary; join back -> per-doc sum), both partial-aggregated;
     corpus totals ride a broadcast 1-row cross join. Per-token
-    log-probabilities are quantized to DECIMAL(18,9) BEFORE the
-    per-document sum so the score is exact-arithmetic deterministic —
-    the same accumulation-order trick as the engine's money aggregates,
-    applied to floats.
+    log-probabilities are FLOORED onto a 1e-9 BIGINT lattice BEFORE
+    the per-document sum — the repo's replayable-oracle discipline
+    (q131/q133/q144). ``round(...,9) -> DECIMAL`` is NOT sufficient
+    here: round-on-a-transcendental is unstable across Spark's own
+    collect vs whole-stage-agg evaluation paths at a half-way
+    boundary (observed r9, q143), while floor is bit-stable. The
+    per-doc sum stays in exact BIGINT quanta; ``avg_nll`` is ONE
+    IEEE division of exactly-representable values at the very end
+    (|s| <= dl * 4e10 << 2^53 for any realistic document), so both
+    the score and its oracle replay are bit-identical.
     """
     ts = term_stats(df, id_col, text_col)
     vocab = ts.groupBy("term").agg(F.sum("tf").alias("c"))
@@ -700,22 +706,24 @@ def unigram_nll_scores(
     )
     logp = vocab.crossJoin(F.broadcast(tot)).select(
         "term",
-        F.round(
-            F.log((F.col("c") + 1) / (F.col("n_corpus") + F.col("v_size"))), 9
+        F.floor(
+            F.log((F.col("c") + 1) / (F.col("n_corpus") + F.col("v_size")))
+            * F.lit(1e9)
         )
-        .cast("decimal(18,9)")
-        .alias("logp"),
+        .cast("long")
+        .alias("logp_q"),
     )
     return (
         ts.join(logp, "term")
         .groupBy("id", "dl")
-        .agg(F.sum(F.col("tf") * F.col("logp")).alias("s"))
+        .agg(F.sum(F.col("tf") * F.col("logp_q")).alias("s"))
         .select(
             F.col("id").alias(id_col),
             F.col("dl").alias("n_tokens"),
-            F.round(-F.col("s").cast("double") / F.col("dl"), 6).alias(
-                "avg_nll"
-            ),
+            (
+                (-F.col("s")).cast("double")
+                / (F.col("dl").cast("double") * F.lit(1e9))
+            ).alias("avg_nll"),
         )
     )
 
@@ -784,10 +792,14 @@ def bigram_nll_scores(
     model tables are corpus-vocabulary-proportional, so the joins
     back onto the posting table are sort-merge (never broadcast —
     the dedup.py invariant); the 1-row corpus totals ride a broadcast
-    cross join. Per-bigram log-probs are quantized to DECIMAL(18,9)
-    BEFORE the per-document sum (the unigram_nll_scores trick), so
-    the score is exact-arithmetic deterministic under any
-    partitioning and replayable in any SQL engine.
+    cross join. Per-bigram log-probs are FLOORED onto a 1e-9 BIGINT
+    lattice BEFORE the per-document sum (the unigram_nll_scores
+    discipline — floor, never round: round-on-a-transcendental
+    flipped a boundary row between Spark's own evaluation paths in
+    r9), the per-doc sum stays in exact BIGINT quanta, and
+    ``avg_nll`` is one IEEE division of exactly-representable values
+    at the end — bit-identical under any partitioning and in any
+    replaying SQL engine.
 
     The interpolation is evaluated in one fixed IEEE expression
     (two divisions, two multiplies, one add, one ``ln``), so engines
@@ -823,28 +835,29 @@ def bigram_nll_scores(
         .select(
             "v",
             "w",
-            F.round(
+            F.floor(
                 F.log(
                     F.lit(lam)
                     * ((F.col("cb") + 1) / (F.col("cv") + F.col("v_size")))
                     + F.lit(1.0 - lam)
                     * ((F.col("cu") + 1) / (F.col("n_corpus") + F.col("v_size")))
-                ),
-                9,
+                )
+                * F.lit(1e9)
             )
-            .cast("decimal(18,9)")
-            .alias("logp"),
+            .cast("long")
+            .alias("logp_q"),
         )
     )
     return (
         bs.join(logp.hint("merge"), ["v", "w"])
         .groupBy("id", "dl")
-        .agg(F.sum(F.col("tf") * F.col("logp")).alias("s"))
+        .agg(F.sum(F.col("tf") * F.col("logp_q")).alias("s"))
         .select(
             F.col("id").alias(id_col),
             F.col("dl").alias("n_tokens"),
-            F.round(
-                -F.col("s").cast("double") / (F.col("dl") - 1), 6
+            (
+                (-F.col("s")).cast("double")
+                / ((F.col("dl") - 1).cast("double") * F.lit(1e9))
             ).alias("avg_nll"),
         )
     )

@@ -3494,9 +3494,10 @@ def q101_unigram_nll(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-model fluency scoring: average negative log-likelihood
     per document under a Laplace-smoothed unigram LM of the corpus
     (operators/text.py:unigram_nll_scores) — the scalable core of a
-    KenLM-style quality filter. Log-probs are quantized to
-    DECIMAL(18,9) before summation, so the score is deterministic
-    under any partitioning and matches DuckDB exactly."""
+    KenLM-style quality filter. Log-probs are FLOORED onto a 1e-9
+    BIGINT lattice before summation (floor, never round — r9's q143
+    boundary flip), so the score is deterministic under any
+    partitioning and matches DuckDB bit-for-bit."""
     from .operators.text import unigram_nll_scores
 
     d = load_table(spark, sf, "documents")
@@ -3515,10 +3516,11 @@ vocab AS (SELECT term, SUM(tf) AS c FROM ts GROUP BY term),
 tot AS (SELECT SUM(c) AS n_corpus, COUNT(*) AS v_size FROM vocab),
 lp AS (
   SELECT term,
-    CAST(ROUND(ln((c + 1) / (n_corpus + v_size)), 9) AS DECIMAL(18,9)) AS logp
+    CAST(FLOOR(ln((c + 1) / (n_corpus + v_size)) * 1e9) AS BIGINT) AS logp_q
   FROM vocab CROSS JOIN tot)
 SELECT id AS doc_id, CAST(dl AS INT) AS n_tokens,
-  ROUND(-CAST(SUM(tf * logp) AS DOUBLE) / dl, 6) AS avg_nll
+  CAST(-CAST(SUM(tf * logp_q) AS BIGINT) AS DOUBLE)
+    / (CAST(dl AS DOUBLE) * 1e9) AS avg_nll
 FROM ts JOIN lp USING (term)
 GROUP BY id, dl
 """
@@ -5870,9 +5872,11 @@ def q143_bigram_nll(spark: SparkSession, sf: str) -> DataFrame:
     Laplace-smoothed bigram LM interpolated (lam=0.75) with the
     Laplace unigram, fit on the corpus itself — unigram q101 one
     order up, the scalable core of a KenLM/CCNet-style perplexity
-    filter. Per-bigram log-probs quantize to DECIMAL(18,9) before the
-    per-doc sum, so the score is deterministic under any partitioning
-    and the DuckDB oracle replays it value-for-value."""
+    filter. Per-bigram log-probs FLOOR onto a 1e-9 BIGINT lattice
+    before the per-doc sum (the r10 fix for r9's one-row boundary
+    flip: round-on-ln was unstable across Spark's own evaluation
+    paths; floor is bit-stable), so the score is deterministic under
+    any partitioning and the DuckDB oracle replays it bit-for-bit."""
     from .operators.text import bigram_nll_scores
 
     d = load_table(spark, sf, "documents")
@@ -5903,12 +5907,13 @@ bgc AS (SELECT v, w, sum(tf) AS cb FROM bs GROUP BY v, w),
 ctx AS (SELECT v, sum(cb) AS cv FROM bgc GROUP BY v),
 lp AS (
   SELECT v, w,
-    CAST(ROUND(ln(0.75 * ((cb + 1) / (cv + v_size))
-               + 0.25 * ((cu + 1) / (n_corpus + v_size))), 9)
-         AS DECIMAL(18,9)) AS logp
+    CAST(FLOOR(ln(0.75 * ((cb + 1) / (cv + v_size))
+               + 0.25 * ((cu + 1) / (n_corpus + v_size))) * 1e9)
+         AS BIGINT) AS logp_q
   FROM bgc JOIN ctx USING (v) JOIN uni ON w = term CROSS JOIN tot)
 SELECT id AS doc_id, CAST(dl AS INT) AS n_tokens,
-       ROUND(-CAST(SUM(tf * logp) AS DOUBLE) / (dl - 1), 6) AS avg_nll
+       CAST(-CAST(SUM(tf * logp_q) AS BIGINT) AS DOUBLE)
+         / (CAST(dl - 1 AS DOUBLE) * 1e9) AS avg_nll
 FROM bs JOIN lp USING (v, w)
 GROUP BY id, dl
 """

@@ -899,10 +899,10 @@ def test_ivfpq_contracts_on_clustered_data(spark):
 
 def test_bigram_nll_matches_python_mirror(spark):
     # Exact mirror of the interpolated-bigram math, including the
-    # decimal quantization points, on a tiny corpus.
+    # floor-onto-1e-9-BIGINT-lattice quantization points, on a tiny
+    # corpus.
     import math
     from collections import Counter
-    from decimal import Decimal
 
     from relationalize_spark.operators.text import bigram_nll_scores
 
@@ -930,13 +930,13 @@ def test_bigram_nll_matches_python_mirror(spark):
         cv[v] += c
     want = {}
     for i, (dl, pairs) in docs.items():
-        s = Decimal(0)
+        s = 0
         for v, w in pairs:
             p = lam * ((bg[(v, w)] + 1) / (cv[v] + v_size)) + (1 - lam) * (
                 (uni[w] + 1) / (n_corpus + v_size)
             )
-            s += Decimal(str(round(math.log(p), 9)))
-        want[i] = (dl, round(-float(s) / (dl - 1), 6))
+            s += math.floor(math.log(p) * 1e9)
+        want[i] = (dl, -s / ((dl - 1) * 1e9))
     got = {
         r.doc_id: (r.n_tokens, r.avg_nll)
         for r in bigram_nll_scores(df).collect()
