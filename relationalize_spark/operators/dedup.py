@@ -954,7 +954,7 @@ def tfidf_pairs(
     # stays cached until the returned pair frame is consumed; record
     # it so release_caches() can reclaim the residual (the spans.py
     # lifecycle contract).
-    register_cache(w)
+    register_cache(w, owner="dedup")
     norm2 = w.groupBy("id").agg(
         F.sum(F.col("wq").cast("decimal(38,0)") * F.col("wq")).alias("n2")
     )

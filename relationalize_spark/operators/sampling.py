@@ -252,6 +252,11 @@ def temperature_weights(
     return {s: (shares[s] / z) * target / counts[s] for s in counts}
 
 
+#: Column-metadata key marking a pct_rank produced by
+#: group_relative_filter (the re-threshold path's ownership check).
+_PCT_RANK_TAG = "relationalize_spark.group_relative_filter"
+
+
 def group_relative_filter(
     df: DataFrame,
     score: Column,
@@ -274,7 +279,11 @@ def group_relative_filter(
     ``(rank - 1) / (n - 1)`` with 0 for n = 1). Rows with
     ``percent_rank <= keep_frac`` survive. The returned frame carries
     ``pct_rank`` so downstream stages can re-threshold without
-    re-sorting.
+    re-sorting. The output ``pct_rank`` is tagged with column
+    metadata; re-filtering a frame THIS operator produced silently
+    regenerates it (the documented re-threshold path), while an
+    unrelated caller-owned ``pct_rank`` data column raises instead
+    of being destroyed (r9 ADVICE) — rename or drop it explicitly.
 
     Scale shape: ONE shuffle on the group key + a per-group sort —
     linear, no joins; skew is bounded by the largest single group
@@ -289,16 +298,30 @@ def group_relative_filter(
         raise ValueError(
             "group_relative_filter reserves the column name '__score__'"
         )
-    # re-filtering a previously-filtered frame is the documented
-    # re-threshold path: regenerate pct_rank rather than colliding
-    # with the stale one.
-    df = df.drop("pct_rank")
+    if "pct_rank" in df.columns:
+        # A pct_rank TAGGED by this operator marks the documented
+        # re-threshold path: drop the stale rank and regenerate. An
+        # untagged pct_rank is the caller's own data — destroying it
+        # silently is how a pipeline loses a column (r9 ADVICE).
+        if df.schema["pct_rank"].metadata.get(_PCT_RANK_TAG):
+            df = df.drop("pct_rank")
+        else:
+            raise ValueError(
+                "input already has a 'pct_rank' column that this "
+                "operator did not produce; rename or drop it before "
+                "calling group_relative_filter"
+            )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("__score__").desc(), F.col(id_col)
     )
     return (
         df.select("*", score.alias("__score__"))
-        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn(
+            "pct_rank",
+            F.percent_rank().over(w).alias(
+                "pct_rank", metadata={_PCT_RANK_TAG: True}
+            ),
+        )
         .where(F.col("pct_rank") <= F.lit(keep_frac))
         .drop("__score__")
     )

@@ -904,9 +904,10 @@ def jl_recall_eval(
     """Recall@k of JL-projected brute-force kNN against exact kNN on
     the same fixed-point lattice: ``(query_id, n_overlap, recall_at_k)``
     — the measurement that justifies (or vetoes) shipping the
-    narrower vectors. The query panel is the first ``n_queries`` ids
-    (bounded, corpus-independent => broadcastable by the repo rule);
-    both distance scans stream the corpus once, keep top-k per query
+    narrower vectors. The query panel is the ``n_queries`` SMALLEST
+    ids (orderBy + limit — no dense-0-based-id assumption; bounded,
+    corpus-independent => broadcastable by the repo rule); both
+    distance scans stream the corpus once, keep top-k per query
     through one window each, and the two neighbor sets join on
     ``(query_id, neighbor_id)``. Every distance is an exact BIGINT,
     so ranking (ties broken by neighbor id) is engine-replayable."""
@@ -919,8 +920,10 @@ def jl_recall_eval(
     )
 
     def topk(frame: DataFrame, col: str) -> DataFrame:
-        q = frame.where(F.col("id") < n_queries).select(
-            F.col("id").alias("query_id"), F.col(col).alias("qv")
+        q = (
+            frame.orderBy("id")
+            .limit(n_queries)
+            .select(F.col("id").alias("query_id"), F.col(col).alias("qv"))
         )
         d = (
             frame.crossJoin(F.broadcast(q))

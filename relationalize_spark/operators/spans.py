@@ -48,10 +48,19 @@ _SEP = "\x1f"
 #: words actually removed). Long-lived sessions that run these
 #: operators repeatedly should call :func:`release_span_caches`
 #: after materializing (writing/collecting) the returned frames, or
-#: the per-call residuals compound. Shared session-wide registry —
-#: see ``plans/caches.py``.
-from ..plans.caches import LIVE_CACHES as _LIVE_CACHES
-from ..plans.caches import release_caches as release_span_caches
+#: the per-call residuals compound. Entries live in the shared
+#: owner-keyed registry (``plans/caches.py``) under the "spans" tag.
+from ..plans.caches import register_cache as _register_cache
+from ..plans.caches import release_caches
+
+
+def release_span_caches() -> int:
+    """Unpersist only the residual caches SPAN operators registered
+    (owner-scoped — it no longer also releases other modules'
+    residuals, r9 ADVICE); returns how many. For a session-wide
+    sweep use :func:`relationalize_spark.plans.caches.release_caches`
+    directly."""
+    return release_caches(owner="spans")
 
 
 def _digest(c: Column, digest: str) -> Column:
@@ -63,14 +72,18 @@ def _digest(c: Column, digest: str) -> Column:
 
 
 def _tokens(text: Column) -> Column:
-    """Whitespace tokens with empties removed: ``split('', '\\s+')``
+    """Whitespace tokens with empties removed: ``split('', WS)``
     yields ``['']`` (size 1), so without the filter an empty or
     whitespace-only document produced one empty segment that every
     such document shared — and segment_dedup then stripped it from
     all but the first (ADVICE r3). Leading/trailing whitespace
     likewise no longer injects '' tokens. The q104/q105 oracles
-    mirror this with DuckDB ``list_filter``."""
-    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    mirror this with DuckDB ``list_filter``. The split class is the
+    shared explicit ``text.WS`` (Java ``\\s`` and RE2 ``\\s``
+    disagree on U+000B — r10)."""
+    from .text import WS
+
+    return F.filter(F.split(text, WS), lambda x: x != "")
 
 
 def _segments(toks: Column, seg_words: int) -> Column:
@@ -267,12 +280,12 @@ def remove_duplicate_spans(
     # loss just recomputes through the scan — cache semantics, safe
     # on clusters with executor churn (unlike localCheckpoint).
     # `covered` itself must stay cached until the RETURNED frame is
-    # consumed (it feeds the final join); it is recorded in
-    # _LIVE_CACHES so repeated calls in one session can reclaim the
+    # consumed (it feeds the final join); it is registered under the
+    # "spans" owner so repeated calls in one session can reclaim the
     # residuals via release_span_caches() (ADVICE r8).
     covered.count()
     pos.unpersist()
-    _LIVE_CACHES.append(covered)
+    _register_cache(covered, owner="spans")
     words = base.select("id", F.posexplode_outer(toks).alias("widx", "wrd"))
     kept = words.join(covered.hint("merge"), ["id", "widx"], "left")
     return (
@@ -395,5 +408,5 @@ def duplicate_span_stats(
     # per doc — remains, reclaimable via release_span_caches().
     out.count()
     pos.unpersist()
-    _LIVE_CACHES.append(out)
+    _register_cache(out, owner="spans")
     return out

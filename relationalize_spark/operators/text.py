@@ -20,7 +20,18 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-WS = r"\s+"
+#: Whitespace, spelled out — NOT ``\s``: the shorthand is not
+#: engine-identical (Java's ``\s`` = exactly this ASCII class
+#: INCLUDING vertical tab U+000B; RE2's — DuckDB — drops U+000B), so
+#: a ``\s``-based tokenizer splits ``"a\x0bb"`` into two tokens on
+#: Spark and one on DuckDB (r9 canonicalize finding, generalized to
+#: the shared tokenizer in r10). ``WS_CHARS`` is the bare class body
+#: for composing into other classes; ``WS`` is the Spark-side token
+#: splitter; SQL oracles embed the same class so both engines
+#: tokenize byte-for-byte. Java semantics are UNCHANGED by spelling
+#: it out (``\s`` == ``[ \t\n\x0B\f\r]`` exactly under Java regex).
+WS_CHARS = " \\t\\n\\x0B\\f\\r"
+WS = f"[{WS_CHARS}]+"
 
 #: Tiny per-language stopword profiles for the heuristic language ID.
 #: Checked in a fixed priority order (ties go to the earlier entry).
@@ -47,8 +58,13 @@ def token_count(text: Column | str) -> Column:
 
 #: BPE-ish pre-tokenizer pattern (GPT-2 flavored, lookahead-free so it
 #: behaves identically under Java regex and RE2): contraction
-#: suffixes, letter runs, digit runs, punctuation runs.
-BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+#: suffixes, letter runs, digit runs, punctuation runs. The
+#: whitespace exclusion is the explicit WS_CHARS class (same Java vs
+#: RE2 ``\s`` divergence as the tokenizer).
+BPE_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|"
+    f"[^A-Za-z0-9{WS_CHARS}]+"
+)
 
 
 def bpe_tokens(text: Column | str) -> Column:
@@ -77,7 +93,9 @@ def digit_ratio(text: Column | str) -> Column:
 
 
 def punctuation_ratio(text: Column | str) -> Column:
-    puncts = F.size(F.regexp_extract_all(_c(text), F.lit(r"[^\w\s]"), 0))
+    puncts = F.size(
+        F.regexp_extract_all(_c(text), F.lit(f"[^\\w{WS_CHARS}]"), 0)
+    )
     return puncts.cast("double") / char_count(text)
 
 
@@ -821,7 +839,8 @@ def bigram_nll_scores(
         term_stats(df, id_col, text_col)
         .groupBy("term")
         .agg(F.sum("tf").alias("cu"))
-        .persist()
+        .persist(),
+        owner="text",
     )
     tot = uni.agg(
         F.sum("cu").alias("n_corpus"), F.count(F.lit(1)).alias("v_size")
@@ -870,15 +889,13 @@ def canonicalize_text(text: Column | str) -> Column:
     near-exact duplicates raw hashing misses (case flips, punctuation
     and whitespace jitter — the normalize-then-hash step in
     Gopher/FineWeb-style exact dedup). Pure scan-side expressions.
-    The whitespace class is spelled out EXPLICITLY rather than as
-    ``\\s`` because the shorthand is NOT engine-identical: Java's
-    ``\\s`` includes vertical tab U+000B, RE2's (DuckDB) does not —
-    a ``\\s``-based form canonicalizes ``"a\\x0bb"`` to ``"a b"`` on
-    Spark but ``"ab"`` on DuckDB (r9 review finding). With the
-    explicit class every engine canonicalizes byte-for-byte."""
-    ws = " \\t\\n\\x0B\\f\\r"
-    c = F.regexp_replace(F.lower(_c(text)), f"[^a-z0-9{ws}]", "")
-    return F.trim(F.regexp_replace(c, f"[{ws}]+", " "))
+    The whitespace class is the module-level explicit ``WS_CHARS``
+    (see its comment: Java vs RE2 disagree on U+000B under ``\\s``;
+    r9 review finding, since generalized to the shared tokenizer).
+    With the explicit class every engine canonicalizes
+    byte-for-byte."""
+    c = F.regexp_replace(F.lower(_c(text)), f"[^a-z0-9{WS_CHARS}]", "")
+    return F.trim(F.regexp_replace(c, WS, " "))
 
 
 def canonical_dedup(

@@ -211,10 +211,14 @@ def gapfill_interpolate(
     - ``n_obs`` (observations aggregated into the bucket; 0 = hole),
     - ``value`` — the observed bucket mean, or the linear
       interpolation between the neighboring observed buckets
-      (weights are integer bucket distances), or the nearest
-      observed value at a one-sided hole; floored onto the 1e-6
+      (weights are integer bucket distances); floored onto the 1e-6
       lattice,
-    - ``src`` — ``observed`` / ``interp`` / ``locf`` / ``nocb``.
+    - ``src`` — ``observed`` / ``interp``. One-sided holes cannot
+      occur: the grid spans each key's [first, last] OBSERVED
+      bucket, so every hole has observed neighbors on both sides
+      (for edge extension use :func:`gap_fill_locf`, whose carry
+      semantics are what an out-of-range fill means anyway) —
+      the dead locf/nocb branches were trimmed per r9 ADVICE.
 
     Replayable arithmetic: observed values quantize to BIGINT quanta
     BEFORE the bucket mean, so the mean, the interpolation expression
@@ -285,18 +289,12 @@ def gapfill_interpolate(
     interp = pv + (nv - pv) * (
         (F.col("bucket_start") - pb).cast("double") / (nb - pb).cast("double")
     )
-    filled_q = (
-        F.when(F.col("oq").isNotNull(), F.col("oq"))
-        .when(pv.isNotNull() & nv.isNotNull(), interp)
-        .when(pv.isNotNull(), pv)
-        .otherwise(nv)
-    )
-    src = (
-        F.when(F.col("oq").isNotNull(), F.lit("observed"))
-        .when(pv.isNotNull() & nv.isNotNull(), F.lit("interp"))
-        .when(pv.isNotNull(), F.lit("locf"))
-        .otherwise(F.lit("nocb"))
-    )
+    # every hole lies strictly between two observed buckets (grid
+    # spans [first, last] observed), so pv/nv are always defined here
+    filled_q = F.when(F.col("oq").isNotNull(), F.col("oq")).otherwise(interp)
+    src = F.when(
+        F.col("oq").isNotNull(), F.lit("observed")
+    ).otherwise(F.lit("interp"))
     return g.select(
         F.col("key").alias(key_col),
         "bucket_start",

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.timeutil import col_epoch_micros
+from .operators import text as _TXT
 from .operators.relationalize import relationalize
 from .plans.scale import ensure_parallelism
 from .sources.tables import load_table
@@ -714,9 +715,9 @@ def q23_text_stats(spark: SparkSession, sf: str) -> DataFrame:
 Q23_SQL = r"""
 SELECT doc_id,
   CAST(LENGTH(text) AS INT) AS n_chars_out,
-  CAST(LEN(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens,
-  CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-    / LEN(regexp_split_to_array(text, '\s+')) AS avg_word_len,
+  CAST(LEN(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS INT) AS n_tokens,
+  CAST(LENGTH(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS DOUBLE)
+    / LEN(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS avg_word_len,
   CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) AS digit_ratio
 FROM documents
 """
@@ -776,11 +777,11 @@ def _q25_sql() -> str:
 SELECT doc_id, swr AS stopword_ratio, dr AS digit_ratio,
   0.4 * swr + 0.3 * (1.0 - dr) + 0.3 * len_sig AS quality_score
 FROM (SELECT doc_id,
-  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+  CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
         t -> list_contains([{words}], t))) AS DOUBLE)
-    / len(regexp_split_to_array(text, '\s+')) AS swr,
+    / len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS swr,
   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) AS dr,
-  LEAST(1.0, CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 100.0) AS len_sig
+  LEAST(1.0, CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS DOUBLE) / 100.0) AS len_sig
 FROM documents)
 """
 
@@ -816,7 +817,7 @@ def q27_fingerprint_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q27_SQL = r"""
-SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp,
   MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
 FROM documents GROUP BY 1
 """
@@ -827,7 +828,7 @@ WITH sh AS (
   SELECT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+    FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS toks FROM documents)
   ) GROUP BY doc_id, shingle
 ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 common AS (
@@ -1313,7 +1314,7 @@ def q46_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q46_SQL = r"""
-SELECT doc_id, CAST(LEN(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens
+SELECT doc_id, CAST(LEN(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS INT) AS n_tokens
 FROM documents
 """
 
@@ -1483,8 +1484,8 @@ def q52_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 Q52_SQL = r"""
 SELECT doc_id,
-  CAST(LEN(regexp_split_to_array(text, '\s+')) AS INT) AS n_words,
-  CAST(LEN(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INT) AS n_bpe_tokens
+  CAST(LEN(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS INT) AS n_words,
+  CAST(LEN(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]+')) AS INT) AS n_bpe_tokens
 FROM documents
 """
 
@@ -1728,7 +1729,7 @@ sh AS (
   SELECT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+    FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS toks FROM documents)
   ) GROUP BY doc_id, shingle
 ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 common AS (
@@ -1762,8 +1763,8 @@ def q60_bm25_rank(spark: SparkSession, sf: str) -> DataFrame:
 
 Q60_SQL = r"""
 WITH tok AS (
-  SELECT doc_id, lower(unnest(regexp_split_to_array(text, '\s+'))) AS term,
-         len(regexp_split_to_array(text, '\s+')) AS dl
+  SELECT doc_id, lower(unnest(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'))) AS term,
+         len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS dl
   FROM documents),
 postings AS (
   SELECT doc_id, term, dl, COUNT(*) AS tf FROM tok
@@ -1771,7 +1772,7 @@ postings AS (
 dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
 corpus AS (
   SELECT COUNT(*) AS n_docs,
-         AVG(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)) AS avgdl
+         AVG(CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS DOUBLE)) AS avgdl
   FROM documents)
 SELECT doc_id AS id, ROUND(SUM(
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -1836,7 +1837,7 @@ WITH sh AS (
   SELECT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+    FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS toks FROM documents)
   ) GROUP BY doc_id, shingle
 ),
 ce AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
@@ -1868,7 +1869,7 @@ WITH ph AS (
   SELECT DISTINCT doc_id, phrase FROM (
     SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
         i -> array_to_string(toks[i:i+3], ' '))) AS phrase
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+    FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS toks FROM documents)
   )
 )
 SELECT phrase, COUNT(*) AS df FROM ph GROUP BY 1
@@ -2196,26 +2197,26 @@ def _q68_sql() -> str:
     return rf"""
 WITH scored AS (
   SELECT doc_id, text, lang,
-    0.4 * (CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+    0.4 * (CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
              t -> list_contains([{words}], t))) AS DOUBLE)
-           / len(regexp_split_to_array(text, '\s+')))
+           / len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')))
     + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
                    / LENGTH(text))
-    + 0.3 * LEAST(1.0, CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+    + 0.3 * LEAST(1.0, CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS DOUBLE)
                        / 100.0) AS qs
   FROM documents),
 kept AS (SELECT doc_id, text FROM scored WHERE qs >= 0.45 AND lang = 'en'),
 ex AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY
-        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS m
+        md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))))) AS m
     FROM kept)
   WHERE doc_id = m),
 sh AS (
   SELECT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM ex)
+    FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS toks FROM ex)
   ) GROUP BY doc_id, shingle),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 common AS (
@@ -2230,7 +2231,7 @@ final AS (
   SELECT doc_id, text FROM ex
   WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
 SELECT split, COUNT(*) AS n_docs,
-  CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens
+  CAST(SUM(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS total_tokens
 FROM (
   SELECT CASE
            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
@@ -2300,7 +2301,7 @@ WITH sh AS (
   SELECT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+    FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS toks FROM documents)
   ) GROUP BY doc_id, shingle
 ),
 cs AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
@@ -2596,8 +2597,8 @@ def q77_chunk_and_pack(spark: SparkSession, sf: str) -> DataFrame:
 
 Q77_SQL = r"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
-         len(regexp_split_to_array(text, '\s+')) AS n
+  SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS toks,
+         len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS n
   FROM documents),
 st AS (
   SELECT doc_id, toks,
@@ -3508,8 +3509,8 @@ Q101_SQL = r"""
 WITH ts AS (
   SELECT id, term, dl, COUNT(*) AS tf FROM (
     SELECT doc_id AS id,
-      lower(unnest(regexp_split_to_array(text, '\s+'))) AS term,
-      len(regexp_split_to_array(text, '\s+')) AS dl
+      lower(unnest(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'))) AS term,
+      len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS dl
     FROM documents)
   GROUP BY id, term, dl),
 vocab AS (SELECT term, SUM(tf) AS c FROM ts GROUP BY term),
@@ -3622,7 +3623,7 @@ def q104_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 Q104_SQL = r"""
 WITH w AS (SELECT doc_id,
-           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws
            FROM documents),
 seg AS (
   SELECT doc_id, i::BIGINT - 1 AS idx,
@@ -3656,7 +3657,7 @@ def q105_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 Q105_SQL = r"""
 WITH w AS (SELECT doc_id,
-           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws
            FROM documents),
 pos AS (
   SELECT doc_id, i::BIGINT AS idx, array_to_string(ws[i:(i+2)], ' ') AS g
@@ -4045,7 +4046,7 @@ def q115_streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 Q115_SQL = r"""
 WITH w AS (SELECT doc_id,
-           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws
            FROM documents),
 seg AS (
   SELECT array_to_string(ws[((i-1)*10+1):((i-1)*10+10)], ' ') AS seg
@@ -4393,7 +4394,7 @@ def q123_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
 Q123_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS tok
+         unnest(list_distinct(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'))) AS tok
   FROM documents
 ),
 h AS (
@@ -4444,7 +4445,7 @@ def q124_winnow_md5(spark: SparkSession, sf: str) -> DataFrame:
 Q124_SQL = r"""
 WITH norm AS (
   SELECT doc_id,
-         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+         lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS t
   FROM documents
 ),
 g AS (
@@ -4611,7 +4612,7 @@ def q127_kmv_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     toks = d.select(
-        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+        "source", F.explode(F.split(F.lower("text"), _TXT.WS)).alias("token")
     )
     sk = kmv_sketch(toks, ["source"], "token", k=128)
     return kmv_pairwise(sk, "source", k=128).select(
@@ -4625,7 +4626,7 @@ def q127_kmv_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
 Q127_SQL = r"""
 WITH toks AS (
-  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+  SELECT source, unnest(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+')) AS token
   FROM documents WHERE text IS NOT NULL
 ),
 h AS (
@@ -5205,7 +5206,9 @@ def q131_hashed_logreg(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.classify import hashed_logreg
 
     d = load_table(spark, sf, "documents")
-    label = F.array_contains(F.split(F.col("text"), r"\s+"), "spark")
+    label = F.array_contains(
+        F.split(F.col("text"), _TXT.WS), "spark"
+    )
     return hashed_logreg(d, label, dim=32, lr=2.0, iters=3).orderBy("feature")
 
 
@@ -5222,8 +5225,8 @@ def _logreg_ctes(iters: int = 3) -> str:
     head = r"""
 WITH toks AS MATERIALIZED (
   SELECT doc_id,
-         list_contains(regexp_split_to_array(text, '\s+'), 'spark') AS has,
-         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+         list_contains(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), 'spark') AS has,
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws
   FROM documents
 ),
 docs AS MATERIALIZED (
@@ -5291,7 +5294,9 @@ def q135_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.classify import hashed_logreg, score_documents
 
     d = load_table(spark, sf, "documents")
-    label = F.array_contains(F.split(F.col("text"), r"\s+"), "spark")
+    label = F.array_contains(
+        F.split(F.col("text"), _TXT.WS), "spark"
+    )
     w = {
         r.feature: r.weight
         for r in hashed_logreg(d, label, dim=32, lr=2.0, iters=3).collect()
@@ -5336,7 +5341,7 @@ def q132_span_removal(spark: SparkSession, sf: str) -> DataFrame:
 
 Q132_SQL = r"""
 WITH w AS MATERIALIZED (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws
   FROM documents
 ),
 pos AS MATERIALIZED (
@@ -5397,7 +5402,7 @@ def _bpe_merge_ctes(merges: int = 5) -> str:
     head = r"""
 WITH vocab AS MATERIALIZED (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
-    SELECT translate(unnest(regexp_split_to_array(text, '\s+')),
+    SELECT translate(unnest(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')),
                      chr(30) || chr(31), '') AS w
     FROM documents) WHERE w <> '' GROUP BY w
 ),
@@ -5487,7 +5492,7 @@ vtok AS (
 src_words AS (
   SELECT source, w AS word, CAST(count(*) AS BIGINT) AS c FROM (
     SELECT source,
-           translate(unnest(regexp_split_to_array(text, '\\s+')),
+           translate(unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')),
                      chr(30) || chr(31), '') AS w
     FROM documents) WHERE w <> '' GROUP BY source, w
 ),
@@ -5539,7 +5544,7 @@ def _q138_sql(dim: int = 64, k: int = 25) -> str:
     return f"""
 WITH d AS MATERIALIZED (
   SELECT doc_id, (source IN ('src0', 'src1')) AS tgt,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ws
   FROM documents
 ),
 ne AS MATERIALIZED (SELECT * FROM d WHERE len(ws) > 0),
@@ -5683,7 +5688,9 @@ def q141_streaming_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.classify import hashed_logreg, stateless_score_col
 
     d = load_table(spark, sf, "documents")
-    label = F.array_contains(F.split(F.col("text"), r"\s+"), "spark")
+    label = F.array_contains(
+        F.split(F.col("text"), _TXT.WS), "spark"
+    )
     w = {
         r.feature: r.weight
         for r in hashed_logreg(d, label, dim=32, lr=2.0, iters=3).collect()
@@ -5886,8 +5893,8 @@ def q143_bigram_nll(spark: SparkSession, sf: str) -> DataFrame:
 Q143_SQL = r"""
 WITH toks AS (
   SELECT doc_id AS id,
-         regexp_split_to_array(lower(text), '\s+') AS tk,
-         len(regexp_split_to_array(text, '\s+')) AS dl
+         regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+') AS tk,
+         len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS dl
   FROM documents),
 bs0 AS (
   SELECT id, dl,
@@ -5899,7 +5906,7 @@ bs AS (
   FROM bs0 GROUP BY id, bg.v, bg.w, dl),
 uni AS (
   SELECT term, count(*) AS cu FROM (
-    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+    SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+')) AS term
     FROM documents)
   GROUP BY term),
 tot AS (SELECT sum(cu) AS n_corpus, count(*) AS v_size FROM uni),
@@ -5938,7 +5945,7 @@ Q144_SQL = r"""
 WITH ts AS (
   SELECT id, term, count(*) AS tf FROM (
     SELECT doc_id AS id,
-           unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           unnest(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+')) AS term
     FROM documents)
   GROUP BY id, term),
 dfreq AS (SELECT term, count(*) AS dft FROM ts GROUP BY term),
@@ -5991,12 +5998,12 @@ WITH scored AS (
   SELECT doc_id, lang,
     0.4 * swr + 0.3 * (1.0 - dr) + 0.3 * len_sig AS s
   FROM (SELECT doc_id, lang,
-    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
           t -> list_contains([{words}], t))) AS DOUBLE)
-      / len(regexp_split_to_array(text, '\s+')) AS swr,
+      / len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS swr,
     CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
       / LENGTH(text) AS dr,
-    LEAST(1.0, CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+    LEAST(1.0, CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS DOUBLE)
       / 100.0) AS len_sig
   FROM documents))
 SELECT doc_id, lang, pct_rank FROM (
@@ -6065,10 +6072,20 @@ def q147_jl_recall(spark: SparkSession, sf: str) -> DataFrame:
     return jl_recall_eval(e, n_queries=10, k=10, out_dim=16, seed=0)
 
 
-def _q147_sql() -> str:
+def _q147_sql(
+    in_dim: int = 64, out_dim: int = 16, seed: int = 0,
+    n_queries: int = 10, k: int = 10,
+) -> str:
+    """Generated oracle for q147. ``in_dim`` must match the actual
+    embedding width of the testdata (64 today): the SQL is generated
+    at import time so it cannot read the parquet — but the Spark side
+    derives the width from the data (``jl_project``/``vector_dim``),
+    so a testdata width change surfaces as a loud oracle mismatch,
+    never a silent wrong answer. The query panel is the ``n_queries``
+    smallest vec_ids (no dense-0-based-id assumption — r9 ADVICE)."""
     from .operators.similarity import jl_signs
 
-    signs = jl_signs(64, 16, 0)
+    signs = jl_signs(in_dim, out_dim, seed)
     vals = ",".join(
         f"({k},{j},{v})"
         for k, row in enumerate(signs)
@@ -6076,10 +6093,11 @@ def _q147_sql() -> str:
     )
     return f"""
 WITH signs(k, j, s) AS (VALUES {vals}),
+panel AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
 vq AS MATERIALIZED (
   SELECT vec_id, jj.j AS j,
     CAST(FLOOR(CAST(embedding[jj.j] AS DOUBLE) * 1e6) AS BIGINT) AS v
-  FROM embeddings, (SELECT unnest(range(1, 65)) AS j) jj),
+  FROM embeddings, (SELECT unnest(range(1, {in_dim + 1})) AS j) jj),
 proj AS MATERIALIZED (
   SELECT vec_id, k, sum(s * v) AS p
   FROM vq JOIN signs ON signs.j = vq.j - 1
@@ -6088,25 +6106,25 @@ ad AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          sum((q.p - c.p) * (q.p - c.p)) AS d2
   FROM proj q JOIN proj c USING (k)
-  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+  WHERE q.vec_id IN (SELECT vec_id FROM panel) AND c.vec_id != q.vec_id
   GROUP BY 1, 2),
 at AS (SELECT query_id, neighbor_id FROM (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
-  FROM ad) WHERE rn <= 10),
+  FROM ad) WHERE rn <= {k}),
 ed AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          sum((q.v - c.v) * (q.v - c.v)) AS d2
   FROM vq q JOIN vq c USING (j)
-  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+  WHERE q.vec_id IN (SELECT vec_id FROM panel) AND c.vec_id != q.vec_id
   GROUP BY 1, 2),
 et AS (SELECT query_id, neighbor_id FROM (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
-  FROM ed) WHERE rn <= 10)
+  FROM ed) WHERE rn <= {k})
 SELECT et.query_id,
   CAST(count(at.neighbor_id) AS BIGINT) AS n_overlap,
-  count(at.neighbor_id) / 10.0 AS recall_at_k
+  count(at.neighbor_id) / {float(k)} AS recall_at_k
 FROM et LEFT JOIN at USING (query_id, neighbor_id)
 GROUP BY et.query_id
 """
@@ -6166,16 +6184,12 @@ SELECT user_id, bucket_start,
   COALESCE(n_obs, 0) AS n_obs,
   CAST(FLOOR(CASE
     WHEN oq IS NOT NULL THEN oq
-    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-      pv + (nv - pv) * (CAST(bucket_start - pb AS DOUBLE)
-                        / CAST(nb - pb AS DOUBLE))
-    WHEN pv IS NOT NULL THEN pv
-    ELSE nv END) AS DOUBLE) / 1e6 AS value,
+    ELSE pv + (nv - pv) * (CAST(bucket_start - pb AS DOUBLE)
+                           / CAST(nb - pb AS DOUBLE)) END)
+    AS DOUBLE) / 1e6 AS value,
   CASE
     WHEN oq IS NOT NULL THEN 'observed'
-    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
-    WHEN pv IS NOT NULL THEN 'locf'
-    ELSE 'nocb' END AS src
+    ELSE 'interp' END AS src
 FROM f
 """
 
@@ -6198,7 +6212,7 @@ Q149_SQL = r"""
 WITH ts AS (
   SELECT id, cls, term, count(*) AS tf FROM (
     SELECT doc_id AS id, source AS cls,
-           unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           unnest(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+')) AS term
     FROM documents)
   GROUP BY id, cls, term),
 ct AS (SELECT cls, term, sum(tf) AS ctf FROM ts GROUP BY cls, term),

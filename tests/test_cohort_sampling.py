@@ -146,3 +146,9 @@ def test_group_relative_filter_collision_guards(spark):
     bad = df.withColumn("__score__", F.lit(1.0))
     with _pt.raises(ValueError, match="__score__"):
         group_relative_filter(bad, F.col("s"), ["grp"], 0.5)
+    # a caller-owned pct_rank data column raises instead of being
+    # silently destroyed (only the operator's own tagged pct_rank
+    # takes the re-threshold path) — r9 ADVICE
+    foreign = df.withColumn("pct_rank", F.lit(0.123))
+    with _pt.raises(ValueError, match="pct_rank"):
+        group_relative_filter(foreign, F.col("s"), ["grp"], 0.5)

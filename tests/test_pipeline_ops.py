@@ -1131,6 +1131,32 @@ def test_canonicalize_vertical_tab_engine_parity(spark):
     assert got[0] == "a b"
 
 
+def test_tokenizer_vertical_tab_engine_parity(spark):
+    # r10 generalization of the canonicalize finding to the SHARED
+    # tokenizer: the explicit WS class makes Spark's split and
+    # DuckDB's regexp_split_to_array produce identical token arrays
+    # on \x0B-bearing text (RE2's \s excludes U+000B; Java's
+    # includes it — WS spells the Java class out for both engines).
+    import duckdb
+
+    from relationalize_spark.operators.text import WS, tokens
+
+    texts = ["a\x0bb c", "x\x0b\x0by", "p\tq\x0br"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    got = {r.i: r.tk for r in df.select("i", tokens("t").alias("tk")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            r"SELECT regexp_split_to_array(?, '[ \t\n\x0B\f\r]+')", [t]
+        ).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
+    assert got[0] == ["a", "b", "c"]
+    # and WS itself is the Java-\s-identical class both sides embed
+    assert WS == r"[ \t\n\x0B\f\r]+"
+
+
 def test_tfidf_pairs_registers_residual_cache(spark):
     from relationalize_spark.plans import caches
     from relationalize_spark.operators.dedup import tfidf_pairs

@@ -276,15 +276,22 @@ def test_release_span_caches_reclaims_residuals(spark, corpus):
     # them all without breaking a still-lazy or already-collected
     # result.
     from relationalize_spark.operators import spans
+    from relationalize_spark.plans import caches
 
-    spans.release_span_caches()  # start clean
+    caches.release_caches()  # start clean (session-wide)
     df, _ = corpus
     stats = duplicate_span_stats(df, n=2)
     cleaned = remove_duplicate_spans(df, n=2, min_span=2)
-    assert len(spans._LIVE_CACHES) == 2
+    span_owned = [e for e in caches.LIVE_CACHES if e[0] == "spans"]
+    assert len(span_owned) == 2
+    # owner scoping: a foreign residual survives the span release
+    foreign = caches.register_cache(df.limit(1).persist(), owner="other")
     before = {r.doc_id: r.max_dup_run for r in stats.collect()}
     released = spans.release_span_caches()
-    assert released == 2 and not spans._LIVE_CACHES
+    assert released == 2
+    assert [e[0] for e in caches.LIVE_CACHES] == ["other"]
+    assert foreign.storageLevel.useMemory  # untouched by span release
+    caches.release_caches()
     # post-release consumption recomputes through lineage, same values
     after = {r.doc_id: r.max_dup_run for r in stats.collect()}
     assert after == before

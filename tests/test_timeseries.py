@@ -35,13 +35,12 @@ def test_gapfill_interpolates_between_observed_buckets(spark):
     assert len(out) == 5
 
 
-def test_gapfill_edges_carry_nearest(spark):
-    # key with a leading + trailing hole relative to another key is
-    # impossible (grid spans observed range only), but locf/nocb show
-    # up when a hole has a neighbor on only one side — which can't
-    # happen inside [lo, hi] with interpolation... so verify instead
-    # that every in-range hole interpolates and the quantization
-    # floors onto the lattice.
+def test_gapfill_holes_interpolate_on_lattice(spark):
+    # one-sided holes cannot occur (grid spans each key's observed
+    # [lo, hi], so every hole has neighbors on both sides — the dead
+    # locf/nocb branches were trimmed per r9 ADVICE); verify every
+    # in-range hole interpolates and the quantization floors onto
+    # the lattice.
     rows = [(1, _ts(0), 1.0), (1, _ts(2), 2.0)]
     df = spark.createDataFrame(rows, "k int, ts timestamp, value double")
     got = {r.bucket_start: r for r in gapfill_interpolate(df, "k", "ts", "value").collect()}
