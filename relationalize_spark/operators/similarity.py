@@ -959,3 +959,108 @@ def jl_recall_eval(
             (F.col("n_overlap") / F.lit(float(k))).alias("recall_at_k"),
         )
     )
+
+
+def ivfpq_recall_eval(
+    corpus: DataFrame,
+    *,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    n_queries: int = 10,
+    k: int = 5,
+    cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of :func:`ivfpq_topk` against exact brute-force kNN,
+    per ``nprobe`` setting: ``(nprobe, query_id, n_overlap,
+    recall_at_k)`` — THE tuning table for the production ANN index
+    (FAISS's recall-vs-nprobe sweep): a practitioner reads it to pick
+    the smallest ``nprobe`` whose recall clears their bar, i.e. how
+    many inverted lists each query must pay to scan.
+
+    Each ``nprobe`` runs the PRODUCTION :func:`ivfpq_topk` verbatim
+    on one shared :func:`ivfpq_index` (an eval that re-implements the
+    search path measures the re-implementation, not the index). The
+    exact side is brute-force top-k on the 1e-6 fixed-point lattice
+    (exact BIGINT distances, ties to the lowest id — the
+    :func:`jl_recall_eval` discipline), and queries whose ANN top-k
+    misses every true neighbor still report recall 0 through the
+    left join (the r9 zero-overlap lesson). The query panel is the
+    ``n_queries`` smallest ids (orderBy + limit — no dense-id
+    assumption).
+
+    Scale shape: the index builds once; each probe setting's search
+    is inverted-list-bounded exactly as production; the exact scan is
+    one corpus pass against a broadcast panel with WindowGroupLimit
+    top-k. Output is ``len(nprobes) * n_queries`` rows.
+    """
+    from functools import reduce
+
+    coarse, books, codes = ivfpq_index(
+        corpus, cells=cells, coarse_iters=coarse_iters, m=m, k=pq_k,
+        pq_iters=pq_iters, id_col=id_col, vec_col=vec_col,
+    )
+    panel = corpus.orderBy(id_col).limit(n_queries)
+
+    # exact ground truth: lattice-quantized squared L2, top-k per query
+    vq = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            as_double(vec_col), lambda x: F.floor(x * F.lit(float(JL_FP)))
+        ).alias("vq"),
+    )
+    q = (
+        vq.orderBy("id")
+        .limit(n_queries)
+        .select(F.col("id").alias("query_id"), F.col("vq").alias("qv"))
+    )
+    d = (
+        vq.crossJoin(F.broadcast(q))
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _int_l2(F.col("vq"), F.col("qv")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+    approx = reduce(
+        DataFrame.unionByName,
+        [
+            ivfpq_topk(
+                codes, panel, coarse, books, nprobe=np_, k=k,
+                id_col=id_col, vec_col=vec_col,
+            ).select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "query_id",
+                "neighbor_id",
+                F.lit(1).alias("__hit__"),
+            )
+            for np_ in nprobes
+        ],
+    )
+    probes = corpus.sparkSession.createDataFrame(
+        [(int(np_),) for np_ in nprobes], "nprobe int"
+    )
+    return (
+        exact.crossJoin(F.broadcast(probes))
+        .join(approx, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(F.sum(F.coalesce("__hit__", F.lit(0))).alias("n_overlap"))
+        .select(
+            "nprobe",
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap") / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )

@@ -6232,6 +6232,153 @@ WHERE rank <= 5
 """
 
 
+def q150_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 vs nprobe for the IVF-PQ index (operators/
+    similarity.py:ivfpq_recall_eval) — the tuning table a
+    practitioner reads to set ``nprobe`` on the production ANN
+    search (q142): each setting runs the PRODUCTION ivfpq_topk
+    verbatim on one shared index against exact brute-force top-5 on
+    the 1e-6 lattice. The oracle replays the COMPOSED pipeline once
+    (coarse trajectory, residual codebooks, codes, probe ranking up
+    to max nprobe) and derives every nprobe's candidate set from the
+    probe ranks — provably the same set ivfpq_topk scans — plus the
+    exact side and the per-(nprobe, query) overlap, value-for-value.
+    r8 verdict item 4 / r9 item 4 (carried): q147 answers "are JL
+    vectors good enough"; this answers "what nprobe do I set"."""
+    from .operators.similarity import ivfpq_recall_eval
+
+    e = load_table(spark, sf, "embeddings")
+    return ivfpq_recall_eval(
+        e, nprobes=(1, 2, 4), n_queries=10, k=5,
+        cells=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2,
+    )
+
+
+def _q150_sql(
+    cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 16,
+    pq_iters: int = 2,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    topk: int = 5,
+    n_queries: int = 10,
+    dim: int = 64,
+) -> str:
+    """q150's generated oracle: the q142 composed replay, widened to
+    a probe RANKING (rk <= max(nprobes)) so one ``dist`` pass carries
+    each candidate's probe rank — a candidate in the query's
+    rank-``r`` cell is visible at every ``nprobe >= r``, which is
+    exactly the inverted-list bound ivfpq_topk applies per setting —
+    then per-nprobe top-k, the exact lattice top-k, and the overlap
+    counts. ``dim`` matches the testdata width (the _q147_sql
+    precondition: the Spark side derives it from data, so a width
+    change fails loudly)."""
+    np_max = max(nprobes)
+    np_vals = ",".join(f"({int(v)})" for v in nprobes)
+    subdim = dim // m
+    score_v = (
+        "CAST(floor((0.5 * list_inner_product(cc.c, cc.c)"
+        " - list_inner_product(v.e, cc.c)) * 1000000000.0) AS BIGINT)"
+    )
+    qc0 = (
+        "\n     + CAST(floor(0.5 * list_inner_product(q.e, q.e)"
+        " * 1000000000.0) AS BIGINT)"
+    )
+    pt = "\n".join(
+        f""",
+pt{j} AS MATERIALIZED (
+  SELECT q.query_id, q.cluster AS pcell, cc.cluster AS code,
+    CAST(floor((0.5 * list_inner_product(cc.c, cc.c)
+     - list_inner_product(q.e[{j * subdim + 1}:{(j + 1) * subdim}], cc.c))
+     * 1000000000.0) AS BIGINT){qc0 if j == 0 else ""} AS t
+  FROM qres q CROSS JOIN c{j}x{pq_iters} cc
+)"""
+        for j in range(m)
+    )
+    cjoins = "\n  ".join(
+        f"JOIN asg{j} a{j} ON a{j}.vec_id = ca.vec_id" for j in range(1, m)
+    )
+    tjoins = "\n  ".join(
+        f"JOIN pt{j} t{j} ON t{j}.query_id = p.query_id"
+        f" AND t{j}.pcell = ca.cluster AND t{j}.code = a{j}.cluster"
+        for j in range(1, m)
+    )
+    dsum = " + ".join(f"t{j}.t" for j in range(m))
+    return (
+        "WITH "
+        + _kmeans_replay_ctes(cells, coarse_iters)
+        + f""",
+panel AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+nps(np) AS (VALUES {np_vals}),
+rsd AS MATERIALIZED (
+  SELECT v.vec_id,
+         list_transform(range(1, {dim + 1}), i -> v.e[i] - cc.c[i]) AS e
+  FROM v JOIN asg USING (vec_id) JOIN c{coarse_iters} cc USING (cluster)
+),
+"""
+        + _pq_replay_ctes(m, k, pq_iters, subdim, src="rsd", emit_tq=False)
+        + f""",
+probe AS MATERIALIZED (
+  SELECT query_id, cluster, rk FROM (
+    SELECT v.vec_id AS query_id, cc.cluster,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {score_v}, cc.cluster) AS rk
+    FROM v CROSS JOIN c{coarse_iters} cc
+    WHERE v.vec_id IN (SELECT vec_id FROM panel)
+  ) WHERE rk <= {np_max}
+),
+qres AS MATERIALIZED (
+  SELECT p.query_id, p.cluster,
+         list_transform(range(1, {dim + 1}), i -> v.e[i] - cc.c[i]) AS e
+  FROM probe p
+  JOIN v ON v.vec_id = p.query_id
+  JOIN c{coarse_iters} cc ON cc.cluster = p.cluster
+){pt},
+dist AS MATERIALIZED (
+  SELECT p.query_id, ca.vec_id, p.rk, ({dsum}) AS d
+  FROM asg ca
+  JOIN probe p ON p.cluster = ca.cluster
+  JOIN asg0 a0 ON a0.vec_id = ca.vec_id
+  {cjoins}
+  JOIN pt0 t0 ON t0.query_id = p.query_id
+   AND t0.pcell = ca.cluster AND t0.code = a0.cluster
+  {tjoins}
+  WHERE ca.vec_id != p.query_id
+),
+at AS (
+  SELECT np, query_id, vec_id AS neighbor_id FROM (
+    SELECT nps.np, dist.query_id, dist.vec_id, dist.d,
+      row_number() OVER (PARTITION BY nps.np, dist.query_id
+                         ORDER BY dist.d, dist.vec_id) AS rn
+    FROM dist JOIN nps ON dist.rk <= nps.np
+  ) WHERE rn <= {topk}
+),
+vq AS MATERIALIZED (
+  SELECT vec_id, jj.j AS j,
+    CAST(FLOOR(CAST(embedding[jj.j] AS DOUBLE) * 1e6) AS BIGINT) AS v
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS j) jj),
+ed AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum((q.v - c.v) * (q.v - c.v)) AS d2
+  FROM vq q JOIN vq c USING (j)
+  WHERE q.vec_id IN (SELECT vec_id FROM panel) AND c.vec_id != q.vec_id
+  GROUP BY 1, 2),
+et AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+  FROM ed) WHERE rn <= {topk})
+SELECT nps.np AS nprobe, et.query_id,
+  CAST(count(at.neighbor_id) AS BIGINT) AS n_overlap,
+  count(at.neighbor_id) / {float(topk)} AS recall_at_k
+FROM et CROSS JOIN nps
+LEFT JOIN at ON at.np = nps.np AND at.query_id = et.query_id
+            AND at.neighbor_id = et.neighbor_id
+GROUP BY nps.np, et.query_id
+"""
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6453,6 +6600,7 @@ REGISTRY["q68_curation_funnel"] = (q68_curation_funnel, _q68_sql())
 
 REGISTRY["q145_relative_quality_filter"] = (q145_relative_quality_filter, _q145_sql())
 REGISTRY["q147_jl_recall"] = (q147_jl_recall, _q147_sql())
+REGISTRY["q150_ivfpq_recall"] = (q150_ivfpq_recall, _q150_sql())
 
 
 def queries() -> dict[str, QueryFn]:

@@ -897,6 +897,86 @@ def test_ivfpq_contracts_on_clustered_data(spark):
     assert got2 == got
 
 
+def test_ivfpq_recall_eval_contracts(spark):
+    """r10 (r8/r9 verdict item 4): the recall-vs-nprobe tuning table.
+    Contracts: one row per (nprobe, panel query); recall in [0, 1];
+    each nprobe row set equals the overlap of the PRODUCTION
+    ivfpq_topk at that setting with exact lattice top-k (the eval
+    measures the real search path, not a re-implementation); a
+    zero-overlap query still reports recall 0; deterministic under
+    repartition. On well-separated clusters, probing every cell must
+    reach full recall of the cluster-mates ADC ranks first."""
+    import numpy as np
+
+    from relationalize_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_recall_eval,
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(13)
+    centers = rng.standard_normal((4, 16)) * 6
+    vecs = np.concatenate(
+        [c + rng.standard_normal((30, 16)) * 0.3 for c in centers]
+    )
+    perm = rng.permutation(len(vecs))
+    rows = [(int(i * 3 + 7), [float(x) for x in v])  # non-dense, non-0-based
+            for i, v in enumerate(vecs[perm])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = ivfpq_recall_eval(
+        corpus, nprobes=(1, 4), n_queries=6, k=5,
+        cells=4, coarse_iters=2, m=4, pq_k=8, pq_iters=2,
+    )
+    got = {(r.nprobe, r.query_id): (r.n_overlap, r.recall_at_k)
+           for r in out.collect()}
+    panel_ids = sorted(r[0] for r in rows)[:6]
+    assert sorted({q for _, q in got}) == panel_ids
+    assert len(got) == 2 * 6
+    assert all(0 <= rec <= 1 and ov == round(rec * 5)
+               for ov, rec in got.values())
+    # nprobe=cells probes everything: recall equals flat-ADC vs exact
+    coarse, books, codes = ivfpq_index(
+        corpus, cells=4, coarse_iters=2, m=4, k=8, pq_iters=2
+    )
+    panel = corpus.orderBy("vec_id").limit(6)
+    full = ivfpq_topk(codes, panel, coarse, books, nprobe=4, k=5)
+    by_q = {}
+    for r in full.collect():
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    from relationalize_spark.operators.similarity import JL_FP, _int_l2
+
+    vq = corpus.select(
+        "vec_id",
+        F.transform(
+            F.transform("embedding", lambda x: x.cast("double")),
+            lambda x: F.floor(x * F.lit(float(JL_FP))),
+        ).alias("vq"),
+    )
+    q = vq.orderBy("vec_id").limit(6).select(
+        F.col("vec_id").alias("qid"), F.col("vq").alias("qv")
+    )
+    exact = {}
+    for r in (
+        vq.crossJoin(q)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _int_l2("vq", "qv").alias("d2"))
+        .collect()
+    ):
+        exact.setdefault(r.qid, []).append((r.d2, r.vec_id))
+    for qid, pairs in exact.items():
+        truth = {v for _, v in sorted(pairs)[:5]}
+        want = len(truth & by_q[qid])
+        assert got[(4, qid)] == (want, want / 5.0)
+    # deterministic under repartition
+    out2 = ivfpq_recall_eval(
+        corpus.repartition(7), nprobes=(1, 4), n_queries=6, k=5,
+        cells=4, coarse_iters=2, m=4, pq_k=8, pq_iters=2,
+    )
+    assert {(r.nprobe, r.query_id): (r.n_overlap, r.recall_at_k)
+            for r in out2.collect()} == got
+
+
 def test_bigram_nll_matches_python_mirror(spark):
     # Exact mirror of the interpolated-bigram math, including the
     # floor-onto-1e-9-BIGINT-lattice quantization points, on a tiny
