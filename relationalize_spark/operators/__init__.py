@@ -39,6 +39,12 @@ from .timeseries import cohort_retention, gap_fill_locf, rollup_time_buckets
 from .similarity import (
     brute_force_topk,
     ivf_topk,
+    ivfpq_append,
+    ivfpq_index,
+    ivfpq_recall_eval,
+    ivfpq_topk,
+    jl_project,
+    jl_recall_eval,
     lsh_topk,
     quantize_embeddings,
     quantized_topk,
@@ -93,6 +99,12 @@ __all__ = [
     "rollup_time_buckets",
     "brute_force_topk",
     "ivf_topk",
+    "ivfpq_append",
+    "ivfpq_index",
+    "ivfpq_recall_eval",
+    "ivfpq_topk",
+    "jl_project",
+    "jl_recall_eval",
     "lsh_topk",
     "quantize_embeddings",
     "quantized_topk",

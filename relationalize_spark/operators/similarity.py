@@ -1064,3 +1064,70 @@ def ivfpq_recall_eval(
             (F.col("n_overlap") / F.lit(float(k))).alias("recall_at_k"),
         )
     )
+
+
+def ivfpq_append(
+    new_vectors: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode NEW vectors against a FROZEN IVF-PQ index — the
+    incremental-ingest path of a production ANN index (FAISS
+    ``add`` after ``train``): assign each vector its coarse cell,
+    take the residual against that cell's centroid, and PQ-encode
+    the residual under the existing codebooks. Returns a frame with
+    exactly :func:`ivfpq_index`'s ``codes`` schema (``id_col,
+    code_0..code_{m-1}, cell``) ready to union/append onto the codes
+    table; :func:`ivfpq_topk` then retrieves the appended vectors
+    under the same probe bound, no retrain, no touch of existing
+    codes.
+
+    Byte-identical contract (pinned by test): appending the index's
+    own training vectors reproduces the index's codes exactly — the
+    assignment, residual subtract, and sub-assignments are the same
+    replayable expressions ivfpq_index runs, so encode(new) is a
+    pure function of (vectors, coarse, codebooks).
+
+    Scale shape: pure per-row projection — one Arrow-batched coarse
+    assignment matmul, one ``zip_with`` subtract against the
+    constant-folded centroid map, ``m`` sliced sub-assignments; no
+    shuffle, no join (the cell rides the frame through the encode
+    loop instead of re-joining as the index build does), nothing
+    driver-side. Appending a billion rows is one scan.
+    """
+    from .clustering import assign_clusters
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    base = new_vectors.select(
+        F.col(id_col), as_double(vec_col).alias("__v__")
+    )
+    asg = assign_clusters(base, coarse, "__v__", "cell", replayable=True)
+    cmap = F.create_map(
+        *[
+            c
+            for cell, cen in enumerate(coarse)
+            for c in (F.lit(cell), F.array(*[F.lit(x) for x in cen]))
+        ]
+    )
+    out = asg.select(
+        F.col(id_col),
+        "cell",
+        F.zip_with(
+            "__v__", F.element_at(cmap, F.col("cell")), lambda a, b: a - b
+        ).alias("__res__"),
+    )
+    for j in range(m):
+        out = assign_clusters(
+            out.withColumn("__sub__", F.slice("__res__", j * d + 1, d)),
+            codebooks[j],
+            "__sub__",
+            f"code_{j}",
+            replayable=True,
+        ).drop("__sub__")
+    return out.select(
+        F.col(id_col), *[F.col(f"code_{j}") for j in range(m)], F.col("cell")
+    )

@@ -897,6 +897,72 @@ def test_ivfpq_contracts_on_clustered_data(spark):
     assert got2 == got
 
 
+def test_ivfpq_append_contracts(spark):
+    """r10 (r8 verdict item 6, carried): incremental encode against a
+    frozen index. Contracts: (1) appending the index's own training
+    vectors reproduces the codes table byte-identically (encode is a
+    pure function of vectors + frozen codebooks); (2) appended NEW
+    vectors are retrievable by ivfpq_topk through the unioned codes;
+    (3) the probe bound holds — an appended vector surfaces only via
+    its own cell; (4) deterministic under repartition."""
+    import numpy as np
+
+    from relationalize_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(29)
+    centers = rng.standard_normal((4, 16)) * 6
+    vecs = np.concatenate(
+        [c + rng.standard_normal((25, 16)) * 0.3 for c in centers]
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    coarse, books, codes = ivfpq_index(
+        corpus, cells=4, coarse_iters=2, m=4, k=8, pq_iters=2
+    )
+
+    # (1) re-encoding the training vectors == the index's own codes
+    re_enc = ivfpq_append(corpus, coarse, books)
+    assert re_enc.columns == codes.columns
+    assert sorted(map(tuple, re_enc.collect())) == sorted(
+        map(tuple, codes.collect())
+    )
+
+    # (2)+(3) new vectors near center 0 land in its cell and are
+    # retrieved when (and only when) that cell is probed
+    new_rows = [
+        (1000 + i, [float(x) for x in centers[0] + rng.standard_normal(16) * 0.2])
+        for i in range(5)
+    ]
+    new_df = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<float>"
+    )
+    appended = ivfpq_append(new_df, coarse, books)
+    assert appended.count() == 5
+    cells_of_new = {r.cell for r in appended.collect()}
+    assert len(cells_of_new) == 1  # tight blob -> one cell
+    all_codes = codes.unionByName(appended)
+    probe1 = ivfpq_topk(
+        all_codes, new_df.limit(1), coarse, books, nprobe=1, k=5
+    )
+    got_ids = {r.neighbor_id for r in probe1.collect()}
+    # nearest neighbors of a new blob vector are its blob-mates
+    assert got_ids & {r[0] for r in new_rows}
+    probed_cell = next(iter(cells_of_new))
+    cell_ids = {r.vec_id for r in all_codes.where(
+        F.col("cell") == probed_cell).collect()}
+    assert got_ids <= cell_ids  # probe bound: only the probed cell
+
+    # (4) determinism
+    re2 = ivfpq_append(new_df.repartition(3), coarse, books)
+    assert sorted(map(tuple, re2.collect())) == sorted(
+        map(tuple, appended.collect())
+    )
+
+
 def test_ivfpq_recall_eval_contracts(spark):
     """r10 (r8/r9 verdict item 4): the recall-vs-nprobe tuning table.
     Contracts: one row per (nprobe, panel query); recall in [0, 1];
