@@ -218,6 +218,31 @@ def main() -> None:
             f"D exactly_once={eo}: batch={tb}s replay={tb2}s {mode}={tf}s"
         )
 
+    # ---- E. schema-stable write skip A/B (r10, verdict item 5) ----------
+    # Steady-state batches on the wide corpus with the _schema.json
+    # fast path ON (default) vs forced OFF (clearing the written-set
+    # before each batch forces every table's rewrite — the pre-r10
+    # behavior). Same session, same corpus, same instance shape.
+    base = os.path.join(work, "e_skip")
+    demux = JsonStreamDemux(base, "root", key_cols=None, exactly_once=False)
+    batch = spark.createDataFrame([(ln,) for ln in wide_lines], "value string")
+    demux.process_batch(batch, 0)  # discovery
+    n_tables = len(demux.schemas)
+    for label in ("skip_on", "skip_off", "skip_on2"):
+        times = []
+        for b in range(3):
+            if label == "skip_off":
+                demux._written_schemas.clear()
+            t0 = time.monotonic()
+            demux.process_batch(batch, 100 + b)
+            times.append(time.monotonic() - t0)
+        print(
+            f"E {label}: tables={n_tables} "
+            f"steady per-batch={sum(times) / 3:.2f}s "
+            f"({sum(times) / 3 / n_tables * 1000:.0f} ms/table) "
+            f"batches={[round(t, 2) for t in times]}"
+        )
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 

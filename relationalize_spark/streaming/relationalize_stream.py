@@ -271,6 +271,18 @@ class JsonStreamDemux:
     #: instance — durable corruption telemetry is the _quarantine dir).
     quarantine_counts: dict[int, int] = field(default_factory=dict, init=False)
     _recovered: bool = field(default=False, init=False, repr=False)
+    #: last serialized schema known to be ON DISK per table — the
+    #: schema-stable fast path (r8 verdict item 3 / r9 item 5): after
+    #: discovery, most batches change no table's schema, so the
+    #: per-table _schema.json rewrite (one driver FS round trip per
+    #: table per batch — delete + write + rename) is skipped when the
+    #: merged serialization is unchanged. Crash-safe: the skip only
+    #: fires when the on-disk schema ALREADY equals the merged one,
+    #: so schema-superset-of-rows still holds; the dict is repopulated
+    #: from disk by _recover on restart.
+    _written_schemas: dict[str, str] = field(
+        default_factory=dict, init=False, repr=False
+    )
 
     def _parse_schema(self, content: str, path_str: str) -> Schema:
         try:
@@ -305,6 +317,7 @@ class JsonStreamDemux:
             content = _fs_read_text(spark, spath)
             if content is not None:
                 schema = self._parse_schema(content, spath)
+                on_disk = content
             else:
                 tmp = _fs_read_text(spark, spath + ".tmp")
                 has_rows = _fs_has_data_files(spark, f"{self.base_path}/{t}")
@@ -325,9 +338,17 @@ class JsonStreamDemux:
                     continue  # partial tmp, zero rows: replay rewrites
                 # finish the interrupted swap so the dir is clean again
                 _fs_write_text(spark, spath, tmp)
+                on_disk = tmp
             self.schemas[t] = Schema.merge(
                 self.schemas.get(t, Schema()), schema
             )
+            # seed the schema-stable fast path ONLY when the merged
+            # running schema serializes to exactly what is on disk
+            # (always true for a fresh instance; a pre-seeded
+            # instance's wider schema must still be written out)
+            ser = self.schemas[t].serialize()
+            if ser == on_disk:
+                self._written_schemas[t] = ser
         self._recovered = True
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -390,12 +411,19 @@ class JsonStreamDemux:
                 )
 
             def write_one(t: str) -> None:
-                # schema first, rows second (see class docstring)
-                _fs_write_text(
-                    spark,
-                    f"{self.base_path}/{t}/_schema.json",
-                    self.schemas[t].serialize(),
-                )
+                # schema first, rows second (see class docstring).
+                # Schema-stable fast path: when the merged schema
+                # serializes to exactly what is already on disk, the
+                # rewrite is a no-op — skip the per-table FS round
+                # trip (delete + write + rename). After discovery
+                # settles, every batch takes this branch for every
+                # table (measured in examples/bench_demux_scale.py E).
+                ser = self.schemas[t].serialize()
+                if self._written_schemas.get(t) != ser:
+                    _fs_write_text(
+                        spark, f"{self.base_path}/{t}/_schema.json", ser
+                    )
+                    self._written_schemas[t] = ser
                 if self.exactly_once:
                     # idempotent landing zone: a replayed batch
                     # OVERWRITES its own directory instead of

@@ -252,6 +252,71 @@ def test_json_stream_demux_restart_recovers_schemas(spark, tmp_path):
     assert [c["xs__val_"] for c in kids] == [1, 2]
 
 
+def test_json_stream_demux_schema_stable_write_skip(spark, tmp_path):
+    """r10 (r8 verdict item 3 / r9 item 5): after discovery, a batch
+    that changes no table's schema skips the per-table _schema.json
+    rewrite; a batch that WIDENS a schema still writes; a restarted
+    instance seeds the fast path from disk; the typed view is
+    unaffected either way."""
+    import importlib
+
+    # NB: attribute import would grab the same-named FUNCTION the
+    # package re-exports; we need the module to patch _fs_write_text
+    rs = importlib.import_module(
+        "relationalize_spark.streaming.relationalize_stream"
+    )
+
+    base = str(tmp_path / "out")
+    writes: list[str] = []
+    real = rs._fs_write_text
+
+    def counting(spark_, path, content):
+        if path.endswith("_schema.json"):
+            writes.append(path)
+        return real(spark_, path, content)
+
+    d1 = rs.JsonStreamDemux(base, "root", key_cols=["k"])
+    line = '{"k": 1, "xs": [1, 2]}'
+    try:
+        rs._fs_write_text = counting
+        d1.process_batch(
+            spark.createDataFrame([(line,)], "value string"), 0
+        )
+        first = len(writes)
+        assert first == 2  # root + root_xs, discovery batch writes
+        # schema-stable batch: same structure, zero schema writes
+        d1.process_batch(
+            spark.createDataFrame([('{"k": 2, "xs": [3]}',)], "value string"),
+            1,
+        )
+        assert len(writes) == first
+        # widening batch: new key -> root's schema rewrites (only root)
+        d1.process_batch(
+            spark.createDataFrame(
+                [('{"k": 3, "xs": [4], "b": 9}',)], "value string"
+            ),
+            2,
+        )
+        assert len(writes) == first + 1
+        # restart: fresh instance seeds the fast path from disk, so a
+        # schema-stable batch through it also skips every rewrite
+        d2 = rs.JsonStreamDemux(base, "root", key_cols=["k"])
+        d2.process_batch(
+            spark.createDataFrame(
+                [('{"k": 4, "xs": [5], "b": 1}',)], "value string"
+            ),
+            3,
+        )
+        assert len(writes) == first + 1
+    finally:
+        rs._fs_write_text = real
+    tables = d2.finalize(spark)
+    root = {r["k"]: r.asDict() for r in tables["root"].collect()}
+    assert len(root) == 4 and root[4]["b"] == 1
+    kids = [r["xs__val_"] for r in tables["root_xs"].collect()]
+    assert sorted(kids) == [1, 2, 3, 4, 5]
+
+
 def test_json_stream_demux_refuses_uncovered_table_dir(spark, tmp_path):
     """A table directory under base_path with rows but no recoverable
     _schema.json must fail loudly (fail-loud convention), not vanish
