@@ -184,6 +184,45 @@ def _av_keyframes(av, data: bytes, n_frames: int) -> list[bytes]:
     return frames
 
 
+def _mjpeg_avi_frames(data: bytes, n_frames: int) -> list[bytes] | None:
+    """Codec-free real video path (r8 verdict item 5, shipped r10):
+    extract JPEG frames from an MJPEG-in-AVI payload by walking the
+    RIFF chunk tree — no codec library, pure byte structure, the
+    video analog of the netpbm/BMP image and PCM-WAV audio real
+    paths. MJPEG stores every frame as a complete JPEG, so "first
+    ``n_frames`` frames" IS the keyframe sample PyAV's
+    ``skip_frame=NONKEY`` would take on this container.
+
+    Returns the first ``n_frames`` video-chunk payloads (``##dc`` /
+    ``##db`` stream chunks inside any LIST, classically ``movi``)
+    that are well-formed JPEGs (SOI ``FFD8`` ... EOI ``FFD9``), or
+    ``None`` when the payload is not parseable RIFF-AVI or holds no
+    such frames — the caller falls back to deterministic chunking.
+    Truncated/garbage tails stop the walk instead of raising (media
+    at corpus scale is always partially corrupt)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    riff_size = int.from_bytes(data[4:8], "little")
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        while off + 8 <= end and len(frames) < n_frames:
+            fourcc = data[off : off + 4]
+            size = int.from_bytes(data[off + 4 : off + 8], "little")
+            body_start = off + 8
+            body_end = min(body_start + size, end)
+            if fourcc == b"LIST" and size >= 4:
+                walk(body_start + 4, body_end)
+            elif fourcc[2:4] in (b"dc", b"db") and size >= 4:
+                payload = data[body_start:body_end]
+                if payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9":
+                    frames.append(payload)
+            off = body_start + size + (size & 1)  # chunks pad to even
+
+    walk(12, min(8 + riff_size, len(data)))
+    return frames or None
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "content",
@@ -195,11 +234,13 @@ def sample_frames(
     with the frame bytes — the row-explosion plumbing a real sampler
     needs.
 
-    ``mode``: ``"auto"`` extracts real keyframes via PyAV when it is
-    importable on the executors (per-payload fallback to chunking on
-    undecodable bytes), ``"av"`` requires PyAV, ``"chunk"`` pins the
-    deterministic stub (payload split into ``n_frames`` equal chunks
-    — the engine-replayable mode)."""
+    ``mode``: ``"auto"`` extracts real keyframes — via PyAV when it
+    is importable on the executors, else via the codec-free
+    MJPEG-in-AVI RIFF walk (:func:`_mjpeg_avi_frames` — REAL frames
+    in this container, no libraries), per-payload fallback to
+    chunking on undecodable bytes; ``"av"`` requires PyAV;
+    ``"chunk"`` pins the deterministic stub (payload split into
+    ``n_frames`` equal chunks — the engine-replayable mode)."""
     if mode not in ("auto", "av", "chunk"):
         raise ValueError(f"mode must be auto|av|chunk, got {mode!r}")
     src = df.select(*id_cols, binary_col)
@@ -222,7 +263,11 @@ def sample_frames(
                     if got:
                         return got
                 except Exception:
-                    pass  # undecodable payload: fall through to chunks
+                    pass  # undecodable payload: fall through
+            if mode == "auto":
+                got = _mjpeg_avi_frames(data, n_frames)
+                if got:
+                    return got
             step = max(len(data) // n_frames, 1)
             return [data[i * step : (i + 1) * step] for i in range(n_frames)]
 

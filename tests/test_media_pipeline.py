@@ -189,3 +189,81 @@ def test_sample_frames_modes(spark):
         sample_frames(df, mode="av").collect()
     with pytest.raises(ValueError):
         sample_frames(df, mode="ffmpeg")
+
+
+def _jpeg(payload: bytes) -> bytes:
+    """Minimal well-formed-for-the-walker JPEG: SOI ... EOI."""
+    return b"\xff\xd8" + payload + b"\xff\xd9"
+
+
+def _avi(frames: list[bytes], junk_tail: bytes = b"") -> bytes:
+    """Synthesize a minimal MJPEG-in-AVI: RIFF('AVI ') containing a
+    LIST('hdrl') distractor and a LIST('movi') of 00dc chunks — the
+    byte-exact-payload synthesis discipline of test_raster_images."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", b"\x00" * 14))
+    movi_body = b"movi" + b"".join(
+        chunk(b"00dc" if i % 2 == 0 else b"00db", f) for i, f in enumerate(frames)
+    )
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi + junk_tail
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_mjpeg_avi_walker_extracts_real_frames():
+    """r10 (r8 verdict item 5, carried through r9): the codec-free
+    real video path. RIFF walk + SOI/EOI validation, byte-exact."""
+    from relationalize_spark.operators.multimodal import _mjpeg_avi_frames
+
+    f = [_jpeg(b"frame-zero"), _jpeg(b"f1"), _jpeg(b"frame-two!"), _jpeg(b"3")]
+    data = _avi(f)
+    assert _mjpeg_avi_frames(data, 4) == f
+    assert _mjpeg_avi_frames(data, 2) == f[:2]  # early stop
+    # odd-length frame bodies exercise the even-padding rule
+    odd = [_jpeg(b"x"), _jpeg(b"yy")]
+    assert _mjpeg_avi_frames(_avi(odd), 4) == odd
+    # non-JPEG video chunks are skipped, not returned
+    mixed = _avi([_jpeg(b"ok"), b"not-a-jpeg-frame"])
+    assert _mjpeg_avi_frames(mixed, 4) == [_jpeg(b"ok")]
+    # not RIFF / not AVI / empty movi -> None (caller falls back)
+    assert _mjpeg_avi_frames(b"RIFF\x04\x00\x00\x00WAVE", 4) is None
+    assert _mjpeg_avi_frames(b"garbage", 4) is None
+    assert _mjpeg_avi_frames(_avi([]), 4) is None
+    # truncated tail stops the walk cleanly
+    assert _mjpeg_avi_frames(data[: len(data) - 7], 4) == f[:3]
+    # trailing garbage after movi does not break earlier frames
+    assert _mjpeg_avi_frames(_avi(f, junk_tail=b"\xff\xd8\xff"), 4) == f
+
+
+def test_sample_frames_real_avi_path(spark):
+    """mode='auto' returns REAL byte-exact JPEG frames for an AVI
+    payload (no libraries), chunks a non-video payload in the same
+    batch, and mode='chunk' still pins the replayable stub."""
+    from relationalize_spark.operators.multimodal import sample_frames
+
+    frames = [_jpeg(b"AAAA"), _jpeg(b"BBBBBB"), _jpeg(b"CC")]
+    avi = _avi(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"0123456789ab"))],
+        "doc_id long, content binary",
+    )
+    got = {}
+    for r in sample_frames(df, n_frames=3, mode="auto").collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.frame_idx, bytes(r.frame), r.frame_bytes)
+        )
+    assert sorted(got[1]) == [
+        (i, f, len(f)) for i, f in enumerate(frames)
+    ]
+    assert sorted(got[2]) == [
+        (0, b"0123", 4), (1, b"4567", 4), (2, b"89ab", 4)
+    ]
+    # chunk mode ignores the container: deterministic stub, pinned
+    chunked = [bytes(r.frame) for r in sample_frames(
+        df.where("doc_id = 1"), n_frames=3, mode="chunk").collect()]
+    step = len(avi) // 3
+    assert chunked == [avi[i * step:(i + 1) * step] for i in range(3)]
