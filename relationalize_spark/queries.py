@@ -6379,6 +6379,112 @@ GROUP BY nps.np, et.query_id
     )
 
 
+def q151_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ANN ingest (operators/similarity.py:ivfpq_append —
+    FAISS ``add`` after ``train``): freeze the q142 index's coarse
+    centroids + residual codebooks, then encode a DERIVED batch of
+    new vectors (every 7th embedding, reversed, ids offset by 10^6 —
+    deterministic, disjoint ids, different cells than the originals)
+    against them. Returns the appended codes rows ``(vec_id, code_0..
+    code_3, cell)`` — the oracle replays the coarse fit, the residual
+    codebook training, the new vectors' cell assignment, residuals,
+    and all four sub-code assignments value-for-value, attesting the
+    no-retrain ingest path end to end."""
+    from .operators.similarity import ivfpq_append, ivfpq_index
+
+    e = load_table(spark, sf, "embeddings")
+    coarse, books, _codes = ivfpq_index(
+        e, cells=8, coarse_iters=2, m=4, k=16, pq_iters=2
+    )
+    new = e.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    return ivfpq_append(new, coarse, books)
+
+
+def _q151_sql(
+    cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 16,
+    pq_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """q151's generated oracle: _kmeans_replay_ctes (coarse) + the
+    residual-sourced _pq_replay_ctes (frozen codebooks c{j}x{iters}),
+    then the append path on the derived new vectors — coarse
+    assignment (floored 1e-9 scores, ties to lowest cell), residual
+    subtract, and per-subspace code assignment against the FINAL
+    codebooks. ``dim`` pins the testdata width (the _q147_sql
+    precondition)."""
+    subdim = dim // m
+    score_new = (
+        "CAST(floor((0.5 * list_inner_product(cc.c, cc.c)"
+        " - list_inner_product(n.e, cc.c)) * 1000000000.0) AS BIGINT)"
+    )
+    sub_assigns = []
+    code_cols = []
+    for j in range(m):
+        lo, hi = j * subdim + 1, (j + 1) * subdim
+        score_j = (
+            "CAST(floor((0.5 * list_inner_product(cc.c, cc.c)"
+            f" - list_inner_product(r.e[{lo}:{hi}], cc.c))"
+            " * 1000000000.0) AS BIGINT)"
+        )
+        sub_assigns.append(
+            f""",
+n{j} AS (
+  SELECT vec_id, cluster AS code_{j} FROM (
+    SELECT r.vec_id, cc.cluster,
+      row_number() OVER (PARTITION BY r.vec_id
+                         ORDER BY {score_j}, cc.cluster) AS rk
+    FROM nres r CROSS JOIN c{j}x{pq_iters} cc
+  ) WHERE rk = 1
+)"""
+        )
+        code_cols.append(f"n{j}.code_{j}")
+    njoins = "\n  ".join(
+        f"JOIN n{j} ON n{j}.vec_id = nasg.vec_id" for j in range(m)
+    )
+    return (
+        "WITH "
+        + _kmeans_replay_ctes(cells, coarse_iters)
+        + f""",
+rsd AS MATERIALIZED (
+  SELECT v.vec_id,
+         list_transform(range(1, {dim + 1}), i -> v.e[i] - cc.c[i]) AS e
+  FROM v JOIN asg USING (vec_id) JOIN c{coarse_iters} cc USING (cluster)
+),
+"""
+        + _pq_replay_ctes(m, k, pq_iters, subdim, src="rsd", emit_tq=False)
+        + f""",
+newv AS MATERIALIZED (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS e
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+nasg AS MATERIALIZED (
+  SELECT vec_id, cluster AS cell FROM (
+    SELECT n.vec_id, cc.cluster,
+      row_number() OVER (PARTITION BY n.vec_id
+                         ORDER BY {score_new}, cc.cluster) AS rk
+    FROM newv n CROSS JOIN c{coarse_iters} cc
+  ) WHERE rk = 1
+),
+nres AS MATERIALIZED (
+  SELECT n.vec_id,
+         list_transform(range(1, {dim + 1}), i -> n.e[i] - cc.c[i]) AS e
+  FROM newv n JOIN nasg USING (vec_id)
+  JOIN c{coarse_iters} cc ON cc.cluster = nasg.cell
+){"".join(sub_assigns)}
+SELECT nasg.vec_id, {", ".join(code_cols)}, nasg.cell
+FROM nasg
+  {njoins}
+"""
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6388,151 +6494,49 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark query, duckdb oracle SQL or None)
 #:
 #: ORDER IS LOAD-BEARING: the driver's correctness gate checks only
-#: the FIRST 50 entries (CORRECTNESS_r01-r08 each contain exactly
-#: 50 rows, cut in registry order). The registry therefore rotates
-#: each round; at 149 entries under a 50-row cap the steady-state
-#: staleness bound is 3 rounds, so each round fronts the whole block
-#: whose rows are about to turn 3 rounds old. Round 9 fronts: 7 new
-#: entries (q143 bigram LM perplexity, q144 TF-IDF all-pairs
-#: similarity, q145 per-group relative quality filter, q146
-#: canonical dedup, q147 JL projection recall, q148
-#: linear-interpolation gap fill, q149 c-TF-IDF keywords), the 2
-#: entries over the duplicate_span_stats restructure (q105 — the
-#: operator became one two-stage aggregation this round — and its
-#: module sibling q104), and the 41 r6-attested entries whose newest
-#: rows turn 3 rounds old this round (q78-q80, q83-q93, q95-q102,
-#: q01, q03-q17, q19-q21 — VERDICT r8 item 3, the whole r6 block).
-#: q30/q33/q94 stay behind the cap: their rows are permanently
-#: rows-only by declared design (engine-hash values; md5 twins
-#: q123/q124/q129 carry the value-level record) and fronting them
-#: would spend window slots re-recording a weaker check. Total:
-#: 7+2+41 = 50, every one with a value oracle (verify by importing
-#: REGISTRY: entry 50 = q21_relationalize_flatten, entry 51 = q130).
-#: Behind the cap: the r8-attested block (q130-q142 and the entries
-#: r8 fronted), then the 46 r7-attested ones that remain after q104/
-#: q105 moved up — THOSE turn 3 rounds old in r10, which therefore
-#: fronts all 46 and has ~4 slots for new registrations (the
-#: saturation a 149-entry registry under a 50-row cap implies).
-#: Every entry, either side of the cap, runs against its oracle in
-#: tests/test_entry_oracle.py on every pytest run.
+#: the FIRST 50 entries (each CORRECTNESS_r0N contains exactly 50
+#: rows, cut in registry order). The registry therefore rotates each
+#: round; at 151 entries under a 50-row cap the steady-state
+#: staleness bound is ~3 rounds, so each round fronts the whole block
+#: whose rows are about to turn 3 rounds old. Round 10 fronts: the 2
+#: quantization re-attestations (q143 — FAILED r9's gate on the
+#: round-based quantizer, fixed to the floor lattice this round —
+#: and q101, which carried the identical latent pattern), the 2 new
+#: registrations (q150 IVF-PQ recall-vs-nprobe, q151 ivfpq_append),
+#: and the 46 r7-attested entries whose newest rows turn 3 rounds
+#: old this round (VERDICT r9 item 2; derived by joining
+#: CORRECTNESS_r01..r09 against the registry). q30/q33/q94 stay
+#: behind the cap: their rows are permanently rows-only by declared
+#: design (engine-hash values; md5 twins q123/q124/q129 carry the
+#: value-level record) and fronting them would spend window slots
+#: re-recording a weaker check. Total: 2+2+46 = 50, every one with a
+#: value oracle (verify by IMPORTING REGISTRY — not by regex:
+#: entry 50 = q46_pandas_udf, entry 51 = q144_tfidf_allpairs).
+#: Behind the cap: the r8/r9-attested blocks, all full hash-green.
+#: r11 must front the 50 r8-attested entries (they turn 3 rounds old
+#: then), leaving ZERO free slots — plan r11 registrations as
+#: replacements, or accept a one-round slip on the least-risky r8
+#: entries. Every entry, either side of the cap, runs against its
+#: oracle in tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- r9 window (first 50 = the driver's correctness gate) --------
-    # new this round — bigram LM perplexity, TF-IDF all-pairs
-    # similarity, per-group relative quality filter, canonical dedup,
-    # JL projection recall, linear-interpolation gap fill, c-TF-IDF
-    # keywords:
+    # --- r10 window (first 50 = the driver's correctness gate) -------
+    # re-attestations: q143 + q101 carry the r10 floor-lattice
+    # quantization fix (q143 failed r9's gate on the old round-based
+    # quantizer; q101 had the identical latent pattern):
     "q143_bigram_nll": (q143_bigram_nll, Q143_SQL),
-    "q144_tfidf_allpairs": (q144_tfidf_allpairs, Q144_SQL),
-    "q145_relative_quality_filter": (q145_relative_quality_filter, None),  # oracle generated below
-    "q146_canonical_dedup": (q146_canonical_dedup, Q146_SQL),
-    "q147_jl_recall": (q147_jl_recall, None),  # oracle generated below
-    "q148_gapfill_interpolate": (q148_gapfill_interpolate, Q148_SQL),
-    "q149_class_tfidf": (q149_class_tfidf, Q149_SQL),
-    # re-attestation: duplicate_span_stats was restructured this round
-    # (single two-stage aggregation) — front its driver row, plus its
-    # module sibling:
-    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
-    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
-    # the 41 r6-attested entries whose newest rows turn 3 rounds old
-    # this round (VERDICT r8 item 3 — the whole r6 block):
-    "q78_window_functions": (q78_window_functions, Q78_SQL),
-    "q79_array_functions": (q79_array_functions, Q79_SQL),
-    "q80_repetition_filters": (q80_repetition_filters, Q80_SQL),
-    "q83_streaming_dedup": (q83_streaming_dedup, Q83_SQL),
-    "q84_unpivot": (q84_unpivot, Q84_SQL),
-    "q85_rolling_time_window": (q85_rolling_time_window, Q85_SQL),
-    "q86_argmax_groups": (q86_argmax_groups, Q86_SQL),
-    "q87_source_mixing": (q87_source_mixing, Q87_SQL),
-    "q88_nullsafe_join": (q88_nullsafe_join, Q88_SQL),
-    "q89_date_battery": (q89_date_battery, Q89_SQL),
-    "q90_volume_shipping": (q90_volume_shipping, Q90_SQL),
-    "q91_market_share": (q91_market_share, Q91_SQL),
-    "q92_product_profit": (q92_product_profit, Q92_SQL),
-    "q93_top_supplier": (q93_top_supplier, Q93_SQL),
-    "q95_lateral_topn": (q95_lateral_topn, Q95_SQL),
-    "q96_string_agg": (q96_string_agg, Q96_SQL_ORACLE),
-    "q97_global_index": (q97_global_index, Q97_SQL),
-    "q98_regression_stats": (q98_regression_stats, Q98_SQL),
-    "q99_recursive_cte": (q99_recursive_cte, Q99_SQL),
-    "q100_column_profile": (q100_column_profile, Q100_SQL),
     "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
-    "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
-    "q04_order_priority": (q04_order_priority, Q04_SQL),
-    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
-    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
-    "q07_global_stats": (q07_global_stats, Q07_SQL),
-    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
-    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
-    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
-    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
-    "q12_setops": (q12_setops, Q12_SQL),
-    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
-    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
-    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
-    "q16_date_functions": (q16_date_functions, Q16_SQL),
-    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
-    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
-    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
-    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
-    # --- behind the cap (entry 51+): every entry below carries a ---
-    # --- full-green r7 or r8 driver row as its durable record ------
-    "q130_stream_demux_dynamic": (q130_stream_demux_dynamic, Q130_SQL),
-    "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
-    "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
-    "q131_hashed_logreg": (q131_hashed_logreg, None),# oracle generated below
-    "q132_span_removal": (q132_span_removal, Q132_SQL),
-    "q133_bpe_train": (q133_bpe_train, None),# oracle generated below
-    "q134_tokenizer_eval": (q134_tokenizer_eval, None),# oracle generated below
-    "q135_quality_scores": (q135_quality_scores, None),# oracle generated below
-    "q136_streaming_distinct_sketch": (q136_streaming_distinct_sketch, Q136_SQL),
-    "q137_pq_ann": (q137_pq_ann, None),# oracle generated below
-    "q138_dsir_selection": (q138_dsir_selection, None),# oracle generated below
-    "q139_zorder_key": (q139_zorder_key, None),# oracle generated below
-    "q140_skew_join": (q140_skew_join, Q140_SQL),
-    "q141_streaming_quality_scores": (q141_streaming_quality_scores, None),
-    "q142_ivfpq_ann": (q142_ivfpq_ann, None),# oracle generated below
-    "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
-    "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
-    "q49_large_orders": (q49_large_orders, Q49_SQL),
-    "q50_returned_revenue": (q50_returned_revenue, Q50_SQL),
-    "q51_signup_purchase_funnel": (q51_signup_purchase_funnel, Q51_SQL),
-    "q52_bpe_token_count": (q52_bpe_token_count, Q52_SQL),
-    "q53_ann_lsh_topk": (q53_ann_lsh_topk, Q53_SQL),
-    "q54_streaming_windowed_counts": (q54_streaming_windowed_counts, Q54_SQL),
-    "q55_streaming_sessionize": (q55_streaming_sessionize, Q55_SQL),
-    "q56_sole_supplier_orders": (q56_sole_supplier_orders, Q56_SQL),
-    "q57_cheapest_part_per_type": (q57_cheapest_part_per_type, Q57_SQL),
-    "q58_rich_idle_customers_by_nation": (q58_rich_idle_customers_by_nation, Q58_SQL),
-    "q59_dedup_clusters": (q59_dedup_clusters, Q59_SQL),
-    "q60_bm25_rank": (q60_bm25_rank, Q60_SQL),
-    "q61_hash_split_profile": (q61_hash_split_profile, Q61_SQL),
-    "q62_contamination": (q62_contamination, Q62_SQL),
-    "q63_boilerplate_phrases": (q63_boilerplate_phrases, Q63_SQL),
-    "q64_pii_redaction": (q64_pii_redaction, None),# oracle generated below
-    "q65_supplier_cnt_by_part": (q65_supplier_cnt_by_part, Q65_SQL),
-    "q66_dominant_suppliers": (q66_dominant_suppliers, Q66_SQL),
-    "q68_curation_funnel": (q68_curation_funnel, None),# oracle generated below
-    "q69_quantized_ann": (q69_quantized_ann, Q69_SQL),
-    "q70_incremental_dedup": (q70_incremental_dedup, Q70_SQL),
-    "q71_nation_full_outer": (q71_nation_full_outer, Q71_SQL),
-    "q72_grouping_sets": (q72_grouping_sets, Q72_SQL),
-    "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
-    "q126_kmv_distinct": (q126_kmv_distinct, Q126_SQL),
-    "q127_kmv_vocab_overlap": (q127_kmv_vocab_overlap, Q127_SQL),
-    "q128_kmv_shard_merge": (q128_kmv_shard_merge, Q128_SQL),
-    "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),# replayable Lloyd's
-    "q108_semdedup": (q108_semdedup, Q108_SQL),# replayable k-means
-    "q74_stream_static_join": (q74_stream_static_join, Q74_SQL),
-    "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
-    "q76_setops_all": (q76_setops_all, Q76_SQL),
-    "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
+    # new this round — IVF-PQ recall-vs-nprobe tuning eval and the
+    # frozen-index incremental append path:
+    "q150_ivfpq_recall": (q150_ivfpq_recall, None),  # oracle generated below
+    "q151_ivfpq_append": (q151_ivfpq_append, None),  # oracle generated below
+    # the 46 r7-attested entries whose newest driver rows turn 3
+    # rounds old this round (VERDICT r9 item 2 — derived by joining
+    # CORRECTNESS_r01..r09 against the registry):
     "q129_hll_merge_law": (q129_hll_merge_law, Q129_SQL),
     "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
     "q23_text_stats": (q23_text_stats, Q23_SQL),
-    "q24_lang_id": (q24_lang_id, None),# SQL generated below
-    "q25_quality_score": (q25_quality_score, None),# SQL generated below
+    "q24_lang_id": (q24_lang_id, None),
+    "q25_quality_score": (q25_quality_score, None),
     "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
     "q81_asof_forward": (q81_asof_forward, Q81_SQL),
     "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
@@ -6574,9 +6578,112 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q44_percentiles": (q44_percentiles, Q44_SQL),
     "q45_edit_distance": (q45_edit_distance, Q45_SQL),
     "q46_pandas_udf": (q46_pandas_udf, Q46_SQL),
-    "q30_simhash_pairs": (q30_simhash_pairs, None),# xxhash64 (twin: q123)
-    "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),# (twin: q124)
-    "q94_approx_sketches": (q94_approx_sketches, None),# (twin: q129)
+    # --- behind the cap: newest rows r8/r9 (all full hash-green),
+    # plus the three permanently rows-only entries (q30/q33/q94 —
+    # engine-hash values; md5 twins q123/q124/q129 carry the
+    # value-level record). Every entry still runs value-level in
+    # tests/test_entry_oracle.py on every pytest run. ---------------
+    "q144_tfidf_allpairs": (q144_tfidf_allpairs, Q144_SQL),
+    "q145_relative_quality_filter": (q145_relative_quality_filter, None),
+    "q146_canonical_dedup": (q146_canonical_dedup, Q146_SQL),
+    "q147_jl_recall": (q147_jl_recall, None),
+    "q148_gapfill_interpolate": (q148_gapfill_interpolate, Q148_SQL),
+    "q149_class_tfidf": (q149_class_tfidf, Q149_SQL),
+    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
+    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
+    "q78_window_functions": (q78_window_functions, Q78_SQL),
+    "q79_array_functions": (q79_array_functions, Q79_SQL),
+    "q80_repetition_filters": (q80_repetition_filters, Q80_SQL),
+    "q83_streaming_dedup": (q83_streaming_dedup, Q83_SQL),
+    "q84_unpivot": (q84_unpivot, Q84_SQL),
+    "q85_rolling_time_window": (q85_rolling_time_window, Q85_SQL),
+    "q86_argmax_groups": (q86_argmax_groups, Q86_SQL),
+    "q87_source_mixing": (q87_source_mixing, Q87_SQL),
+    "q88_nullsafe_join": (q88_nullsafe_join, Q88_SQL),
+    "q89_date_battery": (q89_date_battery, Q89_SQL),
+    "q90_volume_shipping": (q90_volume_shipping, Q90_SQL),
+    "q91_market_share": (q91_market_share, Q91_SQL),
+    "q92_product_profit": (q92_product_profit, Q92_SQL),
+    "q93_top_supplier": (q93_top_supplier, Q93_SQL),
+    "q95_lateral_topn": (q95_lateral_topn, Q95_SQL),
+    "q96_string_agg": (q96_string_agg, Q96_SQL_ORACLE),
+    "q97_global_index": (q97_global_index, Q97_SQL),
+    "q98_regression_stats": (q98_regression_stats, Q98_SQL),
+    "q99_recursive_cte": (q99_recursive_cte, Q99_SQL),
+    "q100_column_profile": (q100_column_profile, Q100_SQL),
+    "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
+    "q04_order_priority": (q04_order_priority, Q04_SQL),
+    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
+    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
+    "q07_global_stats": (q07_global_stats, Q07_SQL),
+    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
+    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
+    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
+    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
+    "q12_setops": (q12_setops, Q12_SQL),
+    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
+    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
+    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
+    "q16_date_functions": (q16_date_functions, Q16_SQL),
+    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
+    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
+    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
+    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
+    "q130_stream_demux_dynamic": (q130_stream_demux_dynamic, Q130_SQL),
+    "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
+    "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
+    "q131_hashed_logreg": (q131_hashed_logreg, None),
+    "q132_span_removal": (q132_span_removal, Q132_SQL),
+    "q133_bpe_train": (q133_bpe_train, None),
+    "q134_tokenizer_eval": (q134_tokenizer_eval, None),
+    "q135_quality_scores": (q135_quality_scores, None),
+    "q136_streaming_distinct_sketch": (q136_streaming_distinct_sketch, Q136_SQL),
+    "q137_pq_ann": (q137_pq_ann, None),
+    "q138_dsir_selection": (q138_dsir_selection, None),
+    "q139_zorder_key": (q139_zorder_key, None),
+    "q140_skew_join": (q140_skew_join, Q140_SQL),
+    "q141_streaming_quality_scores": (q141_streaming_quality_scores, None),
+    "q142_ivfpq_ann": (q142_ivfpq_ann, None),
+    "q47_grouped_demean": (q47_grouped_demean, Q47_SQL),
+    "q48_small_quantity_revenue": (q48_small_quantity_revenue, Q48_SQL),
+    "q49_large_orders": (q49_large_orders, Q49_SQL),
+    "q50_returned_revenue": (q50_returned_revenue, Q50_SQL),
+    "q51_signup_purchase_funnel": (q51_signup_purchase_funnel, Q51_SQL),
+    "q52_bpe_token_count": (q52_bpe_token_count, Q52_SQL),
+    "q53_ann_lsh_topk": (q53_ann_lsh_topk, Q53_SQL),
+    "q54_streaming_windowed_counts": (q54_streaming_windowed_counts, Q54_SQL),
+    "q55_streaming_sessionize": (q55_streaming_sessionize, Q55_SQL),
+    "q56_sole_supplier_orders": (q56_sole_supplier_orders, Q56_SQL),
+    "q57_cheapest_part_per_type": (q57_cheapest_part_per_type, Q57_SQL),
+    "q58_rich_idle_customers_by_nation": (q58_rich_idle_customers_by_nation, Q58_SQL),
+    "q59_dedup_clusters": (q59_dedup_clusters, Q59_SQL),
+    "q60_bm25_rank": (q60_bm25_rank, Q60_SQL),
+    "q61_hash_split_profile": (q61_hash_split_profile, Q61_SQL),
+    "q62_contamination": (q62_contamination, Q62_SQL),
+    "q63_boilerplate_phrases": (q63_boilerplate_phrases, Q63_SQL),
+    "q64_pii_redaction": (q64_pii_redaction, None),
+    "q65_supplier_cnt_by_part": (q65_supplier_cnt_by_part, Q65_SQL),
+    "q66_dominant_suppliers": (q66_dominant_suppliers, Q66_SQL),
+    "q68_curation_funnel": (q68_curation_funnel, None),
+    "q69_quantized_ann": (q69_quantized_ann, Q69_SQL),
+    "q70_incremental_dedup": (q70_incremental_dedup, Q70_SQL),
+    "q71_nation_full_outer": (q71_nation_full_outer, Q71_SQL),
+    "q72_grouping_sets": (q72_grouping_sets, Q72_SQL),
+    "q73_relationalize_map": (q73_relationalize_map, Q73_SQL),
+    "q126_kmv_distinct": (q126_kmv_distinct, Q126_SQL),
+    "q127_kmv_vocab_overlap": (q127_kmv_vocab_overlap, Q127_SQL),
+    "q128_kmv_shard_merge": (q128_kmv_shard_merge, Q128_SQL),
+    "q67_kmeans_profile": (q67_kmeans_profile, Q67_SQL),
+    "q108_semdedup": (q108_semdedup, Q108_SQL),
+    "q74_stream_static_join": (q74_stream_static_join, Q74_SQL),
+    "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
+    "q76_setops_all": (q76_setops_all, Q76_SQL),
+    "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
+    "q30_simhash_pairs": (q30_simhash_pairs, None),
+    "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),
+    "q94_approx_sketches": (q94_approx_sketches, None),
 }
 
 # Generated oracles (built from the same profile constants the Spark
@@ -6601,6 +6708,7 @@ REGISTRY["q68_curation_funnel"] = (q68_curation_funnel, _q68_sql())
 REGISTRY["q145_relative_quality_filter"] = (q145_relative_quality_filter, _q145_sql())
 REGISTRY["q147_jl_recall"] = (q147_jl_recall, _q147_sql())
 REGISTRY["q150_ivfpq_recall"] = (q150_ivfpq_recall, _q150_sql())
+REGISTRY["q151_ivfpq_append"] = (q151_ivfpq_append, _q151_sql())
 
 
 def queries() -> dict[str, QueryFn]:

@@ -54,9 +54,14 @@ def _load_reference():
 
 
 ref_pkg = _load_reference()
-pytestmark = pytest.mark.skipif(
-    ref_pkg is None, reason="reference package not importable"
-)
+#: slow lane (r10): exclude with -m "not slow" for the fast mid-round
+#: loop; the full suite stays the end-of-round gate.
+pytestmark = [
+    pytest.mark.skipif(
+        ref_pkg is None, reason="reference package not importable"
+    ),
+    pytest.mark.slow,
+]
 
 RID_RE = re.compile(r"^R_[0-9a-f]{32}$")
 

@@ -11,6 +11,11 @@ from relationalize_spark.plans.scale import (
 )
 
 
+#: slow lane (r10, r8 verdict item 7): exclude with -m "not slow" for
+#: the fast mid-round loop; the full suite stays the end-of-round gate.
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def skewed(spark):
     # one hot key (90%) + long tail

@@ -3,10 +3,17 @@ micro-batches and across query restarts on the same checkpoint."""
 
 import json
 
+import pytest
+
 from relationalize_spark.streaming.stateful import (
     running_counter,
     streaming_exact_dedup,
 )
+
+#: slow lane (r10, r8 verdict item 7): exclude with -m "not slow" for
+#: the fast mid-round loop; the full suite stays the end-of-round gate.
+pytestmark = pytest.mark.slow
+
 
 SCHEMA = "fp string, doc_id long"
 

@@ -9,6 +9,11 @@ import pytest
 from relationalize_spark.streaming.segments import stream_segment_dedup
 
 
+#: slow lane (r10, r8 verdict item 7): exclude with -m "not slow" for
+#: the fast mid-round loop; the full suite stays the end-of-round gate.
+pytestmark = pytest.mark.slow
+
+
 def _write_batch(spark, path, rows):
     spark.createDataFrame(
         rows, "doc_id long, ts timestamp, text string"

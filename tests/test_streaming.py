@@ -13,6 +13,11 @@ from relationalize_spark.streaming.relationalize_stream import (
     windowed_counts,
 )
 
+#: slow lane (r10, r8 verdict item 7): exclude with -m "not slow" for
+#: the fast mid-round loop; the full suite stays the end-of-round gate.
+pytestmark = pytest.mark.slow
+
+
 USERS_SCHEMA = (
     "user_id string, enrollments array<struct<course_id: string, ts: long>>"
 )
