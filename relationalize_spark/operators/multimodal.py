@@ -204,22 +204,29 @@ def _mjpeg_avi_frames(data: bytes, n_frames: int) -> list[bytes] | None:
         return None
     riff_size = int.from_bytes(data[4:8], "little")
     frames: list[bytes] = []
-
-    def walk(off: int, end: int) -> None:
+    # explicit stack, NOT recursion: a crafted/corrupt payload of
+    # thousands of nested LIST headers must stop the walk, never
+    # raise RecursionError out of the executor task (r10 review —
+    # confirmed by repro with a 24 KB nested-LIST payload). Real AVIs
+    # nest 2-3 deep; 64 is silly-deep but still O(1) memory.
+    stack: list[tuple[int, int]] = [(12, min(8 + riff_size, len(data)))]
+    while stack and len(frames) < n_frames:
+        off, end = stack.pop()
         while off + 8 <= end and len(frames) < n_frames:
             fourcc = data[off : off + 4]
             size = int.from_bytes(data[off + 4 : off + 8], "little")
             body_start = off + 8
             body_end = min(body_start + size, end)
-            if fourcc == b"LIST" and size >= 4:
-                walk(body_start + 4, body_end)
-            elif fourcc[2:4] in (b"dc", b"db") and size >= 4:
+            if fourcc == b"LIST" and size >= 4 and len(stack) < 64:
+                # resume the current level after the nested one
+                stack.append((body_start + size + (size & 1), end))
+                off, end = body_start + 4, body_end
+                continue
+            if fourcc[2:4] in (b"dc", b"db") and size >= 4:
                 payload = data[body_start:body_end]
                 if payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9":
                     frames.append(payload)
             off = body_start + size + (size & 1)  # chunks pad to even
-
-    walk(12, min(8 + riff_size, len(data)))
     return frames or None
 
 
@@ -265,7 +272,10 @@ def sample_frames(
                 except Exception:
                     pass  # undecodable payload: fall through
             if mode == "auto":
-                got = _mjpeg_avi_frames(data, n_frames)
+                try:
+                    got = _mjpeg_avi_frames(data, n_frames)
+                except Exception:
+                    got = None  # corrupt container: fall through
                 if got:
                     return got
             step = max(len(data) // n_frames, 1)

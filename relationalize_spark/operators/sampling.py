@@ -284,6 +284,11 @@ def group_relative_filter(
     regenerates it (the documented re-threshold path), while an
     unrelated caller-owned ``pct_rank`` data column raises instead
     of being destroyed (r9 ADVICE) — rename or drop it explicitly.
+    Caveat: formats that strip column metadata (JSON/CSV round
+    trips, ``createDataFrame`` from collected rows — parquet
+    preserves it) lose the tag, so a re-threshold across such a
+    boundary also raises; the error is a safe false positive — drop
+    the column and re-filter.
 
     Scale shape: ONE shuffle on the group key + a per-group sort —
     linear, no joins; skew is bounded by the largest single group
@@ -308,8 +313,10 @@ def group_relative_filter(
         else:
             raise ValueError(
                 "input already has a 'pct_rank' column that this "
-                "operator did not produce; rename or drop it before "
-                "calling group_relative_filter"
+                "operator did not produce (or whose ownership tag "
+                "was stripped by a metadata-less round trip, e.g. "
+                "JSON/CSV); rename or drop it before calling "
+                "group_relative_filter"
             )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("__score__").desc(), F.col(id_col)

@@ -891,6 +891,53 @@ def _int_l2(a, b):
     )
 
 
+def _lattice_vectors(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """``(id, vq array<bigint>)``: the corpus on the 1e-6 fixed-point
+    lattice — the exact-ground-truth representation the recall evals
+    rank in."""
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            as_double(vec_col), lambda x: F.floor(x * F.lit(float(JL_FP)))
+        ).alias("vq"),
+    )
+
+
+def _panel_topk(frame: DataFrame, col: str, n_queries: int, k: int) -> DataFrame:
+    """Brute-force top-``k`` neighbors per panel query over a
+    ``(id, <col> array<bigint>)`` frame: the panel is the
+    ``n_queries`` SMALLEST ids (orderBy + limit — no dense-0-based-id
+    assumption, r9 ADVICE; bounded and corpus-independent, so it
+    broadcasts by the repo rule), distances are exact BIGINT squared
+    L2, ties break to the lowest neighbor id, self-matches excluded,
+    and the per-query window gets WindowGroupLimit pushdown. Shared
+    by :func:`jl_recall_eval` (both rankings) and
+    :func:`ivfpq_recall_eval` (exact side) so the lattice/tie-break
+    discipline lives in exactly one place (r10 review)."""
+    q = (
+        frame.orderBy("id")
+        .limit(n_queries)
+        .select(F.col("id").alias("query_id"), F.col(col).alias("qv"))
+    )
+    d = (
+        frame.crossJoin(F.broadcast(q))
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _int_l2(F.col(col), F.col("qv")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def jl_recall_eval(
     corpus: DataFrame,
     n_queries: int = 10,
@@ -912,36 +959,9 @@ def jl_recall_eval(
     ``(query_id, neighbor_id)``. Every distance is an exact BIGINT,
     so ranking (ties broken by neighbor id) is engine-replayable."""
     pj = jl_project(corpus, id_col, vec_col, out_dim=out_dim, seed=seed)
-    vq = corpus.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            as_double(vec_col), lambda x: F.floor(x * F.lit(float(JL_FP)))
-        ).alias("vq"),
-    )
-
-    def topk(frame: DataFrame, col: str) -> DataFrame:
-        q = (
-            frame.orderBy("id")
-            .limit(n_queries)
-            .select(F.col("id").alias("query_id"), F.col(col).alias("qv"))
-        )
-        d = (
-            frame.crossJoin(F.broadcast(q))
-            .where(F.col("id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("id").alias("neighbor_id"),
-                _int_l2(F.col(col), F.col("qv")).alias("d2"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k)
-            .select("query_id", "neighbor_id")
-        )
-    approx = topk(pj, "proj")
-    exact = topk(vq, "vq")
+    vq = _lattice_vectors(corpus, id_col, vec_col)
+    approx = _panel_topk(pj, "proj", n_queries, k)
+    exact = _panel_topk(vq, "vq", n_queries, k)
     # left join so a query whose projected top-k misses EVERY exact
     # neighbor still reports recall 0 instead of vanishing from the
     # eval (caught by the r9 100x spotcheck: 6 of 10 rows at 1x)
@@ -1006,32 +1026,10 @@ def ivfpq_recall_eval(
     )
     panel = corpus.orderBy(id_col).limit(n_queries)
 
-    # exact ground truth: lattice-quantized squared L2, top-k per query
-    vq = corpus.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            as_double(vec_col), lambda x: F.floor(x * F.lit(float(JL_FP)))
-        ).alias("vq"),
-    )
-    q = (
-        vq.orderBy("id")
-        .limit(n_queries)
-        .select(F.col("id").alias("query_id"), F.col("vq").alias("qv"))
-    )
-    d = (
-        vq.crossJoin(F.broadcast(q))
-        .where(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            _int_l2(F.col("vq"), F.col("qv")).alias("d2"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact = (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id")
+    # exact ground truth: lattice-quantized squared L2, top-k per
+    # query — the shared _panel_topk discipline (one copy, r10 review)
+    exact = _panel_topk(
+        _lattice_vectors(corpus, id_col, vec_col), "vq", n_queries, k
     )
 
     approx = reduce(

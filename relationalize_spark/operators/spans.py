@@ -344,7 +344,8 @@ def duplicate_span_stats(
     position table feeds both the gram aggregation and the join, so
     it is persisted, materialized through the final (small, per-doc
     numeric) result, and released before returning; only the returned
-    stats frame itself stays cached, recorded in ``_LIVE_CACHES`` for
+    stats frame itself stays cached, registered under the "spans"
+    owner (``plans/caches.py:register_cache``) for
     :func:`release_span_caches`.
     """
     toks = _tokens(F.col("__t__"))

@@ -238,7 +238,15 @@ def gapfill_interpolate(
         * step_s
     ).alias("bucket_start")
     obs = (
-        df.select(
+        # NULL-valued rows are dropped BEFORE bucketing: an all-NULL
+        # bucket would otherwise count as "observed" (anchoring the
+        # grid) while contributing no value — recreating the
+        # one-sided-hole case the trimmed locf/nocb branches no
+        # longer handle (r10 review). With the filter, "observed"
+        # means "has at least one non-NULL value", and every hole
+        # provably has valued neighbors on both sides.
+        df.where(F.col(val_col).isNotNull())
+        .select(
             F.col(key_col).alias("key"),
             bucket,
             F.floor(F.col(val_col) * F.lit(float(TS_FP)))

@@ -6154,7 +6154,7 @@ WITH obs AS (
       AS bucket_start,
     count(*) AS n_obs,
     sum(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS sq
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
   GROUP BY 1, 2),
 obs2 AS (
   SELECT user_id, bucket_start, n_obs, CAST(sq AS DOUBLE) / n_obs AS oq

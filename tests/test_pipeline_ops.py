@@ -1303,6 +1303,28 @@ def test_tokenizer_vertical_tab_engine_parity(spark):
     assert WS == r"[ \t\n\x0B\f\r]+"
 
 
+def test_oracle_sql_whitespace_class_matches_spark_ws():
+    """r10 review: the explicit whitespace class lives as ~50 literal
+    copies inside the oracle SQL strings; this pins every copy
+    byte-identical to the Spark side's text.WS so a future class
+    change cannot silently diverge one engine. Also asserts no oracle
+    still tokenizes with the engine-divergent \\s shorthand."""
+    import re
+
+    import __spark_entry__ as entry_mod
+    from relationalize_spark.operators.text import WS
+
+    assert WS == r"[ \t\n\x0B\f\r]+"
+    split_cls = re.compile(r"regexp_split_to_array\([^,]+,\s*'([^']+)'\)")
+    for name, sql in entry_mod.oracle_sql().items():
+        for cls in split_cls.findall(sql):
+            assert cls == WS, (name, cls)
+        # \s may appear only inside the explicit class spelling
+        for m in re.finditer(r"\\s", sql):
+            ctx = sql[max(0, m.start() - 20):m.end() + 5]
+            raise AssertionError((name, ctx))
+
+
 def test_tfidf_pairs_registers_residual_cache(spark):
     from relationalize_spark.plans import caches
     from relationalize_spark.operators.dedup import tfidf_pairs

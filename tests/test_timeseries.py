@@ -50,6 +50,32 @@ def test_gapfill_holes_interpolate_on_lattice(spark):
     assert r.value == math.floor(1.5 * TS_FP) / TS_FP
 
 
+def test_gapfill_null_values_do_not_anchor_grid(spark):
+    # r10 review: a bucket whose only rows carry NULL values must not
+    # count as "observed" — pre-filter, it anchored the grid edge
+    # with oq=NULL and produced value=NULL/src='interp' (a one-sided
+    # hole the trimmed locf/nocb branches no longer cover). With the
+    # filter, NULL-valued rows are invisible: the grid spans only
+    # VALUED buckets and every hole interpolates.
+    rows = [
+        (1, _ts(0), None),    # all-NULL leading bucket: dropped
+        (1, _ts(2), 2.0),
+        (1, _ts(3), None),    # NULL inside a valued stream: dropped
+        (1, _ts(4), 4.0),
+        (1, _ts(6), None),    # all-NULL trailing bucket: dropped
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, value double")
+    got = {r.bucket_start: r for r in
+           gapfill_interpolate(df, "k", "ts", "value").collect()}
+    b2 = int(_ts(2).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert sorted(got) == [b2, b2 + 3600, b2 + 7200]  # 2h..4h only
+    assert got[b2].value == 2.0 and got[b2].src == "observed"
+    mid = got[b2 + 3600]
+    assert mid.src == "interp" and mid.n_obs == 0 and mid.value == 3.0
+    assert got[b2 + 7200].value == 4.0
+    assert all(r.value is not None for r in got.values())
+
+
 def test_gapfill_deterministic_under_repartition(spark):
     import random
 
