@@ -9,16 +9,17 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 8 final HEAD (q130 JsonStreamDemux driver
-query, q131/q135 replayable logreg train+score, q132 span excision,
-q133/q134 replayable BPE train+eval, q136 streaming windowed HLL
-distinct, q137 replayable PQ/ADC ANN, q138 replayable DSIR
-importance resampling, q139/q140 plans-toolkit driver rows, q141
-streaming x ML full-value scoring, q142 IVF-PQ composition, demux
-write pool, all three self-review hardening passes in) —
-BARE-SESSION GATE: ALL 142 OK.
-(Earlier same-round runs as the registry grew: ALL 130 / 135 / 136
-/ 137 / 140.)
+Last full run: round 10 HEAD at commit 28502b8 (q143/q101
+floor-lattice quantization fix, explicit WS class across operators +
+all oracles, q150 IVF-PQ recall-vs-nprobe, q151 ivfpq_append, the
+r10 window rotation, demux schema-stable write skip, MJPEG-in-AVI
+real video path, all six r9 ADVICE closures and all six r10
+mid-round review fixes in) — BARE-SESSION GATE: ALL 151 OK.
+(Prior rounds: r8 final ALL 142; earlier r8 runs as the registry
+grew: ALL 130 / 135 / 136 / 137 / 140. The r9 round shipped with
+this header stale at 142 while the registry was 149 — r9 verdict
+item 3; keep this header current with an ALL-<registry> run at the
+final gate-attested commit EVERY round.)
 """
 
 import os
