@@ -125,9 +125,10 @@ def robust_outliers(
     the group shares one value) yield NULL scores and are excluded —
     by construction nothing deviates robustly there.
 
-    Output: the original row plus ``robust_z`` (rounded, and the
-    threshold compares the ROUNDED value so any SQL engine replays
-    the same row set).
+    Output: the original row plus ``robust_z`` (FLOORED onto the
+    ``10^-round_to`` lattice — floor, never round, the r9 q143
+    discipline — and the threshold compares the QUANTIZED value so
+    any SQL engine replays the same row set).
     """
     v = F.col(value_col).cast("double")
     med = df.groupBy(*group_cols).agg(
@@ -137,9 +138,15 @@ def robust_outliers(
     mad = with_med.groupBy(*group_cols).agg(
         F.percentile(F.abs(v - F.col("__med__")), 0.5).alias("__mad__")
     )
-    z = F.round(
-        F.lit(0.6745) * (v - F.col("__med__")) / F.nullif("__mad__", F.lit(0.0)),
-        round_to,
+    den = float(10**round_to)
+    z = (
+        F.floor(
+            F.lit(0.6745)
+            * (v - F.col("__med__"))
+            / F.nullif("__mad__", F.lit(0.0))
+            * F.lit(den)
+        ).cast("double")
+        / F.lit(den)
     )
     return (
         with_med.join(mad, group_cols)

@@ -580,7 +580,7 @@ def embedding_dup_pairs(
     return (
         candidates.join(va, F.col("i") == F.col("va.id"))
         .join(vb, F.col("j") == F.col("vb.id"))
-        .select("i", "j", F.round(score, 6).alias("cos_sim"))
+        .select("i", "j", (F.floor(score * F.lit(1e6)).cast("double") / F.lit(1e6)).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -648,7 +648,7 @@ def semdedup_pairs(
     return (
         candidates.join(va, F.col("i") == F.col("va.id"))
         .join(vb, F.col("j") == F.col("vb.id"))
-        .select("i", "j", F.round(score, 6).alias("cos_sim"), "cluster")
+        .select("i", "j", (F.floor(score * F.lit(1e6)).cast("double") / F.lit(1e6)).alias("cos_sim"), "cluster")
         .filter(F.col("cos_sim") >= threshold)
     )
 

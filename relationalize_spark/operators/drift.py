@@ -62,8 +62,12 @@ def psi_drift(
     null-rate drift matters); a degenerate baseline (min == max) puts
     every value in bin 0.
 
-    Fractions and terms are rounded (default 9 dp) so cross-engine
-    summation-order ulps cannot flip a comparison.
+    Fractions and terms FLOOR onto a ``10^-round_to`` lattice
+    (default 1e-9; floor, never round — round semantics diverge
+    between engines and were unstable across Spark's own evaluation
+    paths, r9 q143) so cross-engine ``ln`` ulps cannot flip a
+    comparison except on a lattice boundary (~1e-7/eval, the
+    documented residual band).
     """
     v = F.col(value_col).cast("double")
     b = baseline.select(v.alias("__v__")).where(F.col("__v__").isNotNull())
@@ -100,11 +104,16 @@ def psi_drift(
     tot_c = F.sum("cur_n").over(Window.partitionBy())
     pb = F.greatest(F.col("base_n") / tot_b, F.lit(EPS))
     pc = F.greatest(F.col("cur_n") / tot_c, F.lit(EPS))
+    den = float(10**round_to)
+
+    def lat(x):
+        return F.floor(x * F.lit(den)).cast("double") / F.lit(den)
+
     return counts.select(
         "bin",
         "base_n",
         "cur_n",
-        F.round(F.col("base_n") / tot_b, round_to).alias("base_frac"),
-        F.round(F.col("cur_n") / tot_c, round_to).alias("cur_frac"),
-        F.round((pc - pb) * F.log(pc / pb), round_to).alias("psi_term"),
+        lat(F.col("base_n") / tot_b).alias("base_frac"),
+        lat(F.col("cur_n") / tot_c).alias("cur_frac"),
+        lat((pc - pb) * F.log(pc / pb)).alias("psi_term"),
     )

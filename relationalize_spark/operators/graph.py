@@ -17,11 +17,15 @@ Catalyst plan) stays bounded.
 
 Determinism across engines: float summation order differs between
 any two engines (and between two Spark runs with different
-partitioning), so each iteration's rank is quantized to
-``quantize`` decimals after damping — drift from reordering is
-~1e-16 relative, absorbed by the quantum, and the next iteration
-starts from bit-identical inputs everywhere. The same trick the
-repo's weighted sampler uses for its hash draws.
+partitioning), so ranks live on a ``10^-quantize`` BIGINT lattice
+end to end (r10 — the q143 floor-lattice discipline; the previous
+round-after-float-sum form absorbed reorder drift only while no
+value sat on a round boundary, and any flip would AMPLIFY through
+the remaining iterations): each edge's contribution is
+``floor(rank_q / deg)`` (exact, order-free BIGINT sum), the damped
+update is one IEEE multiply floored back onto the lattice, and the
+final rank is one exact division. Every step is bit-identical in
+any engine and under any partitioning.
 """
 
 from __future__ import annotations
@@ -67,27 +71,52 @@ def pagerank(
     # (src, dst, deg) is static across iterations; persist once.
     link = e.join(deg, "src").persist()
 
-    base = (1.0 - damping) / n_nodes
+    import math
+
+    q_den = 10**quantize
+    # both constants computed with the exact IEEE op order the SQL
+    # oracle uses: (1 - d) / n, then * 10^q; 1.0 / n, then * 10^q
+    base_q = math.floor(((1.0 - damping) / n_nodes) * q_den)
     try:
         ranks = nodes.select(
-            "id", F.lit(round(1.0 / n_nodes, quantize)).alias("rank")
+            "id",
+            F.lit(math.floor((1.0 / n_nodes) * q_den))
+            .cast("long")
+            .alias("rank_q"),
         )
         for i in range(max_iter):
+            # floor(rank_q / deg) per edge: exact BIGINTs, so the
+            # per-destination sum is order-free integer arithmetic
             contribs = (
                 link.join(ranks.withColumnRenamed("id", "src"), "src")
                 .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum(F.col("rank") / F.col("__deg__")).alias("__in__"))
+                .agg(
+                    F.sum(
+                        F.floor(F.col("rank_q") / F.col("__deg__"))
+                    ).alias("__in__")
+                )
             )
             ranks = nodes.join(contribs, "id", "left").select(
                 "id",
-                F.round(
-                    F.lit(base) + F.lit(damping) * F.coalesce("__in__", F.lit(0.0)),
-                    quantize,
-                ).alias("rank"),
+                (
+                    F.lit(base_q)
+                    + F.floor(
+                        F.lit(damping)
+                        * F.coalesce("__in__", F.lit(0).cast("long"))
+                    )
+                )
+                .cast("long")
+                .alias("rank_q"),
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
                 # Bound lineage/plan growth across iterations.
                 ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.select(
+            "id",
+            (F.col("rank_q").cast("double") / F.lit(float(q_den))).alias(
+                "rank"
+            ),
+        )
         # Materialize the result BEFORE dropping the cached inputs its
         # lazy plan depends on (mirrors kmeans_fit's finally-unpersist).
         ranks = ranks.localCheckpoint(eager=True)

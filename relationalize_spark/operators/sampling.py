@@ -134,12 +134,19 @@ def weighted_quota_sample(
     the "random" draw is reproducible on any cluster shape and the
     DuckDB oracle replays it bit-for-bit.
 
-    The priority is rounded to 12 decimal places before ranking
-    (ties broken by id) so the comparison never depends on the
-    last-ulp behavior of two engines' ``pow``. Rows with weight <= 0
-    get priority -1: never sampled while any positive-weight row
-    remains (ANSI mode forbids the 1/0 the textbook formula would
-    hit).
+    The priority FLOORS onto a 1e-9 BIGINT lattice before ranking
+    (ties broken by id): ``u`` is exact (integer hash over a
+    power-of-two denominator) but ``pow`` is transcendental, so the
+    repo's floor discipline applies — floor (never round: round
+    semantics themselves diverge between engines, r9 q143) onto a
+    lattice coarse enough that a 1-ulp ``pow`` divergence flips a
+    boundary with only ~1e-7 probability per draw (the documented
+    residual band; the prior 1e-12 round left a ~1e-4 window).
+    Quantization ties fall to the id order — deterministic, and a
+    distortion only when two priorities agree within 1e-9. Rows with
+    weight <= 0 get priority -1: never sampled while any
+    positive-weight row remains (ANSI mode forbids the 1/0 the
+    textbook formula would hit).
 
     One shuffle on ``group_col``; same skew guidance as
     :func:`group_quota_sample`.
@@ -151,8 +158,8 @@ def weighted_quota_sample(
     u = (h + F.lit(0.5)) / F.lit(float(_M32))
     wt = F.col(weight_col).cast("double")
     priority = F.when(
-        wt > 0, F.round(F.pow(u, F.lit(1.0) / wt), 12)
-    ).otherwise(F.lit(-1.0))
+        wt > 0, F.floor(F.pow(u, F.lit(1.0) / wt) * F.lit(1e9)).cast("long")
+    ).otherwise(F.lit(-1).cast("long"))
     w = Window.partitionBy(group_col).orderBy(priority.desc(), c.asc())
     return (
         df.withColumn("__rank__", F.row_number().over(w))

@@ -94,7 +94,12 @@ def brute_force_topk(
     )
     score = F.col("score")
     if round_scores is not None:
-        score = F.round(score, round_scores)
+        # 1e-6 floor lattice, never round (r9 q143: round on a
+        # float expression is not even stable across Spark's own
+        # evaluation paths at a boundary; floor also sidesteps the
+        # engines' differing round semantics)
+        _den = F.lit(float(10**round_scores))
+        score = F.floor(score * _den).cast("double") / _den
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
@@ -358,7 +363,12 @@ def ivf_topk(
     )
     score = cosine(F.col("qv"), F.col("cv"))
     if round_scores is not None:
-        score = F.round(score, round_scores)
+        # 1e-6 floor lattice, never round (r9 q143: round on a
+        # float expression is not even stable across Spark's own
+        # evaluation paths at a boundary; floor also sidesteps the
+        # engines' differing round semantics)
+        _den = F.lit(float(10**round_scores))
+        score = F.floor(score * _den).cast("double") / _den
     candidates = (
         F.broadcast(q_tab)
         .join(c_tab, "cluster")
@@ -411,7 +421,12 @@ def lsh_topk(
     )
     score = cosine(F.col("qv"), F.col("cv"))
     if round_scores is not None:
-        score = F.round(score, round_scores)
+        # 1e-6 floor lattice, never round (r9 q143: round on a
+        # float expression is not even stable across Spark's own
+        # evaluation paths at a boundary; floor also sidesteps the
+        # engines' differing round semantics)
+        _den = F.lit(float(10**round_scores))
+        score = F.floor(score * _den).cast("double") / _den
     candidates = (
         F.broadcast(q_tab)
         .join(
@@ -479,7 +494,12 @@ def quantized_topk(
     )
     score = cosine(F.col("qv"), F.col("cv"))
     if round_scores is not None:
-        score = F.round(score, round_scores)
+        # 1e-6 floor lattice, never round (r9 q143: round on a
+        # float expression is not even stable across Spark's own
+        # evaluation paths at a boundary; floor also sidesteps the
+        # engines' differing round semantics)
+        _den = F.lit(float(10**round_scores))
+        score = F.floor(score * _den).cast("double") / _den
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))

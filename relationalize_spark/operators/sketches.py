@@ -94,7 +94,12 @@ def kmv_sketch(
     estimate = F.when(
         F.col("__n_min__") < k, F.col("__n_min__").cast("double")
     ).otherwise(
-        F.round(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth, 6)
+        # floor onto the 1e-6 lattice, never round (r9 q143): kth is
+        # an exact md5-derived BIGINT so the quotient is bit-identical
+        # everywhere and floor replays outright
+        F.floor(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth * F.lit(1e6))
+        .cast("double")
+        / F.lit(1e6)
     )
     return agg.select(
         *group_cols,
@@ -130,7 +135,12 @@ def kmv_merge(
     estimate = F.when(
         F.col("__n_min__") < k, F.col("__n_min__").cast("double")
     ).otherwise(
-        F.round(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth, 6)
+        # floor onto the 1e-6 lattice, never round (r9 q143): kth is
+        # an exact md5-derived BIGINT so the quotient is bit-identical
+        # everywhere and floor replays outright
+        F.floor(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth * F.lit(1e6))
+        .cast("double")
+        / F.lit(1e6)
     )
     return agg.select(
         *group_cols,
@@ -259,15 +269,21 @@ def _set_stat_cols(k: int) -> list[Column]:
     inter_full = F.size(F.filter(merged, in_both))
     exact = (F.col("__na__") < k) & (F.col("__nb__") < k)
     kth = F.element_at(x, k)
+    def lat6(x):
+        # 1e-6 floor lattice (never round — r9 q143); all inputs are
+        # exact integers or md5-derived BIGINTs, so every estimate is
+        # bit-identical in any engine
+        return F.floor(x * F.lit(1e6)).cast("double") / F.lit(1e6)
+
     union_est = F.when(exact, F.size(merged).cast("double")).otherwise(
-        F.round(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth, 6)
+        lat6(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth)
     )
     jaccard = F.when(
         exact,
-        F.round(inter_full.cast("double") / F.greatest(F.size(merged), F.lit(1)), 6),
-    ).otherwise(F.round(inter_k.cast("double") / F.lit(float(k)), 6))
+        lat6(inter_full.cast("double") / F.greatest(F.size(merged), F.lit(1))),
+    ).otherwise(lat6(inter_k.cast("double") / F.lit(float(k))))
     return [
-        F.round(jaccard, 6).alias("jaccard_est"),
-        F.round(union_est, 6).alias("union_est"),
-        F.round(jaccard * union_est, 6).alias("intersection_est"),
+        jaccard.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        lat6(jaccard * union_est).alias("intersection_est"),
     ]

@@ -161,6 +161,15 @@ def char_entropy(text: Column | str) -> Column:
     over per-char counts computed with higher-order functions. Work
     is O(alphabet * length) per document — alphabet-bounded, so it
     stays scan-speed at any corpus size. Empty/null text scores 0.
+
+    Replayable arithmetic (r10, the q143 lesson applied before it
+    bites): the old form float-folded ``n*log2(n)`` terms in ARRAY
+    order and rounded — the fold order follows each engine's
+    distinct-char order, so a 1-ulp drift could flip the 9-dp round
+    on a boundary document. Each term now floors onto the 1e-9
+    BIGINT lattice (the integer fold is order-free), and H is ONE
+    exact division: ``(floor(log2(T)*1e9)*T - sum_q) / (T*1e9)`` —
+    bit-identical in any engine.
     """
     c = _c(text)
     cs = F.split(c, "")
@@ -169,12 +178,15 @@ def char_entropy(text: Column | str) -> Column:
         lambda ch: F.size(F.filter(cs, lambda x: x == ch)).cast("double"),
     )
     total = F.size(cs)
-    term_sum = F.aggregate(
-        F.transform(counts, lambda n: n * F.log2(n)),
-        F.lit(0.0),
+    sq = F.aggregate(
+        F.transform(
+            counts, lambda n: F.floor(n * F.log2(n) * F.lit(1e9))
+        ),
+        F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    h = F.round(F.log2(total.cast("double")) - term_sum / total, 9)
+    num = F.floor(F.log2(total.cast("double")) * F.lit(1e9)) * total - sq
+    h = num.cast("double") / (total.cast("double") * F.lit(1e9))
     return F.when(c.isNull() | (F.length(c) == 0), F.lit(0.0)).otherwise(h)
 
 
@@ -405,31 +417,54 @@ def bm25_topk(
     least one query term are scored.
 
     Returns (id, score) for the top-k by BM25 descending, id
-    ascending for determinism. ``score`` is rounded to 6 decimals so
-    double accumulation order cannot flip equal-score orderings."""
+    ascending for determinism.
+
+    Replayable arithmetic (r10 — the q143 lesson applied before it
+    bites): the old form summed raw double contributions and rounded
+    — a float-accumulation-order dependence (Spark partial-agg order
+    vs DuckDB's) that was green only because no corpus value had yet
+    landed on a 6-dp boundary. Now: ``avgdl`` is ONE division of
+    exact BIGINTs (never a float AVG); the transcendental ``idf``
+    floors onto the 1e-9 BIGINT lattice immediately; each term's
+    contribution — a fixed IEEE expression of bit-identical inputs —
+    floors onto a 1e-6 lattice BEFORE the per-doc sum, so the sum is
+    exact integer arithmetic (order-free) and the final score is one
+    exact division. Ranking ties compare integers."""
     ts = term_stats(df, id_col, text_col)
     qterms = [t.lower() for t in query_terms]
     postings = ts.filter(F.col("term").isin(qterms))
 
     corpus = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(token_count(text_col).cast("double")).alias("avgdl"),
+        (
+            F.sum(token_count(text_col).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
     )
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
+    idf_q = F.floor(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * F.lit(1e9)
     )
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    contrib_q = F.floor(
+        (idf_q.cast("double") / F.lit(1e9)) * tf_part * F.lit(1e6)
+    ).cast("long")
     return (
         postings.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(corpus))
         .groupBy("id")
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+        .agg(F.sum(contrib_q).alias("sq"))
+        .select(
+            "id", (F.col("sq").cast("double") / F.lit(1e6)).alias("score")
+        )
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )

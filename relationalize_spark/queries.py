@@ -893,9 +893,9 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings 
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
 SELECT query_id, neighbor_id, score FROM (
   SELECT query_id, neighbor_id,
-    ROUND(list_cosine_similarity(qv, cv), 6) AS score,
+    CAST(FLOOR(list_cosine_similarity(qv, cv) * 1e6) AS BIGINT) / 1e6 AS score,
     ROW_NUMBER() OVER (PARTITION BY query_id
-      ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, neighbor_id ASC) AS rn
+      ORDER BY CAST(FLOOR(list_cosine_similarity(qv, cv) * 1e6) AS BIGINT) / 1e6 DESC, neighbor_id ASC) AS rn
   FROM q JOIN c ON query_id != neighbor_id
 ) WHERE rn <= 5
 """
@@ -916,9 +916,9 @@ def q32_embedding_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 Q32_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS i, b.vec_id AS j,
-  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) / 1e6 AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+WHERE CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) / 1e6 >= 0.45
 """
 
 
@@ -1772,12 +1772,16 @@ postings AS (
 dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
 corpus AS (
   SELECT COUNT(*) AS n_docs,
-         AVG(CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS DOUBLE)) AS avgdl
+         CAST(CAST(SUM(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')))
+                   AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avgdl
   FROM documents)
-SELECT doc_id AS id, ROUND(SUM(
-    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+SELECT doc_id AS id,
+  CAST(CAST(SUM(CAST(FLOOR(
+    (CAST(FLOOR(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e9)
+          AS BIGINT) / 1e9)
     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-  ), 6) AS score
+    * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 AS score
 FROM postings JOIN dfreq USING (term) CROSS JOIN corpus
 GROUP BY doc_id
 ORDER BY score DESC, id ASC
@@ -2270,9 +2274,9 @@ q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
       FROM embeddings WHERE vec_id < 10)
 SELECT query_id, neighbor_id, score FROM (
   SELECT query_id, neighbor_id,
-    ROUND(list_cosine_similarity(qv, cv), 6) AS score,
+    CAST(FLOOR(list_cosine_similarity(qv, cv) * 1e6) AS BIGINT) / 1e6 AS score,
     ROW_NUMBER() OVER (PARTITION BY query_id
-      ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+      ORDER BY CAST(FLOOR(list_cosine_similarity(qv, cv) * 1e6) AS BIGINT) / 1e6 DESC,
                neighbor_id ASC) AS rn
   FROM q JOIN cq ON query_id != neighbor_id
 ) WHERE rn <= 5
@@ -3400,20 +3404,29 @@ def q98_regression_stats(spark: SparkSession, sf: str) -> DataFrame:
     var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n
     var_y = F.col("syy") - F.col("sy") * F.col("sy") / n
     slope = cov_n / var_x
+    def lat6(x):
+        # floor onto the 1e-6 lattice (never round — r9 q143): the
+        # inputs are bit-identical exact-decimal-derived doubles, so
+        # floor makes the emission engine-replayable outright
+        return F.floor(x * F.lit(1e6)).cast("double") / F.lit(1e6)
+
     return agg.select(
         "l_returnflag",
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
-        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("pearson_r"),
+        lat6(slope).alias("slope"),
+        lat6((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+        lat6(cov_n / F.sqrt(var_x * var_y)).alias("pearson_r"),
     )
 
 
 Q98_SQL = """
 SELECT l_returnflag, n_raw AS n,
-  ROUND((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS slope,
-  ROUND((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n, 6) AS intercept,
-  ROUND((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS pearson_r
+  CAST(FLOOR((sxy - sx*sy/n) / (sxx - sx*sx/n) * 1e6) AS BIGINT) / 1e6
+    AS slope,
+  CAST(FLOOR((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n * 1e6)
+    AS BIGINT) / 1e6 AS intercept,
+  CAST(FLOOR((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) * 1e6)
+    AS BIGINT) / 1e6 AS pearson_r
 FROM (
   SELECT l_returnflag,
     CAST(COUNT(*) AS BIGINT) AS n_raw,
@@ -3779,16 +3792,16 @@ pairs AS (
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 )
 SELECT p.i, p.j,
-  round(list_inner_product(va.e, vb.e)
+  CAST(FLOOR(list_inner_product(va.e, vb.e)
         / (sqrt(list_inner_product(va.e, va.e))
-           * sqrt(list_inner_product(vb.e, vb.e))), 6) AS cos_sim,
+           * sqrt(list_inner_product(vb.e, vb.e))) * 1e6) AS BIGINT) / 1e6 AS cos_sim,
   p.cluster
 FROM pairs p
 JOIN v va ON p.i = va.vec_id
 JOIN v vb ON p.j = vb.vec_id
-WHERE round(list_inner_product(va.e, vb.e)
+WHERE CAST(FLOOR(list_inner_product(va.e, vb.e)
         / (sqrt(list_inner_product(va.e, va.e))
-           * sqrt(list_inner_product(vb.e, vb.e))), 6) >= 0.45
+           * sqrt(list_inner_product(vb.e, vb.e))) * 1e6) AS BIGINT) / 1e6 >= 0.45
 """
 )
 
@@ -3928,9 +3941,9 @@ SELECT doc_id, source, n_chars FROM (
   SELECT doc_id, source, n_chars,
     row_number() OVER (
       PARTITION BY source
-      ORDER BY round(
+      ORDER BY CAST(FLOOR(
         pow((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0,
-            1.0 / n_chars), 12) DESC,
+            1.0 / n_chars) * 1e9) AS BIGINT) DESC,
         doc_id ASC
     ) AS rk
   FROM documents
@@ -4072,11 +4085,13 @@ def q116_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
 Q116_SQL = """
 SELECT doc_id,
   CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
-  ELSE round(
-    log2(len(cs)) - list_sum(list_transform(
-      list_transform(list_distinct(cs),
-                     c -> CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)),
-      n -> n * log2(n))) / len(cs), 9)
+  ELSE CAST(
+    CAST(FLOOR(log2(len(cs)) * 1e9) AS BIGINT) * len(cs)
+    - CAST(list_sum(list_transform(
+        list_transform(list_distinct(cs),
+                       c -> CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)),
+        n -> CAST(FLOOR(n * log2(n) * 1e9) AS BIGINT))) AS BIGINT)
+    AS DOUBLE) / (CAST(len(cs) AS DOUBLE) * 1e9)
   END AS entropy
 FROM (SELECT doc_id, text, string_split(text, '') AS cs FROM documents)
 """
@@ -4165,13 +4180,16 @@ j AS (
   FROM bins LEFT JOIN bb ON bins.bin = bb.bin LEFT JOIN cc ON bins.bin = cc.bin
 )
 SELECT bin, base_n, cur_n,
-  round(base_n / (sum(base_n) OVER ()), 9) AS base_frac,
-  round(cur_n / (sum(cur_n) OVER ()), 9) AS cur_frac,
-  round(
+  CAST(FLOOR(base_n / (sum(base_n) OVER ()) * 1e9) AS BIGINT) / 1e9
+    AS base_frac,
+  CAST(FLOOR(cur_n / (sum(cur_n) OVER ()) * 1e9) AS BIGINT) / 1e9
+    AS cur_frac,
+  CAST(FLOOR(
     (greatest(cur_n / (sum(cur_n) OVER ()), 1e-6)
      - greatest(base_n / (sum(base_n) OVER ()), 1e-6))
     * ln(greatest(cur_n / (sum(cur_n) OVER ()), 1e-6)
-         / greatest(base_n / (sum(base_n) OVER ()), 1e-6)), 9) AS psi_term
+         / greatest(base_n / (sum(base_n) OVER ()), 1e-6))
+    * 1e9) AS BIGINT) / 1e9 AS psi_term
 FROM j
 """
 
@@ -4181,7 +4199,8 @@ def q119_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
     robust_outliers): per-event-type modified z-scores over event
     values; |z| > 3.5 rows survive. The oracle replays the exact
     two-level quantile_cont + Iglewicz-Hoaglin formula; the threshold
-    compares the 6-dp-rounded score in both engines."""
+    compares the 1e-6-floor-latticed score in both engines (r10:
+    floor, never round)."""
     from .operators.audit import robust_outliers
 
     e = load_table(spark, sf, "events")
@@ -4201,11 +4220,13 @@ mad AS (
   FROM events e JOIN med ON e.event_type = med.event_type GROUP BY e.event_type
 )
 SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
-  round(0.6745 * (CAST(e.value AS DOUBLE) - med.m) / nullif(mad.d, 0), 6) AS robust_z
+  CAST(FLOOR(0.6745 * (CAST(e.value AS DOUBLE) - med.m)
+             / nullif(mad.d, 0) * 1e6) AS BIGINT) / 1e6 AS robust_z
 FROM events e
 JOIN med ON e.event_type = med.event_type
 JOIN mad ON e.event_type = mad.event_type
-WHERE abs(round(0.6745 * (CAST(e.value AS DOUBLE) - med.m) / nullif(mad.d, 0), 6)) > 3.5
+WHERE abs(CAST(FLOOR(0.6745 * (CAST(e.value AS DOUBLE) - med.m)
+               / nullif(mad.d, 0) * 1e6) AS BIGINT) / 1e6) > 3.5
 """
 
 
@@ -4234,7 +4255,7 @@ top AS (
   SELECT query_id, neighbor_id, label FROM (
     SELECT q.query_id, c.neighbor_id, c.label,
       ROW_NUMBER() OVER (PARTITION BY q.query_id
-        ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+        ORDER BY CAST(FLOOR(list_cosine_similarity(qv, cv) * 1e6) AS BIGINT) / 1e6 DESC,
                  c.neighbor_id ASC) AS rn
     FROM q JOIN c ON q.query_id != c.neighbor_id
   ) WHERE rn <= 5
@@ -4286,33 +4307,44 @@ WITH pairs AS (
 edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
 nodes AS (SELECT DISTINCT src AS id FROM edges),
 params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
-r0 AS (SELECT id, round(1.0 / (SELECT n FROM params), 12) AS r FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+bq AS (SELECT CAST(FLOOR(((1 - 0.85) / n) * 1000000000000.0) AS BIGINT) AS b
+       FROM params),
+r0 AS (SELECT id,
+  CAST(FLOOR((1.0 / (SELECT n FROM params)) * 1000000000000.0) AS BIGINT)
+    AS rq
+  FROM nodes),
 r1 AS (
   SELECT nodes.id,
-    round((1 - 0.85) / (SELECT n FROM params) + 0.85 * coalesce(s.v, 0), 12) AS r
+    (SELECT b FROM bq)
+    + CAST(FLOOR(0.85 * coalesce(s.v, 0)) AS BIGINT) AS rq
   FROM nodes LEFT JOIN (
-    SELECT e.dst AS id, sum(r0.r / deg.d) AS v
+    SELECT e.dst AS id,
+           CAST(sum(CAST(FLOOR(r0.rq / deg.d) AS BIGINT)) AS BIGINT) AS v
     FROM edges e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
     GROUP BY e.dst) s ON nodes.id = s.id
 ),
 r2 AS (
   SELECT nodes.id,
-    round((1 - 0.85) / (SELECT n FROM params) + 0.85 * coalesce(s.v, 0), 12) AS r
+    (SELECT b FROM bq)
+    + CAST(FLOOR(0.85 * coalesce(s.v, 0)) AS BIGINT) AS rq
   FROM nodes LEFT JOIN (
-    SELECT e.dst AS id, sum(r1.r / deg.d) AS v
+    SELECT e.dst AS id,
+           CAST(sum(CAST(FLOOR(r1.rq / deg.d) AS BIGINT)) AS BIGINT) AS v
     FROM edges e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
     GROUP BY e.dst) s ON nodes.id = s.id
 ),
 r3 AS (
   SELECT nodes.id,
-    round((1 - 0.85) / (SELECT n FROM params) + 0.85 * coalesce(s.v, 0), 12) AS r
+    (SELECT b FROM bq)
+    + CAST(FLOOR(0.85 * coalesce(s.v, 0)) AS BIGINT) AS rq
   FROM nodes LEFT JOIN (
-    SELECT e.dst AS id, sum(r2.r / deg.d) AS v
+    SELECT e.dst AS id,
+           CAST(sum(CAST(FLOOR(r2.rq / deg.d) AS BIGINT)) AS BIGINT) AS v
     FROM edges e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
     GROUP BY e.dst) s ON nodes.id = s.id
 )
-SELECT id, r AS "rank" FROM r3
+SELECT id, CAST(rq AS DOUBLE) / 1000000000000.0 AS "rank" FROM r3
 """
 
 
@@ -4592,7 +4624,7 @@ SELECT agg.source,
   md5(to_json(kmv_minima)) AS minima_md5,
   CAST(n_min AS BIGINT) AS kmv_n_distinct,
   CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
-       ELSE round(63.0 * 1152921504606846976.0 / kmv_minima[64], 6)
+       ELSE CAST(FLOOR(63.0 * 1152921504606846976.0 / kmv_minima[64] * 1e6) AS BIGINT) / 1e6
   END AS kmv_estimate,
   CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM agg JOIN ex ON agg.source = ex.source
@@ -4664,16 +4696,20 @@ est AS (
 ),
 calc AS (
   SELECT source_a, source_b,
-    CASE WHEN exact THEN round(CAST(ifull AS DOUBLE) / greatest(mn, 1), 6)
-         ELSE round(CAST(ik AS DOUBLE) / 128.0, 6) END AS jac,
+    CASE WHEN exact THEN
+           CAST(FLOOR(CAST(ifull AS DOUBLE) / greatest(mn, 1) * 1e6)
+                AS BIGINT) / 1e6
+         ELSE CAST(FLOOR(CAST(ik AS DOUBLE) / 128.0 * 1e6) AS BIGINT) / 1e6
+         END AS jac,
     CASE WHEN exact THEN CAST(mn AS DOUBLE)
-         ELSE round(127.0 * 1152921504606846976.0 / kth, 6) END AS un
+         ELSE CAST(FLOOR(127.0 * 1152921504606846976.0 / kth * 1e6)
+                   AS BIGINT) / 1e6 END AS un
   FROM est
 )
 SELECT source_a, source_b,
-  round(jac, 6) AS jaccard_est,
-  round(un, 6) AS union_est,
-  round(jac * un, 6) AS intersection_est
+  jac AS jaccard_est,
+  un AS union_est,
+  CAST(FLOOR(jac * un * 1e6) AS BIGINT) / 1e6 AS intersection_est
 FROM calc
 """
 
@@ -4753,7 +4789,7 @@ SELECT magg.source,
   md5(to_json(magg.minima)) = md5(to_json(dagg.minima)) AS merge_equals_direct,
   CAST(n_min AS BIGINT) AS kmv_n_distinct,
   CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
-       ELSE round(63.0 * 1152921504606846976.0 / magg.minima[64], 6)
+       ELSE CAST(FLOOR(63.0 * 1152921504606846976.0 / magg.minima[64] * 1e6) AS BIGINT) / 1e6
   END AS kmv_estimate
 FROM magg JOIN dagg ON magg.source = dagg.source
 """

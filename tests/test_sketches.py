@@ -109,10 +109,12 @@ def test_regression_stats_match_builtin_corr(spark):
         .collect()
     }
     assert set(derived) == set(builtin)
-    # q98 rounds to 6 dp for cross-engine bit-parity; builtin is unrounded
+    # q98 floors onto the 1e-6 lattice for cross-engine bit-parity
+    # (r10: floor, never round), so the derived value sits up to one
+    # full quantum below the unquantized builtin
     for k in derived:
-        assert abs(derived[k][0] - builtin[k][0]) < 1e-6, k
-        assert abs(derived[k][1] - builtin[k][1]) < 1e-6, k
+        assert abs(derived[k][0] - builtin[k][0]) < 2e-6, k
+        assert abs(derived[k][1] - builtin[k][1]) < 2e-6, k
 
 
 # -- KMV (r5): the engine-replayable sketch ---------------------------------
