@@ -704,6 +704,44 @@ def main() -> None:
 
         return run
 
+    def ivfpq_append_op(sf):
+        def run():
+            from relationalize_spark.operators.similarity import (
+                ivfpq_append,
+                ivfpq_index,
+            )
+
+            # frozen index trained once on the BASE corpus (index
+            # build time is the q142 spotcheck's subject, not this
+            # one's); the measured quantity is the pure-projection
+            # incremental encode of the FULL scaled corpus — the
+            # billion-row "add" path, expected ~linear in rows with
+            # zero shuffle
+            e_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            coarse, books, _ = ivfpq_index(
+                e_base, cells=8, coarse_iters=2, m=4, k=16, pq_iters=2
+            )
+            e = spark.read.parquet(f"{sf}/embeddings.parquet")
+            return ivfpq_append(e, coarse, books)
+
+        return run
+
+    def ivfpq_recall_op(sf):
+        def run():
+            from relationalize_spark.operators.similarity import (
+                ivfpq_recall_eval,
+            )
+
+            e = spark.read.parquet(f"{sf}/embeddings.parquet")
+            # index rebuild + per-nprobe probe-bounded searches + one
+            # exact corpus scan against the 10-query panel
+            return ivfpq_recall_eval(
+                e, nprobes=(1, 2, 4), n_queries=10, k=5,
+                cells=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2,
+            )
+
+        return run
+
     ops = {
         "session_window_agg_q102": lambda sf: (lambda: q102_session_window_batch(spark, sf)),
         "range_frame_window_q85": lambda sf: (lambda: q85_rolling_time_window(spark, sf)),
@@ -747,6 +785,8 @@ def main() -> None:
         "relative_filter_q145shape": relative_filter_op,
         "canonical_dedup_q146shape": canonical_dedup_op,
         "jl_recall_q147shape": jl_recall_op,
+        "ivfpq_append_q151shape": ivfpq_append_op,
+        "ivfpq_recall_q150shape": ivfpq_recall_op,
         "gapfill_q148shape": gapfill_op,
         "class_tfidf_q149shape": class_tfidf_op,
     }

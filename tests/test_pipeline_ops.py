@@ -1303,6 +1303,34 @@ def test_tokenizer_vertical_tab_engine_parity(spark):
     assert WS == r"[ \t\n\x0B\f\r]+"
 
 
+def test_no_round_quantizers_in_package():
+    """r10: the floor-lattice sweep's pin. round() on a float
+    expression is unstable across Spark's own evaluation paths at a
+    half-way boundary (the r9 q143 gate failure) and Spark/DuckDB
+    round semantics differ — so no operator or oracle may quantize
+    with round. Allowed: vectors.py's int8 round-to-INTEGER (both
+    engines round .5 away from zero, and the operand pair is
+    bit-identical), and that one's oracle mirror."""
+    import pathlib
+    import re
+
+    root = pathlib.Path("relationalize_spark")
+    offenders = []
+    for f in root.rglob("*.py"):
+        for i, line in enumerate(f.read_text().split("\n"), 1):
+            code = line.split("#")[0]
+            if "F.round(" in code and f.name != "vectors.py":
+                offenders.append(f"{f}:{i}: {line.strip()}")
+    # oracle SQL: no round( except the int8 round-to-integer mirror
+    sql_src = pathlib.Path("relationalize_spark/queries.py").read_text()
+    for m in re.finditer(r"(?i)round\(", sql_src):
+        ctx = sql_src[m.start() - 40 : m.end() + 40].replace("\n", " ")
+        if "round(x / s) * s" in ctx or "F.floor" in ctx:
+            continue
+        offenders.append(f"queries.py sql: ...{ctx}...")
+    assert not offenders, offenders
+
+
 def test_oracle_sql_whitespace_class_matches_spark_ws():
     """r10 review: the explicit whitespace class lives as ~50 literal
     copies inside the oracle SQL strings; this pins every copy
