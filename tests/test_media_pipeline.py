@@ -239,6 +239,43 @@ def test_mjpeg_avi_walker_extracts_real_frames():
     assert _mjpeg_avi_frames(_avi(f, junk_tail=b"\xff\xd8\xff"), 4) == f
 
 
+def test_mjpeg_avi_walker_never_raises_property():
+    """Property: on ARBITRARY bytes (including adversarial deep
+    nesting, the r10 review's RecursionError repro shape) the walker
+    never raises, and anything it returns is a well-formed JPEG
+    payload that appears in the input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from relationalize_spark.operators.multimodal import _mjpeg_avi_frames
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=4096))
+    def prop(data):
+        got = _mjpeg_avi_frames(data, 4)
+        if got is not None:
+            assert 1 <= len(got) <= 4
+            for f in got:
+                assert f[:2] == b"\xff\xd8" and f[-2:] == b"\xff\xd9"
+                assert f in data
+
+    prop()
+    # RIFF-wrapped arbitrary interiors, and the deep-nesting repro
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048))
+    def prop_riff(body):
+        data = b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"AVI " + body
+        got = _mjpeg_avi_frames(data, 3)
+        if got is not None:
+            for f in got:
+                assert f[:2] == b"\xff\xd8" and f[-2:] == b"\xff\xd9"
+
+    prop_riff()
+    deep = b"LIST" + (10**6).to_bytes(4, "little")
+    bomb = b"RIFF" + (10**7).to_bytes(4, "little") + b"AVI " + deep * 3000
+    assert _mjpeg_avi_frames(bomb, 4) is None  # no RecursionError
+
+
 def test_sample_frames_real_avi_path(spark):
     """mode='auto' returns REAL byte-exact JPEG frames for an AVI
     payload (no libraries), chunks a non-video payload in the same
