@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.lattice import floor_lattice
+
 
 def profile_columns(
     df: DataFrame, cols: list[str], exact: bool = True
@@ -138,15 +140,11 @@ def robust_outliers(
     mad = with_med.groupBy(*group_cols).agg(
         F.percentile(F.abs(v - F.col("__med__")), 0.5).alias("__mad__")
     )
-    den = float(10**round_to)
-    z = (
-        F.floor(
-            F.lit(0.6745)
-            * (v - F.col("__med__"))
-            / F.nullif("__mad__", F.lit(0.0))
-            * F.lit(den)
-        ).cast("double")
-        / F.lit(den)
+    z = floor_lattice(
+        F.lit(0.6745)
+        * (v - F.col("__med__"))
+        / F.nullif("__mad__", F.lit(0.0)),
+        round_to,
     )
     return (
         with_med.join(mad, group_cols)

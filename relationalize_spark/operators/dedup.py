@@ -33,6 +33,7 @@ from ..functions.vectors import as_double, cosine
 from ..plans.caches import register_cache
 from ..plans.scale import ensure_parallelism
 from .text import WS, tokens
+from ..functions.lattice import floor_lattice
 
 
 # -- exact ------------------------------------------------------------------
@@ -580,7 +581,7 @@ def embedding_dup_pairs(
     return (
         candidates.join(va, F.col("i") == F.col("va.id"))
         .join(vb, F.col("j") == F.col("vb.id"))
-        .select("i", "j", (F.floor(score * F.lit(1e6)).cast("double") / F.lit(1e6)).alias("cos_sim"))
+        .select("i", "j", floor_lattice(score, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -648,7 +649,7 @@ def semdedup_pairs(
     return (
         candidates.join(va, F.col("i") == F.col("va.id"))
         .join(vb, F.col("j") == F.col("vb.id"))
-        .select("i", "j", (F.floor(score * F.lit(1e6)).cast("double") / F.lit(1e6)).alias("cos_sim"), "cluster")
+        .select("i", "j", floor_lattice(score, 6).alias("cos_sim"), "cluster")
         .filter(F.col("cos_sim") >= threshold)
     )
 

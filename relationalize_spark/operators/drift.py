@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.lattice import floor_lattice
+
 #: Substituted for an empty bin's fraction so ln() stays finite — the
 #: standard PSI practice; keeps a bin that empties out contributing a
 #: large-but-bounded term instead of infinity.
@@ -104,16 +106,13 @@ def psi_drift(
     tot_c = F.sum("cur_n").over(Window.partitionBy())
     pb = F.greatest(F.col("base_n") / tot_b, F.lit(EPS))
     pc = F.greatest(F.col("cur_n") / tot_c, F.lit(EPS))
-    den = float(10**round_to)
-
-    def lat(x):
-        return F.floor(x * F.lit(den)).cast("double") / F.lit(den)
-
     return counts.select(
         "bin",
         "base_n",
         "cur_n",
-        lat(F.col("base_n") / tot_b).alias("base_frac"),
-        lat(F.col("cur_n") / tot_c).alias("cur_frac"),
-        lat((pc - pb) * F.log(pc / pb)).alias("psi_term"),
+        floor_lattice(F.col("base_n") / tot_b, round_to).alias("base_frac"),
+        floor_lattice(F.col("cur_n") / tot_c, round_to).alias("cur_frac"),
+        floor_lattice((pc - pb) * F.log(pc / pb), round_to).alias(
+            "psi_term"
+        ),
     )

@@ -72,11 +72,26 @@ def pagerank(
     link = e.join(deg, "src").persist()
 
     import math
+    from decimal import Decimal
 
+    if quantize > 15:
+        # rank_q approaches 10^quantize; damping * sum must stay an
+        # EXACT double (< 2^53 ~ 9e15) or the floor is no longer
+        # bit-replayable — the whole point of the lattice
+        raise ValueError(
+            f"quantize={quantize} puts rank quanta past 2^53; the "
+            "damped update would lose exactness (max 15)"
+        )
     q_den = 10**quantize
-    # both constants computed with the exact IEEE op order the SQL
-    # oracle uses: (1 - d) / n, then * 10^q; 1.0 / n, then * 10^q
-    base_q = math.floor(((1.0 - damping) / n_nodes) * q_den)
+    # (1 - damping) computed in DECIMAL, not IEEE: SQL engines parse
+    # `1 - 0.85` as exact decimal 0.15, while python 1.0 - 0.85 is
+    # 0.15000000000000002 — one ulp apart, and the floored base
+    # quantum then differs by 1 for whole families of n_nodes (r10
+    # review, reproduced for n in {3, 6, 12, 24, ...}). Decimal
+    # mirrors the engines; the remaining ops (double divide by n,
+    # multiply by 10^q, floor) are IEEE-identical on both sides.
+    one_minus_d = float(Decimal(1) - Decimal(str(damping)))
+    base_q = math.floor((one_minus_d / n_nodes) * q_den)
     try:
         ranks = nodes.select(
             "id",

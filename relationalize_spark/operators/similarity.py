@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, dot
 from ..plans.scale import ensure_parallelism
+from ..functions.lattice import floor_lattice
 
 
 def brute_force_topk(
@@ -94,12 +95,7 @@ def brute_force_topk(
     )
     score = F.col("score")
     if round_scores is not None:
-        # 1e-6 floor lattice, never round (r9 q143: round on a
-        # float expression is not even stable across Spark's own
-        # evaluation paths at a boundary; floor also sidesteps the
-        # engines' differing round semantics)
-        _den = F.lit(float(10**round_scores))
-        score = F.floor(score * _den).cast("double") / _den
+        score = floor_lattice(score, round_scores)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
@@ -363,12 +359,7 @@ def ivf_topk(
     )
     score = cosine(F.col("qv"), F.col("cv"))
     if round_scores is not None:
-        # 1e-6 floor lattice, never round (r9 q143: round on a
-        # float expression is not even stable across Spark's own
-        # evaluation paths at a boundary; floor also sidesteps the
-        # engines' differing round semantics)
-        _den = F.lit(float(10**round_scores))
-        score = F.floor(score * _den).cast("double") / _den
+        score = floor_lattice(score, round_scores)
     candidates = (
         F.broadcast(q_tab)
         .join(c_tab, "cluster")
@@ -421,12 +412,7 @@ def lsh_topk(
     )
     score = cosine(F.col("qv"), F.col("cv"))
     if round_scores is not None:
-        # 1e-6 floor lattice, never round (r9 q143: round on a
-        # float expression is not even stable across Spark's own
-        # evaluation paths at a boundary; floor also sidesteps the
-        # engines' differing round semantics)
-        _den = F.lit(float(10**round_scores))
-        score = F.floor(score * _den).cast("double") / _den
+        score = floor_lattice(score, round_scores)
     candidates = (
         F.broadcast(q_tab)
         .join(
@@ -494,12 +480,7 @@ def quantized_topk(
     )
     score = cosine(F.col("qv"), F.col("cv"))
     if round_scores is not None:
-        # 1e-6 floor lattice, never round (r9 q143: round on a
-        # float expression is not even stable across Spark's own
-        # evaluation paths at a boundary; floor also sidesteps the
-        # engines' differing round semantics)
-        _den = F.lit(float(10**round_scores))
-        score = F.floor(score * _den).cast("double") / _den
+        score = floor_lattice(score, round_scores)
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))

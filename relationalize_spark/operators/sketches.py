@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.lattice import floor_lattice
+
 #: Hash domain: 60 bits of md5, the largest md5 prefix that stays
 #: exactly representable (and identically computable) as a signed
 #: 64-bit integer in both Spark and DuckDB.
@@ -94,12 +96,9 @@ def kmv_sketch(
     estimate = F.when(
         F.col("__n_min__") < k, F.col("__n_min__").cast("double")
     ).otherwise(
-        # floor onto the 1e-6 lattice, never round (r9 q143): kth is
-        # an exact md5-derived BIGINT so the quotient is bit-identical
-        # everywhere and floor replays outright
-        F.floor(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth * F.lit(1e6))
-        .cast("double")
-        / F.lit(1e6)
+        # kth is an exact md5-derived BIGINT so the quotient is
+        # bit-identical everywhere and the lattice replays outright
+        floor_lattice(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth, 6)
     )
     return agg.select(
         *group_cols,
@@ -135,12 +134,9 @@ def kmv_merge(
     estimate = F.when(
         F.col("__n_min__") < k, F.col("__n_min__").cast("double")
     ).otherwise(
-        # floor onto the 1e-6 lattice, never round (r9 q143): kth is
-        # an exact md5-derived BIGINT so the quotient is bit-identical
-        # everywhere and floor replays outright
-        F.floor(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth * F.lit(1e6))
-        .cast("double")
-        / F.lit(1e6)
+        # kth is an exact md5-derived BIGINT so the quotient is
+        # bit-identical everywhere and the lattice replays outright
+        floor_lattice(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth, 6)
     )
     return agg.select(
         *group_cols,
@@ -269,21 +265,19 @@ def _set_stat_cols(k: int) -> list[Column]:
     inter_full = F.size(F.filter(merged, in_both))
     exact = (F.col("__na__") < k) & (F.col("__nb__") < k)
     kth = F.element_at(x, k)
-    def lat6(x):
-        # 1e-6 floor lattice (never round — r9 q143); all inputs are
-        # exact integers or md5-derived BIGINTs, so every estimate is
-        # bit-identical in any engine
-        return F.floor(x * F.lit(1e6)).cast("double") / F.lit(1e6)
-
+    # all inputs are exact integers or md5-derived BIGINTs, so every
+    # latticed estimate is bit-identical in any engine
     union_est = F.when(exact, F.size(merged).cast("double")).otherwise(
-        lat6(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth)
+        floor_lattice(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth, 6)
     )
     jaccard = F.when(
         exact,
-        lat6(inter_full.cast("double") / F.greatest(F.size(merged), F.lit(1))),
-    ).otherwise(lat6(inter_k.cast("double") / F.lit(float(k))))
+        floor_lattice(
+            inter_full.cast("double") / F.greatest(F.size(merged), F.lit(1)), 6
+        ),
+    ).otherwise(floor_lattice(inter_k.cast("double") / F.lit(float(k)), 6))
     return [
         jaccard.alias("jaccard_est"),
         union_est.alias("union_est"),
-        lat6(jaccard * union_est).alias("intersection_est"),
+        floor_lattice(jaccard * union_est, 6).alias("intersection_est"),
     ]

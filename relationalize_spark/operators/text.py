@@ -185,7 +185,15 @@ def char_entropy(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    num = F.floor(F.log2(total.cast("double")) * F.lit(1e9)) * total - sq
+    # clamp at zero: H >= 0 mathematically, but the two independent
+    # floors can land the numerator at -1/-2 quanta for degenerate
+    # single-char docs (floor(log2(T)*1e9)*T vs floor(T*log2(T)*1e9)
+    # — r10 review, reproduced for "aaa"); a quality screen must
+    # never see a negative Shannon entropy
+    num = F.greatest(
+        F.floor(F.log2(total.cast("double")) * F.lit(1e9)) * total - sq,
+        F.lit(0).cast("long"),
+    )
     h = num.cast("double") / (total.cast("double") * F.lit(1e9))
     return F.when(c.isNull() | (F.length(c) == 0), F.lit(0.0)).otherwise(h)
 

@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.lattice import floor_lattice
 from .functions.timeutil import col_epoch_micros
 from .operators import text as _TXT
 from .operators.relationalize import relationalize
@@ -1761,32 +1762,53 @@ def q60_bm25_rank(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(d, ["join", "hash", "filter"], k=20, id_col="doc_id")
 
 
-Q60_SQL = r"""
+def _q60_sql(
+    k1: float = 1.2, b: float = 0.75, topk: int = 20,
+    terms: tuple[str, ...] = ("join", "hash", "filter"),
+) -> str:
+    """Generated q60 oracle. Float constants are embedded as the
+    PYTHON-side values' reprs and CAST to DOUBLE: SQL parses bare
+    `2.2`/`1 - 0.85`-style literals as exact DECIMALs, which round
+    differently than the IEEE doubles Spark's plan folds (python
+    k1 + 1 = 2.1999999999999997 vs SQL decimal 2.2 ->
+    2.2000000000000002 — r10 review), and decimal ARITHMETIC on them
+    is exact rather than IEEE. Every constant and the quotient
+    association below mirror operators/text.py:bm25_topk
+    term-for-term."""
+    r = repr
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    ws = r"[ \t\n\x0B\f\r]+"
+    return f"""
 WITH tok AS (
-  SELECT doc_id, lower(unnest(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'))) AS term,
-         len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS dl
+  SELECT doc_id, lower(unnest(regexp_split_to_array(text, '{ws}'))) AS term,
+         len(regexp_split_to_array(text, '{ws}')) AS dl
   FROM documents),
 postings AS (
   SELECT doc_id, term, dl, COUNT(*) AS tf FROM tok
-  WHERE term IN ('join', 'hash', 'filter') GROUP BY 1, 2, 3),
+  WHERE term IN ({term_list}) GROUP BY 1, 2, 3),
 dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
 corpus AS (
   SELECT COUNT(*) AS n_docs,
-         CAST(CAST(SUM(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')))
+         CAST(CAST(SUM(len(regexp_split_to_array(text, '{ws}')))
                    AS BIGINT) AS DOUBLE)
            / CAST(COUNT(*) AS DOUBLE) AS avgdl
   FROM documents)
 SELECT doc_id AS id,
   CAST(CAST(SUM(CAST(FLOOR(
-    (CAST(FLOOR(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e9)
+    (CAST(FLOOR(ln(CAST(n_docs - df + 0.5 AS DOUBLE)
+                   / CAST(df + 0.5 AS DOUBLE) + 1.0) * 1e9)
           AS BIGINT) / 1e9)
-    * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    * ((tf * CAST({r(k1 + 1)} AS DOUBLE))
+       / (tf + CAST({r(k1)} AS DOUBLE)
+               * (CAST({r(1 - b)} AS DOUBLE)
+                  + (CAST({r(b)} AS DOUBLE) * dl) / avgdl)))
     * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 AS score
 FROM postings JOIN dfreq USING (term) CROSS JOIN corpus
 GROUP BY doc_id
 ORDER BY score DESC, id ASC
-LIMIT 20
+LIMIT {topk}
 """
+
 
 
 def q61_hash_split_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -3404,18 +3426,16 @@ def q98_regression_stats(spark: SparkSession, sf: str) -> DataFrame:
     var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n
     var_y = F.col("syy") - F.col("sy") * F.col("sy") / n
     slope = cov_n / var_x
-    def lat6(x):
-        # floor onto the 1e-6 lattice (never round — r9 q143): the
-        # inputs are bit-identical exact-decimal-derived doubles, so
-        # floor makes the emission engine-replayable outright
-        return F.floor(x * F.lit(1e6)).cast("double") / F.lit(1e6)
-
+    # inputs are bit-identical exact-decimal-derived doubles, so the
+    # lattice makes the emission engine-replayable outright
     return agg.select(
         "l_returnflag",
         "n",
-        lat6(slope).alias("slope"),
-        lat6((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
-        lat6(cov_n / F.sqrt(var_x * var_y)).alias("pearson_r"),
+        floor_lattice(slope, 6).alias("slope"),
+        floor_lattice((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "intercept"
+        ),
+        floor_lattice(cov_n / F.sqrt(var_x * var_y), 6).alias("pearson_r"),
     )
 
 
@@ -4085,12 +4105,12 @@ def q116_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
 Q116_SQL = """
 SELECT doc_id,
   CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
-  ELSE CAST(
+  ELSE CAST(greatest(
     CAST(FLOOR(log2(len(cs)) * 1e9) AS BIGINT) * len(cs)
     - CAST(list_sum(list_transform(
         list_transform(list_distinct(cs),
                        c -> CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)),
-        n -> CAST(FLOOR(n * log2(n) * 1e9) AS BIGINT))) AS BIGINT)
+        n -> CAST(FLOOR(n * log2(n) * 1e9) AS BIGINT))) AS BIGINT), 0)
     AS DOUBLE) / (CAST(len(cs) AS DOUBLE) * 1e9)
   END AS entropy
 FROM (SELECT doc_id, text, string_split(text, '') AS cs FROM documents)
@@ -4317,7 +4337,8 @@ r0 AS (SELECT id,
 r1 AS (
   SELECT nodes.id,
     (SELECT b FROM bq)
-    + CAST(FLOOR(0.85 * coalesce(s.v, 0)) AS BIGINT) AS rq
+    + CAST(FLOOR(CAST(0.85 AS DOUBLE) * CAST(coalesce(s.v, 0) AS DOUBLE))
+           AS BIGINT) AS rq
   FROM nodes LEFT JOIN (
     SELECT e.dst AS id,
            CAST(sum(CAST(FLOOR(r0.rq / deg.d) AS BIGINT)) AS BIGINT) AS v
@@ -4327,7 +4348,8 @@ r1 AS (
 r2 AS (
   SELECT nodes.id,
     (SELECT b FROM bq)
-    + CAST(FLOOR(0.85 * coalesce(s.v, 0)) AS BIGINT) AS rq
+    + CAST(FLOOR(CAST(0.85 AS DOUBLE) * CAST(coalesce(s.v, 0) AS DOUBLE))
+           AS BIGINT) AS rq
   FROM nodes LEFT JOIN (
     SELECT e.dst AS id,
            CAST(sum(CAST(FLOOR(r1.rq / deg.d) AS BIGINT)) AS BIGINT) AS v
@@ -4337,7 +4359,8 @@ r2 AS (
 r3 AS (
   SELECT nodes.id,
     (SELECT b FROM bq)
-    + CAST(FLOOR(0.85 * coalesce(s.v, 0)) AS BIGINT) AS rq
+    + CAST(FLOOR(CAST(0.85 AS DOUBLE) * CAST(coalesce(s.v, 0) AS DOUBLE))
+           AS BIGINT) AS rq
   FROM nodes LEFT JOIN (
     SELECT e.dst AS id,
            CAST(sum(CAST(FLOOR(r2.rq / deg.d) AS BIGINT)) AS BIGINT) AS v
@@ -6695,7 +6718,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q57_cheapest_part_per_type": (q57_cheapest_part_per_type, Q57_SQL),
     "q58_rich_idle_customers_by_nation": (q58_rich_idle_customers_by_nation, Q58_SQL),
     "q59_dedup_clusters": (q59_dedup_clusters, Q59_SQL),
-    "q60_bm25_rank": (q60_bm25_rank, Q60_SQL),
+    "q60_bm25_rank": (q60_bm25_rank, None),  # oracle generated below
     "q61_hash_split_profile": (q61_hash_split_profile, Q61_SQL),
     "q62_contamination": (q62_contamination, Q62_SQL),
     "q63_boilerplate_phrases": (q63_boilerplate_phrases, Q63_SQL),
@@ -6745,6 +6768,7 @@ REGISTRY["q145_relative_quality_filter"] = (q145_relative_quality_filter, _q145_
 REGISTRY["q147_jl_recall"] = (q147_jl_recall, _q147_sql())
 REGISTRY["q150_ivfpq_recall"] = (q150_ivfpq_recall, _q150_sql())
 REGISTRY["q151_ivfpq_append"] = (q151_ivfpq_append, _q151_sql())
+REGISTRY["q60_bm25_rank"] = (q60_bm25_rank, _q60_sql())
 
 
 def queries() -> dict[str, QueryFn]:

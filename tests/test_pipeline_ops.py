@@ -1314,19 +1314,28 @@ def test_no_round_quantizers_in_package():
     import pathlib
     import re
 
-    root = pathlib.Path("relationalize_spark")
+    # anchor on this test file, not the cwd — a different pytest
+    # rootdir must not turn the scan into a vacuous pass (r10 review)
+    root = pathlib.Path(__file__).resolve().parent.parent / "relationalize_spark"
+    assert root.is_dir()
     offenders = []
     for f in root.rglob("*.py"):
         for i, line in enumerate(f.read_text().split("\n"), 1):
             code = line.split("#")[0]
             if "F.round(" in code and f.name != "vectors.py":
                 offenders.append(f"{f}:{i}: {line.strip()}")
-    # oracle SQL: no round( except the int8 round-to-integer mirror
-    sql_src = pathlib.Path("relationalize_spark/queries.py").read_text()
+    # oracle/SQL strings: the ONLY allowed round( is the int8
+    # round-to-INTEGER quantization mirror, matched exactly — no
+    # context heuristics (the old ±40-char window whitelisted any
+    # ROUND near unrelated Python text)
+    sql_src = (root / "queries.py").read_text()
+    allowed = re.compile(r"round\(x / s\) \* s")
     for m in re.finditer(r"(?i)round\(", sql_src):
-        ctx = sql_src[m.start() - 40 : m.end() + 40].replace("\n", " ")
-        if "round(x / s) * s" in ctx or "F.floor" in ctx:
+        if sql_src[max(0, m.start() - 2) : m.start()] == "F.":
+            continue  # python API hits are covered by the scan above
+        if allowed.match(sql_src, m.start()):
             continue
+        ctx = sql_src[m.start() - 40 : m.end() + 40].replace("\n", " ")
         offenders.append(f"queries.py sql: ...{ctx}...")
     assert not offenders, offenders
 

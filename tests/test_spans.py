@@ -251,7 +251,7 @@ def test_char_entropy_known_values(spark):
     from relationalize_spark.operators.text import char_entropy
 
     df = spark.createDataFrame(
-        [(1, "aabb"), (2, "abcd"), (3, "aaaa"), (4, "")],
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa"), (4, ""), (5, "aaa"), (6, "aaaaa")],
         "id int, t string",
     )
     out = {r.id: r.h for r in df.select("id", char_entropy("t").alias("h")).collect()}
@@ -259,6 +259,11 @@ def test_char_entropy_known_values(spark):
     assert out[2] == 2.0
     assert out[3] == 0.0
     assert out[4] == 0.0
+    # non-power-of-two single-char docs: the two floors can land the
+    # numerator a quantum negative — must clamp to exactly 0, never
+    # emit a negative Shannon entropy (r10 review)
+    assert out[5] == 0.0
+    assert out[6] == 0.0
 
 
 def test_char_entropy_plan_is_shuffle_free(spark):
