@@ -38,7 +38,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors by cosine for each query vector.
 
-    Returns (query_id, neighbor_id, score), scores rounded for stable
+    Returns (query_id, neighbor_id, score), scores latticed for stable
     cross-engine comparison; ranking ties break on neighbor id.
 
     Shape: the query matrix (bounded by the same small-enough-to-
@@ -76,8 +76,8 @@ def brute_force_topk(
             scores[q_ids[:, None] == nid[None, :]] = -np.inf  # self-pairs
             top = min(kk, scores.shape[1])
             kth = -np.partition(-scores, top - 1, axis=1)[:, top - 1]
-            # keep everything within one final-rounding quantum of the
-            # local k-th, so a row that ROUNDS equal to it can still
+            # keep everything within one final-lattice quantum of the
+            # local k-th, so a row that FLOORS equal to it can still
             # win its id tiebreak in the global window
             margin = 10.0 ** -round_scores if round_scores is not None else 0.0
             qi, ci = np.nonzero(scores >= (kth - margin)[:, None])

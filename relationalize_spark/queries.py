@@ -3946,7 +3946,7 @@ def q112_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     (operators/sampling.py:weighted_quota_sample): top-15 docs per
     source by Efraimidis-Spirakis priority u^(1/w), u reproducible
     from the Knuth id hash, w = n_chars. The oracle replays the
-    identical arithmetic (priority rounded to 12 decimals so cross-
+    identical arithmetic (priority floored onto the 1e-9 lattice so cross-
     engine pow ulps cannot flip the ranking)."""
     from .operators.sampling import weighted_quota_sample
 
@@ -4094,7 +4094,7 @@ def q116_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     char_entropy): bits/char per document, the compression-ratio
     screen behind Gopher-style gibberish filters. Zero-shuffle
     higher-order-function expression; identical formula in the
-    oracle, rounded to 9 decimals so summation-order ulps can't
+    oracle, floored onto the 1e-9 lattice so summation-order ulps can't
     diverge."""
     from .operators.text import char_entropy
 
@@ -4254,7 +4254,7 @@ def q120_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-quality probe (operators/similarity.py:
     knn_label_eval): do a query vector's 5 exact nearest neighbors
     vote its own label back? The oracle replays the cross-join
-    cosine top-5 (rounded scores, id tiebreak — the q31 pattern) and
+    cosine top-5 (1e-6-latticed scores, id tiebreak — the q31 pattern) and
     the count-desc/label-asc majority vote."""
     from .operators.similarity import knn_label_eval
 
@@ -4661,7 +4661,7 @@ def q127_kmv_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
     intersection estimates for every source pair computed from the
     bounded k-element minima arrays alone — the pairing is quadratic
     over SKETCHES, never over data. Like q126, the md5-derived hash
-    makes every number (including the estimates' rounding) replay
+    makes every number (including the estimates' lattice quanta) replay
     bit-for-bit in DuckDB."""
     from .operators.sketches import kmv_pairwise, kmv_sketch
 
