@@ -1376,3 +1376,57 @@ def test_tfidf_pairs_registers_residual_cache(spark):
     released = caches.release_caches()
     assert released == 1 and not caches.LIVE_CACHES
     assert out.count() == n  # post-release recompute, same result
+
+
+def test_floor_lattice_cross_engine_parity(spark):
+    """The shared quantizer's contract: for the same input double,
+    Spark's floor_lattice, python's math.floor mirror, and DuckDB's
+    CAST(FLOOR(x*1eN) AS BIGINT)/1eN produce the identical double.
+    Hypothesis drives python<->DuckDB over adversarial values (exact
+    lattice points, halves, ulp-neighbors); one vectorized Spark pass
+    confirms the Column form on the same battery."""
+    import math
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from relationalize_spark.functions.lattice import floor_lattice
+
+    con = duckdb.connect()
+
+    def duck(x, dp):
+        return con.execute(
+            f"SELECT CAST(FLOOR(CAST(? AS DOUBLE) * 1e{dp}) AS BIGINT)"
+            f" / 1e{dp}"
+        ).df() if False else con.execute(
+            f"SELECT CAST(FLOOR(CAST(? AS DOUBLE) * 1e{dp}) AS BIGINT)"
+            f" / 1e{dp}", [x]
+        ).fetchone()[0]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+            st.integers(min_value=-10**12, max_value=10**12).map(
+                lambda q: q / 1e6  # exact and near-lattice points
+            ),
+        ),
+        st.sampled_from([6, 9, 12]),
+    )
+    def prop(x, dp):
+        py = math.floor(x * float(10**dp)) / float(10**dp)
+        assert duck(x, dp) == py, (x, dp)
+
+    prop()
+
+    battery = [0.0, 1.0, -1.0, 0.4499999999999999, 0.45,
+               0.45000000000000007, -0.45, 3.419471499980769,
+               123456.789012, -2.2250738585072014e-308]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(battery)],
+                               "i int, x double")
+    got = {r.i: r.q for r in df.select(
+        "i", floor_lattice(F.col("x"), 6).alias("q")).collect()}
+    for i, v in enumerate(battery):
+        assert got[i] == math.floor(v * 1e6) / 1e6 == duck(v, 6), v
