@@ -251,6 +251,34 @@ class JsonStreamDemux:
     #: finalize(dedup_replays=True) once (hash rids), or clean the
     #: flat files, before trusting the no-dedup view.
     exactly_once: bool = True
+    #: HOW each batch's rows land (r10, the attack on the measured
+    #: per-TABLE driver floor):
+    #: - "per_table" (default, the attested layout): one write job
+    #:   per discovered table under ``{base}/{table}`` — ~0.5-0.7 s
+    #:   of driver latency per table per batch (Catalyst analysis +
+    #:   job submission), overlapped by the write pool.
+    #: - "single_job": every table's rows render to JSON lines
+    #:   driver-free (``to_json(struct(*))`` — the same Jackson
+    #:   rendering the per-table json writer uses), union into ONE
+    #:   frame tagged ``__table__``, and land in ONE
+    #:   ``partitionBy("__table__")`` text write under
+    #:   ``{base}/__rows__`` — one job submission per batch no matter
+    #:   how many tables the batch discovered. MEASURED NEGATIVE for
+    #:   latency (bench_demux_scale F, 70-table corpus, same session):
+    #:   66.5 s/batch vs per_table's 35.2 s — analyzing one 70-branch
+    #:   union serializes what the 8-thread pool overlaps, the r7
+    #:   plan-fusion result in new clothes. Choose it only when the
+    #:   OUTPUT SHAPE is worth that cost: downstream consumers get a
+    #:   single partition-pruned tree (``__rows__/__table__=T``)
+    #:   instead of N directories. The per-table _schema.json
+    #:   metadata writes are unchanged and already skip when stable.
+    #:   ``finalize``/``read_quarantine`` read BOTH layouts (their
+    #:   union), so switching layouts mid-corpus is safe; partition
+    #:   values are escaped/restored by Spark's partition discovery,
+    #:   so exotic table names survive the round trip. exactly_once
+    #:   overwrites ``__rows__/batch={id}`` per batch (same
+    #:   idempotent-replay contract as the per-table batch dirs).
+    write_layout: str = "per_table"
     #: per-batch table writes run on a driver thread pool of this
     #: size (1 = serial). Part of the ~0.7 s/table per-batch floor is
     #: driver latency (Catalyst analysis + job submission +
@@ -410,8 +438,7 @@ class JsonStreamDemux:
                     self.schemas.get(t, Schema()), out.schemas[t]
                 )
 
-            def write_one(t: str) -> None:
-                # schema first, rows second (see class docstring).
+            def write_schema(t: str) -> None:
                 # Schema-stable fast path: when the merged schema
                 # serializes to exactly what is already on disk, the
                 # rewrite is a no-op — skip the per-table FS round
@@ -424,6 +451,10 @@ class JsonStreamDemux:
                         spark, f"{self.base_path}/{t}/_schema.json", ser
                     )
                     self._written_schemas[t] = ser
+
+            def write_one(t: str) -> None:
+                # schema first, rows second (see class docstring).
+                write_schema(t)
                 if self.exactly_once:
                     # idempotent landing zone: a replayed batch
                     # OVERWRITES its own directory instead of
@@ -437,11 +468,35 @@ class JsonStreamDemux:
                         f"{self.base_path}/{t}"
                     )
 
-            # ... the writes themselves are independent (disjoint
-            # directories, shared persisted parse) and driver-latency
-            # bound, so they overlap on a thread pool.
             names = list(out.tables)
-            if self.write_concurrency > 1 and len(names) > 1:
+            if self.write_layout == "single_job":
+                from functools import reduce
+
+                # schema metadata first (schema-before-rows crash
+                # invariant; skipped per table when stable), then ONE
+                # union write for every table's rows
+                for t in names:
+                    write_schema(t)
+                parts = [
+                    out.tables[t].select(
+                        F.to_json(F.struct("*")).alias("value"),
+                        F.lit(t).alias("__table__"),
+                    )
+                    for t in names
+                ]
+                allrows = reduce(DataFrame.unionByName, parts)
+                if self.exactly_once:
+                    allrows.write.mode("overwrite").partitionBy(
+                        "__table__"
+                    ).text(f"{self.base_path}/__rows__/batch={batch_id}")
+                else:
+                    allrows.write.mode("append").partitionBy(
+                        "__table__"
+                    ).text(f"{self.base_path}/__rows__")
+            elif self.write_concurrency > 1 and len(names) > 1:
+                # ... the per-table writes are independent (disjoint
+                # directories, shared persisted parse) and
+                # driver-latency bound, so they overlap on a pool.
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(
@@ -456,6 +511,39 @@ class JsonStreamDemux:
         finally:
             spark.conf.set("spark.sql.caseSensitive", prev_case)
             out.unpersist()
+
+    def _table_lines(self, spark: SparkSession, t: str) -> DataFrame:
+        """One ``value`` column of table ``t``'s raw JSONL from
+        whichever layouts hold rows — the per-table directory (flat
+        appends AND exactly_once ``batch=N`` subdirs, read with
+        recursiveFileLookup so ``_``-prefixed metadata is skipped)
+        unioned with the single-job ``__rows__`` tree (read through
+        partition discovery so the ``__table__`` filter prunes to
+        ``t``'s directories at plan time and escaped partition values
+        decode back to the real table name). A demux that has only
+        ever used one layout reads only that one; a corpus migrated
+        between layouts reads both."""
+        parts: list[DataFrame] = []
+        if _fs_has_data_files(spark, f"{self.base_path}/{t}"):
+            parts.append(
+                spark.read.option("recursiveFileLookup", "true").text(
+                    f"{self.base_path}/{t}"
+                )
+            )
+        rows_root = f"{self.base_path}/__rows__"
+        fs, p = _fs_for(spark, rows_root)
+        if fs.exists(p):
+            parts.append(
+                spark.read.text(rows_root)
+                .where(F.col("__table__") == t)
+                .select("value")
+            )
+        if not parts:
+            return spark.createDataFrame([], "value string")
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra)
+        return out
 
     def attach(self, stream_df: DataFrame) -> DataStreamWriter:
         """Wire onto a stream; caller picks trigger/checkpoint."""
@@ -498,13 +586,8 @@ class JsonStreamDemux:
         spark.conf.set("spark.sql.caseSensitive", "true")
         try:
             for t, schema in self.schemas.items():
-                # recursiveFileLookup reads BOTH layouts (flat appends
-                # and exactly_once batch=N subdirs) and skips hidden
-                # (_/. prefixed) metadata like _schema.json.
-                lines = (
-                    spark.read.option("recursiveFileLookup", "true")
-                    .text(f"{self.base_path}/{t}")
-                    .where(F.length(F.trim("value")) > 0)
+                lines = self._table_lines(spark, t).where(
+                    F.length(F.trim("value")) > 0
                 )
                 if dedup_replays:
                     vdf = _dedup_lines(lines).select(

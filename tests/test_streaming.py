@@ -635,3 +635,61 @@ def test_quarantine_counts_idempotent_under_replay(spark, tmp_path):
     d.process_batch(batch, 0)
     d.process_batch(batch, 0)  # same instance, same batch_id (replay)
     assert d.quarantine_counts == {0: 1}
+
+
+def test_json_stream_demux_single_job_layout_parity(spark, tmp_path):
+    """r10: write_layout='single_job' lands every table's rows in ONE
+    partitionBy(__table__) write per batch. Contract: finalize()
+    produces value-identical tables to the per_table layout on the
+    same input; exactly-once replay holds (batch dir overwrite); a
+    restarted instance recovers; layouts can be mixed mid-corpus."""
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    lines1 = ['{"k": 1, "xs": [1, 2], "o": {"a": 5}}',
+              '{"k": 2, "xs": [3], "o": {"a": 6}}']
+    lines2 = ['{"k": 3, "b": 7}', '{"k": 4, "xs": [9], "b": 8}']
+
+    def run(base, layout, mixed=False):
+        d = JsonStreamDemux(
+            str(tmp_path / base), "root", key_cols=["k"],
+            write_layout=layout,
+        )
+        d.process_batch(
+            spark.createDataFrame([(ln,) for ln in lines1], "value string"), 0
+        )
+        if mixed:  # switch layouts between batches: both must read back
+            d.write_layout = (
+                "per_table" if layout == "single_job" else "single_job"
+            )
+        d.process_batch(
+            spark.createDataFrame([(ln,) for ln in lines2], "value string"), 1
+        )
+        return d
+
+    def snap(d):
+        return {
+            t: sorted(
+                tuple(str(v) for v in row) for row in df.collect()
+            )
+            for t, df in d.finalize(spark).items()
+        }
+
+    base_tables = snap(run("per_table", "per_table"))
+    single = run("single", "single_job")
+    assert snap(single) == base_tables
+    assert snap(run("mixed", "single_job", mixed=True)) == base_tables
+
+    # exactly-once: replaying batch 1 through the same instance
+    # overwrites its own __rows__/batch=1 dir — no duplicates
+    single.process_batch(
+        spark.createDataFrame([(ln,) for ln in lines2], "value string"), 1
+    )
+    assert snap(single) == base_tables
+
+    # restart: fresh instance recovers schemas from the per-table
+    # _schema.json dirs (rows live only under __rows__)
+    d2 = JsonStreamDemux(
+        str(tmp_path / "single"), "root", key_cols=["k"],
+        write_layout="single_job",
+    )
+    assert snap(d2) == base_tables
