@@ -118,3 +118,45 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["o_orderpriority", "n_items", "revenue"]
+
+
+# -- second sweep at the DRIVER's sf (slow lane) ----------------------------
+# r9's q143 hash mismatch reproduced ONLY at sf0.01 (the driver's
+# gate sf); the default sweep above runs sf0.001 for speed, so the
+# full suite gets a second, slow-marked sweep at sf0.01 — the gate
+# itself is now sf-complete instead of relying on ad-hoc manual
+# SPARK_GRAFT_ORACLE_SF_DIR runs.
+
+SF01_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def duck_sf01():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF01_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle_sf01(spark, duck_sf01, name):
+    if SF01_DIR == SF_DIR:
+        pytest.skip("default sweep already runs at sf0.01")
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    df = q(spark, SF01_DIR)
+    if name not in oracles:
+        assert df.count() >= 0
+        return
+    s_cols, s_rows = _spark_rows(df)
+    d_cols, d_rows = _duck_rows(duck_sf01, oracles[name])
+    assert s_cols == d_cols, f"column names differ: {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[:3]}"
