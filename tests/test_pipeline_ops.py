@@ -1430,3 +1430,61 @@ def test_floor_lattice_cross_engine_parity(spark):
         "i", floor_lattice(F.col("x"), 6).alias("q")).collect()}
     for i, v in enumerate(battery):
         assert got[i] == math.floor(v * 1e6) / 1e6 == duck(v, 6), v
+
+
+def test_oracle_float_literals_are_ieee_safe():
+    """r10 second-review pin: SQL engines parse bare float literals
+    as exact DECIMALs and do DECIMAL arithmetic when BOTH operands
+    are decimal — diverging from the IEEE doubles Spark's plan folds
+    (the reproduced q121 `1 - 0.85` defect). Every inexact bare float
+    literal in an oracle must therefore sit in arithmetic with a
+    runtime (double) operand or inside CAST(... AS DOUBLE); literals
+    whose decimal value IS a double (0.5, 0.75, 1.0 ...) are exempt,
+    as is q121's `1 - 0.85` (its python side deliberately mirrors
+    the decimal subtraction through Decimal)."""
+    import re
+    from decimal import Decimal
+
+    import __spark_entry__ as entry_mod
+
+    def binary_exact(lit):
+        return Decimal(lit) == Decimal(float(lit))
+
+    offenders = []
+    for name, sql in entry_mod.oracle_sql().items():
+        for m in re.finditer(r"(?<![\w.])(\d+\.\d+)(?![\w.])", sql):
+            lit = m.group(1)
+            if binary_exact(lit):
+                continue
+            pre = sql[max(0, m.start() - 40) : m.start()]
+            post = sql[m.end() : m.end() + 40]
+            if name == "q121_pagerank" and re.search(r"1 - $", pre):
+                continue  # whitelisted: python mirrors the decimal op
+            if re.search(r"(?i)cast\(\s*$", pre):
+                continue  # CAST(lit AS DOUBLE)
+            # decimal-decimal arithmetic: the IMMEDIATE other operand
+            # of the operator touching this literal is itself a bare
+            # number (int or inexact decimal) — DECIMAL arithmetic,
+            # flagged regardless of anything else in the expression
+            both_literal = re.search(
+                r"(?<![\w.eE])\d+(\.\d+)?\s*[*+-]\s*$", pre
+            ) or re.search(r"^\s*[*+-]\s*\d+(\.\d+)?(?![\w.eE])", post)
+            if both_literal:
+                offenders.append(
+                    f"{name}: ...{pre[-30:]}<{lit}>{post[:30]}..."
+                )
+                continue
+            arithmetic = re.search(r"[*/+-]\s*$", pre) or re.search(
+                r"^\s*[*/+-]", post
+            )
+            if not arithmetic:
+                continue  # bare comparisons promote to double
+            # arithmetic with a runtime operand (letters = column/
+            # function refs) or an e-notation double literal is IEEE
+            near = pre[-25:] + post[:25]
+            if re.search(r"[A-Za-z_]", near) or re.search(
+                r"\d+e\d+", near, re.I
+            ):
+                continue
+            offenders.append(f"{name}: ...{pre[-30:]}<{lit}>{post[:30]}...")
+    assert not offenders, offenders
