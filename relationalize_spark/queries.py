@@ -4341,7 +4341,7 @@ r1 AS (
            AS BIGINT) AS rq
   FROM nodes LEFT JOIN (
     SELECT e.dst AS id,
-           CAST(sum(CAST(FLOOR(r0.rq / deg.d) AS BIGINT)) AS BIGINT) AS v
+           CAST(sum(r0.rq // deg.d) AS BIGINT) AS v
     FROM edges e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
     GROUP BY e.dst) s ON nodes.id = s.id
 ),
@@ -4352,7 +4352,7 @@ r2 AS (
            AS BIGINT) AS rq
   FROM nodes LEFT JOIN (
     SELECT e.dst AS id,
-           CAST(sum(CAST(FLOOR(r1.rq / deg.d) AS BIGINT)) AS BIGINT) AS v
+           CAST(sum(r1.rq // deg.d) AS BIGINT) AS v
     FROM edges e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
     GROUP BY e.dst) s ON nodes.id = s.id
 ),
@@ -4363,7 +4363,7 @@ r3 AS (
            AS BIGINT) AS rq
   FROM nodes LEFT JOIN (
     SELECT e.dst AS id,
-           CAST(sum(CAST(FLOOR(r2.rq / deg.d) AS BIGINT)) AS BIGINT) AS v
+           CAST(sum(r2.rq // deg.d) AS BIGINT) AS v
     FROM edges e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
     GROUP BY e.dst) s ON nodes.id = s.id
 )
@@ -6557,139 +6557,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: rows, cut in registry order). The registry therefore rotates each
 #: round; at 151 entries under a 50-row cap the steady-state
 #: staleness bound is ~3 rounds, so each round fronts the whole block
-#: whose rows are about to turn 3 rounds old. Round 10 fronts: the 2
-#: quantization re-attestations (q143 — FAILED r9's gate on the
-#: round-based quantizer, fixed to the floor lattice this round —
-#: and q101, which carried the identical latent pattern), the 2 new
-#: registrations (q150 IVF-PQ recall-vs-nprobe, q151 ivfpq_append),
-#: and the 46 r7-attested entries whose newest rows turn 3 rounds
-#: old this round (VERDICT r9 item 2; derived by joining
-#: CORRECTNESS_r01..r09 against the registry). q30/q33/q94 stay
-#: behind the cap: their rows are permanently rows-only by declared
-#: design (engine-hash values; md5 twins q123/q124/q129 carry the
+#: whose rows are about to turn 3 rounds old. Round 11 fronts: the 50
+#: r8-attested entries (VERDICT r10 item 1; derived by joining
+#: CORRECTNESS_r01..r10 against the registry — the q130–q142 family
+#: plus the r5-aged block fronted in r8). The block is exactly
+#: window-sized: ZERO free slots, so r11 registers any new query
+#: BEHIND the cap (driver rows for it come in r12, when the 48-entry
+#: r9 block fronts and ~2 slots free up). q30/q33/q94 stay behind the
+#: cap: their rows are permanently rows-only by declared design
+#: (engine-hash values; md5 twins q123/q124/q129 carry the
 #: value-level record) and fronting them would spend window slots
-#: re-recording a weaker check. Total: 2+2+46 = 50, every one with a
-#: value oracle (verify by IMPORTING REGISTRY — not by regex:
-#: entry 50 = q46_pandas_udf, entry 51 = q144_tfidf_allpairs).
-#: Behind the cap: the r8/r9-attested blocks, all full hash-green.
-#: r11 must front the 50 r8-attested entries (they turn 3 rounds old
-#: then), leaving ZERO free slots — plan r11 registrations as
-#: replacements, or accept a one-round slip on the least-risky r8
-#: entries. Every entry, either side of the cap, runs against its
-#: oracle in tests/test_entry_oracle.py on every pytest run.
+#: re-recording a weaker check. Verify the cut by IMPORTING REGISTRY
+#: — not by regex: entry 50 = q77_chunk_and_pack, entry 51 =
+#: q143_bigram_nll. Behind the cap: the r9/r10-attested blocks, all
+#: full hash-green. r12 must front the 48 r9-attested entries.
+#: Every entry, either side of the cap, runs against its oracle in
+#: tests/test_entry_oracle.py on every pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- r10 window (first 50 = the driver's correctness gate) -------
-    # re-attestations: q143 + q101 carry the r10 floor-lattice
-    # quantization fix (q143 failed r9's gate on the old round-based
-    # quantizer; q101 had the identical latent pattern):
-    "q143_bigram_nll": (q143_bigram_nll, Q143_SQL),
-    "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
-    # new this round — IVF-PQ recall-vs-nprobe tuning eval and the
-    # frozen-index incremental append path:
-    "q150_ivfpq_recall": (q150_ivfpq_recall, None),  # oracle generated below
-    "q151_ivfpq_append": (q151_ivfpq_append, None),  # oracle generated below
-    # the 46 r7-attested entries whose newest driver rows turn 3
-    # rounds old this round (VERDICT r9 item 2 — derived by joining
-    # CORRECTNESS_r01..r09 against the registry):
-    "q129_hll_merge_law": (q129_hll_merge_law, Q129_SQL),
-    "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
-    "q23_text_stats": (q23_text_stats, Q23_SQL),
-    "q24_lang_id": (q24_lang_id, None),
-    "q25_quality_score": (q25_quality_score, None),
-    "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
-    "q81_asof_forward": (q81_asof_forward, Q81_SQL),
-    "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
-    "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
-    "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
-    "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
-    "q109_scd2_history": (q109_scd2_history, Q109_SQL),
-    "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
-    "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
-    "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
-    "q113_table_checksum": (q113_table_checksum, Q113_SQL),
-    "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
-    "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
-    "q116_char_entropy": (q116_char_entropy, Q116_SQL),
-    "q117_funnel_steps": (q117_funnel_steps, Q117_SQL),
-    "q118_psi_drift": (q118_psi_drift, Q118_SQL),
-    "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
-    "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
-    "q121_pagerank": (q121_pagerank, Q121_SQL),
-    "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
-    "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
-    "q124_winnow_md5": (q124_winnow_md5, Q124_SQL),
-    "q02_hypertable_rollup": (q02_hypertable_rollup, Q02_SQL),
-    "q18_sessionization": (q18_sessionization, Q18_SQL),
-    "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),
-    "q28_jaccard_pairs": (q28_jaccard_pairs, _JACCARD_ORACLE.format(threshold=0.5)),
-    "q29_minhash_lsh_pairs": (q29_minhash_lsh_pairs, _JACCARD_ORACLE.format(threshold=0.8)),
-    "q31_ann_topk": (q31_ann_topk, Q31_SQL),
-    "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
-    "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
-    "q36_sql_api": (q36_sql_api, Q36_SQL),
-    "q37_asof_join": (q37_asof_join, Q37_SQL),
-    "q38_range_bucket_join": (q38_range_bucket_join, Q38_SQL),
-    "q39_pivot_status": (q39_pivot_status, Q39_SQL),
-    "q40_promo_revenue": (q40_promo_revenue, Q40_SQL),
-    "q41_disjunctive_predicates": (q41_disjunctive_predicates, Q41_SQL),
-    "q42_customer_distribution": (q42_customer_distribution, Q42_SQL),
-    "q43_above_average_idle": (q43_above_average_idle, Q43_SQL),
-    "q44_percentiles": (q44_percentiles, Q44_SQL),
-    "q45_edit_distance": (q45_edit_distance, Q45_SQL),
-    "q46_pandas_udf": (q46_pandas_udf, Q46_SQL),
-    # --- behind the cap: newest rows r8/r9 (all full hash-green),
-    # plus the three permanently rows-only entries (q30/q33/q94 —
-    # engine-hash values; md5 twins q123/q124/q129 carry the
-    # value-level record). Every entry still runs value-level in
-    # tests/test_entry_oracle.py on every pytest run. ---------------
-    "q144_tfidf_allpairs": (q144_tfidf_allpairs, Q144_SQL),
-    "q145_relative_quality_filter": (q145_relative_quality_filter, None),
-    "q146_canonical_dedup": (q146_canonical_dedup, Q146_SQL),
-    "q147_jl_recall": (q147_jl_recall, None),
-    "q148_gapfill_interpolate": (q148_gapfill_interpolate, Q148_SQL),
-    "q149_class_tfidf": (q149_class_tfidf, Q149_SQL),
-    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
-    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
-    "q78_window_functions": (q78_window_functions, Q78_SQL),
-    "q79_array_functions": (q79_array_functions, Q79_SQL),
-    "q80_repetition_filters": (q80_repetition_filters, Q80_SQL),
-    "q83_streaming_dedup": (q83_streaming_dedup, Q83_SQL),
-    "q84_unpivot": (q84_unpivot, Q84_SQL),
-    "q85_rolling_time_window": (q85_rolling_time_window, Q85_SQL),
-    "q86_argmax_groups": (q86_argmax_groups, Q86_SQL),
-    "q87_source_mixing": (q87_source_mixing, Q87_SQL),
-    "q88_nullsafe_join": (q88_nullsafe_join, Q88_SQL),
-    "q89_date_battery": (q89_date_battery, Q89_SQL),
-    "q90_volume_shipping": (q90_volume_shipping, Q90_SQL),
-    "q91_market_share": (q91_market_share, Q91_SQL),
-    "q92_product_profit": (q92_product_profit, Q92_SQL),
-    "q93_top_supplier": (q93_top_supplier, Q93_SQL),
-    "q95_lateral_topn": (q95_lateral_topn, Q95_SQL),
-    "q96_string_agg": (q96_string_agg, Q96_SQL_ORACLE),
-    "q97_global_index": (q97_global_index, Q97_SQL),
-    "q98_regression_stats": (q98_regression_stats, Q98_SQL),
-    "q99_recursive_cte": (q99_recursive_cte, Q99_SQL),
-    "q100_column_profile": (q100_column_profile, Q100_SQL),
-    "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
-    "q04_order_priority": (q04_order_priority, Q04_SQL),
-    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
-    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
-    "q07_global_stats": (q07_global_stats, Q07_SQL),
-    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
-    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
-    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
-    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
-    "q12_setops": (q12_setops, Q12_SQL),
-    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
-    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
-    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
-    "q16_date_functions": (q16_date_functions, Q16_SQL),
-    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
-    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
-    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
-    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
+    # --- r11 window (first 50 = the driver's correctness gate) -------
+    # the 50 r8-attested entries whose newest driver rows turn 3
+    # rounds old this round (VERDICT r10 item 1 — exactly
+    # window-sized, zero free slots):
     "q130_stream_demux_dynamic": (q130_stream_demux_dynamic, Q130_SQL),
     "q34_relationalize_json_choice": (q34_relationalize_json_choice, Q34_SQL),
     "q125_relationalize_dynamic": (q125_relationalize_dynamic, Q125_SQL),
@@ -6740,6 +6628,118 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q75_stream_stream_join": (q75_stream_stream_join, Q75_SQL),
     "q76_setops_all": (q76_setops_all, Q76_SQL),
     "q77_chunk_and_pack": (q77_chunk_and_pack, Q77_SQL),
+    # --- behind the cap: newest rows r9/r10 (all full hash-green),
+    # plus the three permanently rows-only entries (q30/q33/q94 —
+    # engine-hash values; md5 twins q123/q124/q129 carry the
+    # value-level record). Every entry still runs value-level in
+    # tests/test_entry_oracle.py on every pytest run. -----------------
+    # the r10 window block (newest rows r10; fronts in r13):
+    # re-attestations: q143 + q101 carry the r10 floor-lattice
+    # quantization fix (q143 failed r9's gate on the old round-based
+    # quantizer; q101 had the identical latent pattern):
+    "q143_bigram_nll": (q143_bigram_nll, Q143_SQL),
+    "q101_unigram_nll": (q101_unigram_nll, Q101_SQL),
+    # new this round — IVF-PQ recall-vs-nprobe tuning eval and the
+    # frozen-index incremental append path:
+    "q150_ivfpq_recall": (q150_ivfpq_recall, None),  # oracle generated below
+    "q151_ivfpq_append": (q151_ivfpq_append, None),  # oracle generated below
+    # the 46 entries re-attested in r10 (r7-aged block fronted then):
+    "q129_hll_merge_law": (q129_hll_merge_law, Q129_SQL),
+    "q22_relationalize_linkage": (q22_relationalize_linkage, Q22_SQL),
+    "q23_text_stats": (q23_text_stats, Q23_SQL),
+    "q24_lang_id": (q24_lang_id, None),
+    "q25_quality_score": (q25_quality_score, None),
+    "q26_exact_dedup": (q26_exact_dedup, Q26_SQL),
+    "q81_asof_forward": (q81_asof_forward, Q81_SQL),
+    "q82_asof_nearest": (q82_asof_nearest, Q82_SQL),
+    "q103_fuzzy_join_names": (q103_fuzzy_join_names, Q103_SQL),
+    "q106_nest_roundtrip": (q106_nest_roundtrip, Q106_SQL),
+    "q107_group_quota_sample": (q107_group_quota_sample, Q107_SQL),
+    "q109_scd2_history": (q109_scd2_history, Q109_SQL),
+    "q110_snapshot_cdc": (q110_snapshot_cdc, Q110_SQL),
+    "q111_cohort_retention": (q111_cohort_retention, Q111_SQL),
+    "q112_weighted_sample": (q112_weighted_sample, Q112_SQL),
+    "q113_table_checksum": (q113_table_checksum, Q113_SQL),
+    "q114_partial_agg_merge": (q114_partial_agg_merge, Q114_SQL),
+    "q115_streaming_segment_dedup": (q115_streaming_segment_dedup, Q115_SQL),
+    "q116_char_entropy": (q116_char_entropy, Q116_SQL),
+    "q117_funnel_steps": (q117_funnel_steps, Q117_SQL),
+    "q118_psi_drift": (q118_psi_drift, Q118_SQL),
+    "q119_robust_outliers": (q119_robust_outliers, Q119_SQL),
+    "q120_knn_label_eval": (q120_knn_label_eval, Q120_SQL),
+    "q121_pagerank": (q121_pagerank, Q121_SQL),
+    "q122_scd2_lookup": (q122_scd2_lookup, Q122_SQL),
+    "q123_simhash_md5": (q123_simhash_md5, Q123_SQL),
+    "q124_winnow_md5": (q124_winnow_md5, Q124_SQL),
+    "q02_hypertable_rollup": (q02_hypertable_rollup, Q02_SQL),
+    "q18_sessionization": (q18_sessionization, Q18_SQL),
+    "q27_fingerprint_groups": (q27_fingerprint_groups, Q27_SQL),
+    "q28_jaccard_pairs": (q28_jaccard_pairs, _JACCARD_ORACLE.format(threshold=0.5)),
+    "q29_minhash_lsh_pairs": (q29_minhash_lsh_pairs, _JACCARD_ORACLE.format(threshold=0.8)),
+    "q31_ann_topk": (q31_ann_topk, Q31_SQL),
+    "q32_embedding_dup_pairs": (q32_embedding_dup_pairs, Q32_SQL),
+    "q35_multimodal_features": (q35_multimodal_features, Q35_SQL),
+    "q36_sql_api": (q36_sql_api, Q36_SQL),
+    "q37_asof_join": (q37_asof_join, Q37_SQL),
+    "q38_range_bucket_join": (q38_range_bucket_join, Q38_SQL),
+    "q39_pivot_status": (q39_pivot_status, Q39_SQL),
+    "q40_promo_revenue": (q40_promo_revenue, Q40_SQL),
+    "q41_disjunctive_predicates": (q41_disjunctive_predicates, Q41_SQL),
+    "q42_customer_distribution": (q42_customer_distribution, Q42_SQL),
+    "q43_above_average_idle": (q43_above_average_idle, Q43_SQL),
+    "q44_percentiles": (q44_percentiles, Q44_SQL),
+    "q45_edit_distance": (q45_edit_distance, Q45_SQL),
+    "q46_pandas_udf": (q46_pandas_udf, Q46_SQL),
+    # the r9-attested block (newest rows r9; fronts in r12):
+    "q144_tfidf_allpairs": (q144_tfidf_allpairs, Q144_SQL),
+    "q145_relative_quality_filter": (q145_relative_quality_filter, None),
+    "q146_canonical_dedup": (q146_canonical_dedup, Q146_SQL),
+    "q147_jl_recall": (q147_jl_recall, None),
+    "q148_gapfill_interpolate": (q148_gapfill_interpolate, Q148_SQL),
+    "q149_class_tfidf": (q149_class_tfidf, Q149_SQL),
+    "q105_duplicate_spans": (q105_duplicate_spans, Q105_SQL),
+    "q104_segment_dedup": (q104_segment_dedup, Q104_SQL),
+    "q78_window_functions": (q78_window_functions, Q78_SQL),
+    "q79_array_functions": (q79_array_functions, Q79_SQL),
+    "q80_repetition_filters": (q80_repetition_filters, Q80_SQL),
+    "q83_streaming_dedup": (q83_streaming_dedup, Q83_SQL),
+    "q84_unpivot": (q84_unpivot, Q84_SQL),
+    "q85_rolling_time_window": (q85_rolling_time_window, Q85_SQL),
+    "q86_argmax_groups": (q86_argmax_groups, Q86_SQL),
+    "q87_source_mixing": (q87_source_mixing, Q87_SQL),
+    "q88_nullsafe_join": (q88_nullsafe_join, Q88_SQL),
+    "q89_date_battery": (q89_date_battery, Q89_SQL),
+    "q90_volume_shipping": (q90_volume_shipping, Q90_SQL),
+    "q91_market_share": (q91_market_share, Q91_SQL),
+    "q92_product_profit": (q92_product_profit, Q92_SQL),
+    "q93_top_supplier": (q93_top_supplier, Q93_SQL),
+    "q95_lateral_topn": (q95_lateral_topn, Q95_SQL),
+    "q96_string_agg": (q96_string_agg, Q96_SQL_ORACLE),
+    "q97_global_index": (q97_global_index, Q97_SQL),
+    "q98_regression_stats": (q98_regression_stats, Q98_SQL),
+    "q99_recursive_cte": (q99_recursive_cte, Q99_SQL),
+    "q100_column_profile": (q100_column_profile, Q100_SQL),
+    "q102_session_window_batch": (q102_session_window_batch, Q102_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_top_unshipped_orders": (q03_top_unshipped_orders, Q03_SQL),
+    "q04_order_priority": (q04_order_priority, Q04_SQL),
+    "q05_local_supplier_volume": (q05_local_supplier_volume, Q05_SQL),
+    "q06_revenue_delta": (q06_revenue_delta, Q06_SQL),
+    "q07_global_stats": (q07_global_stats, Q07_SQL),
+    "q08_segment_top_customers": (q08_segment_top_customers, Q08_SQL),
+    "q09_running_revenue": (q09_running_revenue, Q09_SQL),
+    "q10_status_priority_rollup": (q10_status_priority_rollup, Q10_SQL),
+    "q11_flag_status_cube": (q11_flag_status_cube, Q11_SQL),
+    "q12_setops": (q12_setops, Q12_SQL),
+    "q13_customers_without_orders": (q13_customers_without_orders, Q13_SQL),
+    "q14_suppliers_semi": (q14_suppliers_semi, Q14_SQL),
+    "q15_scalar_functions": (q15_scalar_functions, Q15_SQL),
+    "q16_date_functions": (q16_date_functions, Q16_SQL),
+    "q17_events_hourly": (q17_events_hourly, Q17_SQL),
+    "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
+    "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
+    "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
+    # permanently rows-only (engine-hash values by declared design):
     "q30_simhash_pairs": (q30_simhash_pairs, None),
     "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),
     "q94_approx_sketches": (q94_approx_sketches, None),
