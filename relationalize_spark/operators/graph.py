@@ -22,7 +22,10 @@ end to end (r10 — the q143 floor-lattice discipline; the previous
 round-after-float-sum form absorbed reorder drift only while no
 value sat on a round boundary, and any flip would AMPLIFY through
 the remaining iterations): each edge's contribution is
-``floor(rank_q / deg)`` (exact, order-free BIGINT sum), the damped
+``rank_q div deg`` (true integer division — exact quanta and an
+order-free BIGINT sum; r11 ADVICE replaced the earlier
+floor-of-IEEE-quotient, whose per-edge term was only
+deterministic-IEEE, not exact), the damped
 update is one IEEE multiply floored back onto the lattice, and the
 final rank is one exact division. Every step is bit-identical in
 any engine and under any partitioning.
@@ -100,14 +103,20 @@ def pagerank(
             .alias("rank_q"),
         )
         for i in range(max_iter):
-            # floor(rank_q / deg) per edge: exact BIGINTs, so the
-            # per-destination sum is order-free integer arithmetic
+            # rank_q div deg per edge: TRUE integer division (not
+            # floor of an IEEE quotient — `/` on two BIGINTs divides
+            # as doubles, whose floor can land one off the exact
+            # quotient near integer boundaries; r11 ADVICE), so the
+            # per-edge quanta are exact and the per-destination sum
+            # is order-free integer arithmetic. The oracle mirrors
+            # with DuckDB's `//`; both operands are nonnegative so
+            # truncating and flooring division agree.
             contribs = (
                 link.join(ranks.withColumnRenamed("id", "src"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(
                     F.sum(
-                        F.floor(F.col("rank_q") / F.col("__deg__"))
+                        F.expr("rank_q div __deg__")
                     ).alias("__in__")
                 )
             )

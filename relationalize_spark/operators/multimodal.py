@@ -194,8 +194,11 @@ def _mjpeg_avi_frames(data: bytes, n_frames: int) -> list[bytes] | None:
     ``skip_frame=NONKEY`` would take on this container.
 
     Returns the first ``n_frames`` video-chunk payloads (``##dc`` /
-    ``##db`` stream chunks inside any LIST, classically ``movi``)
-    that are well-formed JPEGs (SOI ``FFD8`` ... EOI ``FFD9``), or
+    ``##db`` stream chunks, collected ONLY when the LIST ancestry
+    includes a ``movi`` — or its interleave grouping ``rec `` — list,
+    matching real AVI structure; SOI/EOI-framed bytes planted in
+    ``hdrl``/junk regions are ignored, r11 ADVICE) that are
+    well-formed JPEGs (SOI ``FFD8`` ... EOI ``FFD9``), or
     ``None`` when the payload is not parseable RIFF-AVI or holds no
     such frames — the caller falls back to deterministic chunking.
     Truncated/garbage tails stop the walk instead of raising (media
@@ -209,9 +212,11 @@ def _mjpeg_avi_frames(data: bytes, n_frames: int) -> list[bytes] | None:
     # raise RecursionError out of the executor task (r10 review —
     # confirmed by repro with a 24 KB nested-LIST payload). Real AVIs
     # nest 2-3 deep; 64 is silly-deep but still O(1) memory.
-    stack: list[tuple[int, int]] = [(12, min(8 + riff_size, len(data)))]
+    stack: list[tuple[int, int, bool]] = [
+        (12, min(8 + riff_size, len(data)), False)
+    ]
     while stack and len(frames) < n_frames:
-        off, end = stack.pop()
+        off, end, in_movi = stack.pop()
         while off + 8 <= end and len(frames) < n_frames:
             fourcc = data[off : off + 4]
             size = int.from_bytes(data[off + 4 : off + 8], "little")
@@ -219,10 +224,15 @@ def _mjpeg_avi_frames(data: bytes, n_frames: int) -> list[bytes] | None:
             body_end = min(body_start + size, end)
             if fourcc == b"LIST" and size >= 4 and len(stack) < 64:
                 # resume the current level after the nested one
-                stack.append((body_start + size + (size & 1), end))
+                stack.append((body_start + size + (size & 1), end, in_movi))
+                list_type = data[body_start : body_start + 4]
+                # frame chunks live only under movi (or its rec
+                # interleave groupings, themselves inside movi —
+                # inherited so either nesting order is tolerated)
+                in_movi = in_movi or list_type in (b"movi", b"rec ")
                 off, end = body_start + 4, body_end
                 continue
-            if fourcc[2:4] in (b"dc", b"db") and size >= 4:
+            if in_movi and fourcc[2:4] in (b"dc", b"db") and size >= 4:
                 payload = data[body_start:body_end]
                 if payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9":
                     frames.append(payload)

@@ -143,10 +143,27 @@ def weighted_quota_sample(
     boundary with only ~1e-7 probability per draw (the documented
     residual band; the prior 1e-12 round left a ~1e-4 window).
     Quantization ties fall to the id order — deterministic, and a
-    distortion only when two priorities agree within 1e-9. Rows with
-    weight <= 0 get priority -1: never sampled while any
-    positive-weight row remains (ANSI mode forbids the 1/0 the
-    textbook formula would hit).
+    distortion only when two priorities agree within 1e-9. That tie
+    regime is SYSTEMATIC for very large weights, not just rare bad
+    luck: ``u^(1/w) ~ 1 + ln(u)/w`` as ``w`` grows, so a group's
+    priorities spread over only ~``1/w`` of the unit interval —
+    about ``1e9/w`` distinct lattice levels — and once ``w >~ 1e9/n``
+    for group size ``n`` (w ~ 1e8 at n ~ 10) most rows saturate at
+    999999999 and ranking degrades toward ascending-id order rather
+    than weight-proportional sampling (pinned by
+    ``test_weighted_quota_sample_large_weight_saturation``). Rescale
+    weights into a moderate band (weighted sampling is scale-free:
+    dividing every weight in a group by a constant leaves the E-S
+    distribution unchanged) before calling with ``max(w) >> 1e6``.
+    The alternative — flooring the log-priority ``ln(u)/w`` — moves
+    the same ~1e9/w-level ceiling to the log scale (log-priorities
+    cluster in ``(-~23/w, 0)``) while losing the bounded-range
+    lattice that makes tiny weights safe (``ln(u)/w`` overflows any
+    fixed lattice as ``w -> 0`` where ``u^(1/w)`` just floors to 0),
+    so the bounded form + the documented rescale is the deliberate
+    choice. Rows with weight <= 0 get priority -1: never sampled
+    while any positive-weight row remains (ANSI mode forbids the 1/0
+    the textbook formula would hit).
 
     One shuffle on ``group_col``; same skew guidance as
     :func:`group_quota_sample`.

@@ -269,15 +269,21 @@ class JsonStreamDemux:
     #:   union serializes what the 8-thread pool overlaps, the r7
     #:   plan-fusion result in new clothes. Choose it only when the
     #:   OUTPUT SHAPE is worth that cost: downstream consumers get a
-    #:   single partition-pruned tree (``__rows__/__table__=T``)
-    #:   instead of N directories. The per-table _schema.json
-    #:   metadata writes are unchanged and already skip when stable.
-    #:   ``finalize``/``read_quarantine`` read BOTH layouts (their
-    #:   union), so switching layouts mid-corpus is safe; partition
-    #:   values are escaped/restored by Spark's partition discovery,
-    #:   so exotic table names survive the round trip. exactly_once
-    #:   overwrites ``__rows__/batch={id}`` per batch (same
-    #:   idempotent-replay contract as the per-table batch dirs).
+    #:   single partition-pruned tree
+    #:   (``__rows__/batch=N/__table__=T``) instead of N directories.
+    #:   The per-table _schema.json metadata writes are unchanged and
+    #:   already skip when stable. ``finalize``/``read_quarantine``
+    #:   read BOTH layouts (their union), so switching layouts
+    #:   mid-corpus is safe; partition values are escaped/restored by
+    #:   Spark's partition discovery, so exotic table names survive
+    #:   the round trip. exactly_once overwrites
+    #:   ``__rows__/batch={id}`` per batch (same idempotent-replay
+    #:   contract as the per-table batch dirs); append mode lands
+    #:   under the sentinel ``batch=-1`` so the tree keeps ONE
+    #:   partition depth — flipping exactly_once mid-corpus is safe
+    #:   here too (mixed depths would break partition discovery,
+    #:   which per_table tolerates via recursiveFileLookup but a
+    #:   partition-discovered tree must not).
     write_layout: str = "per_table"
     #: per-batch table writes run on a driver thread pool of this
     #: size (1 = serial). Part of the ~0.7 s/table per-batch floor is
@@ -484,15 +490,28 @@ class JsonStreamDemux:
                     )
                     for t in names
                 ]
-                allrows = reduce(DataFrame.unionByName, parts)
-                if self.exactly_once:
-                    allrows.write.mode("overwrite").partitionBy(
-                        "__table__"
-                    ).text(f"{self.base_path}/__rows__/batch={batch_id}")
-                else:
-                    allrows.write.mode("append").partitionBy(
-                        "__table__"
-                    ).text(f"{self.base_path}/__rows__")
+                # A batch can discover zero tables only if
+                # relationalize_json emits nothing (the root table is
+                # always emitted today, but the per_table path is a
+                # no-op on an empty table set and this lane must fail
+                # the same way — reduce() on [] would raise instead).
+                if parts:
+                    allrows = reduce(DataFrame.unionByName, parts)
+                    # Rows ALWAYS land under a batch=N level — append
+                    # mode uses the sentinel batch=-1 — so the
+                    # __rows__ tree keeps ONE partition depth even if
+                    # exactly_once is flipped mid-corpus (partition
+                    # discovery rejects trees that mix
+                    # __rows__/__table__=T with
+                    # __rows__/batch=N/__table__=T).
+                    if self.exactly_once:
+                        allrows.write.mode("overwrite").partitionBy(
+                            "__table__"
+                        ).text(f"{self.base_path}/__rows__/batch={batch_id}")
+                    else:
+                        allrows.write.mode("append").partitionBy(
+                            "__table__"
+                        ).text(f"{self.base_path}/__rows__/batch=-1")
             elif self.write_concurrency > 1 and len(names) > 1:
                 # ... the per-table writes are independent (disjoint
                 # directories, shared persisted parse) and

@@ -77,6 +77,33 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert hits >= 15
 
 
+def test_weighted_quota_sample_large_weight_saturation(spark):
+    """r11 ADVICE (characterization, not aspiration): once w >~ 1e9/n
+    the 1e-9 priority lattice saturates (u^(1/w) -> 1 for every row)
+    and ranking degrades to ascending-id order — the docstring's
+    documented regime, with the prescribed rescale as the fix."""
+    # weights ASCEND in id, all >> 23e9 (|ln u| <= ~23.1 for the
+    # smallest representable u, so u^(1/w) > 1 - 1e-9 for EVERY row):
+    # all priorities floor to exactly 999999999, ties everywhere, and
+    # the id tiebreak picks the LOWEST ids — the OPPOSITE of weight
+    # order, which would prefer ids 45..49.
+    rows = [(i, "g", 1e12 * (i + 1)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    kept = sorted(
+        r.doc_id for r in weighted_quota_sample(df, "g", 5, "w").collect()
+    )
+    assert kept == [0, 1, 2, 3, 4]  # id order, NOT weight order
+    # the scale-free rescale (divide the group by max(w)) restores
+    # weight-proportional behavior on the SAME relative weights: the
+    # heaviest rows win most draws again.
+    rescaled = df.withColumn("w", F.col("w") / F.lit(1e12 * 50))
+    hits = 0
+    for seed in range(10):
+        got = weighted_quota_sample(rescaled, "g", 1, "w", seed=seed).collect()
+        hits += got[0].doc_id >= 25  # heavy half holds ~75% of mass
+    assert hits >= 6
+
+
 def test_weighted_sample_zero_weight_excluded(spark):
     rows = [(1, "g", 0.0), (2, "g", 1.0), (3, "g", 1.0)]
     df = spark.createDataFrame(rows, "doc_id long, g string, w double")

@@ -239,6 +239,42 @@ def test_mjpeg_avi_walker_extracts_real_frames():
     assert _mjpeg_avi_frames(_avi(f, junk_tail=b"\xff\xd8\xff"), 4) == f
 
 
+def test_mjpeg_avi_walker_requires_movi_ancestry():
+    """r11 ADVICE: ##dc/##db stream chunks count as frames ONLY under
+    a movi (or rec ) LIST — SOI/EOI-framed bytes planted in hdrl,
+    junk regions, or bare top-level chunks are structural garbage,
+    not frames."""
+    from relationalize_spark.operators.multimodal import _mjpeg_avi_frames
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    def riff(body: bytes) -> bytes:
+        body = b"AVI " + body
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    decoy, real = _jpeg(b"planted"), _jpeg(b"genuine")
+    # a crafted hdrl carrying a 00dc chunk with a valid JPEG payload,
+    # and the same chunk bare at the top level: both ignored; only
+    # the movi copy returns.
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"00dc", decoy))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", real))
+    data = riff(hdrl + chunk(b"00dc", decoy) + movi)
+    assert _mjpeg_avi_frames(data, 4) == [real]
+    # with no movi at all: None (caller falls back), even though the
+    # decoys are byte-valid JPEGs
+    assert _mjpeg_avi_frames(riff(hdrl + chunk(b"00dc", decoy)), 4) is None
+    # OpenDML interleave grouping: rec  inside movi still collects,
+    # and a top-level rec  grouping (seen in the wild) does too
+    rec = chunk(b"LIST", b"rec " + chunk(b"01dc", real))
+    assert _mjpeg_avi_frames(riff(chunk(b"LIST", b"movi" + rec)), 4) == [real]
+    assert _mjpeg_avi_frames(riff(rec), 4) == [real]
+    # an unrelated LIST type (INFO) does not grant ancestry
+    info = chunk(b"LIST", b"INFO" + chunk(b"00db", decoy))
+    assert _mjpeg_avi_frames(riff(info + movi), 4) == [real]
+
+
 def test_mjpeg_avi_walker_never_raises_property():
     """Property: on ARBITRARY bytes (including adversarial deep
     nesting, the r10 review's RecursionError repro shape) the walker

@@ -693,3 +693,53 @@ def test_json_stream_demux_single_job_layout_parity(spark, tmp_path):
         write_layout="single_job",
     )
     assert snap(d2) == base_tables
+
+    # r11 ADVICE: flipping exactly_once mid-corpus must keep the
+    # __rows__ tree at ONE partition depth (append mode lands under
+    # the sentinel batch=-1) — mixed depths would kill partition
+    # discovery on the whole tree, not just the flipped batch.
+    flip = JsonStreamDemux(
+        str(tmp_path / "flip"), "root", key_cols=["k"],
+        write_layout="single_job",
+    )
+    flip.process_batch(
+        spark.createDataFrame([(ln,) for ln in lines1], "value string"), 0
+    )
+    flip.exactly_once = False
+    flip.process_batch(
+        spark.createDataFrame([(ln,) for ln in lines2], "value string"), 1
+    )
+    assert snap(flip) == base_tables
+
+
+def test_json_stream_demux_single_job_empty_table_set(spark, tmp_path, monkeypatch):
+    """r11 ADVICE: a batch whose relationalize yields ZERO tables must
+    be a no-op under single_job (the per_table path writes nothing;
+    an unguarded reduce() over [] would raise and kill the stream).
+    Unreachable through the public API today — the root table is
+    always emitted — so the zero-table result is injected."""
+    import importlib
+
+    mod = importlib.import_module(
+        "relationalize_spark.streaming.relationalize_stream"
+    )
+    jsonl_mod = importlib.import_module("relationalize_spark.sources.jsonl")
+
+    class _Empty:
+        tables: dict = {}
+        schemas: dict = {}
+
+        def unpersist(self):
+            pass
+
+    # process_batch imports relationalize_json from sources.jsonl at
+    # call time, so the patch goes on the DEFINING module
+    monkeypatch.setattr(
+        jsonl_mod, "relationalize_json", lambda *a, **k: _Empty()
+    )
+    d = mod.JsonStreamDemux(
+        str(tmp_path / "out"), "root", key_cols=["k"],
+        write_layout="single_job",
+    )
+    d.process_batch(spark.createDataFrame([('{"k": 1}',)], "value string"), 0)
+    assert d.finalize(spark) == {}
