@@ -9,10 +9,13 @@ This container has no image codec libraries; what is real vs stubbed:
 
 - REAL: ``decode_images`` / ``resize_images`` decode codec-free
   raster formats (binary netpbm P5/P6, uncompressed 24/32-bit BMP)
-  and resize with pure-numpy bilinear/nearest sampling — actual
-  pixels, no PIL. ``audio_features`` decodes PCM WAV via the stdlib
-  ``wave`` module. Compressed payloads (JPEG/PNG/MP3) yield NULL
-  rather than failing the job.
+  plus baseline-sequential JPEG (r11 — the pure-numpy
+  Huffman+IDCT decoder in :mod:`.jpeg`, so the RIFF walker's
+  extracted keyframes become pixels in-container) and resize with
+  pure-numpy bilinear/nearest sampling — actual pixels, no PIL.
+  ``audio_features`` decodes PCM WAV via the stdlib ``wave``
+  module. Payloads outside that envelope (PNG, progressive JPEG,
+  MP3) yield NULL rather than failing the job.
 - GUARDED-REAL (r5): ``image_features(decoder="auto")`` decodes with
   PIL when it is importable on the executors (``_pil_decode``), and
   ``sample_frames(mode="auto")`` extracts real keyframes via PyAV
@@ -399,10 +402,22 @@ def _decode_bmp(data: bytes):
 
 
 def decode_raster(data: bytes):
-    """Dispatching real decoder: netpbm then BMP; None when the
-    payload needs a codec this container lacks (JPEG/PNG — swap in
-    PIL here where available)."""
-    return _decode_netpbm(data) or _decode_bmp(data)
+    """Dispatching real decoder: netpbm, BMP, then baseline JPEG
+    (r11 — the pure-numpy decoder in :mod:`.jpeg`, closing the
+    AVI → keyframes → pixels lane in-container); None when the
+    payload needs a codec outside that envelope (PNG, progressive
+    JPEG — swap in PIL here where available)."""
+    got = _decode_netpbm(data) or _decode_bmp(data)
+    if got is not None:
+        return got
+    if len(data) >= 2 and data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_baseline
+
+        arr = decode_jpeg_baseline(data)
+        if arr is not None:
+            h, w, c = arr.shape
+            return ("jpeg", h, w, c, arr)
+    return None
 
 
 def decode_images(
@@ -411,8 +426,9 @@ def decode_images(
     id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """REAL image decode + per-channel stats for codec-free formats
-    (binary netpbm P5/P6, uncompressed 24/32-bit BMP) — pure numpy,
-    no image library. Unparseable payloads yield NULL fields rather
+    (binary netpbm P5/P6, uncompressed 24/32-bit BMP, baseline JPEG)
+    — pure numpy, no image library. Unparseable payloads yield NULL
+    fields rather
     than failing the job. Same scale shape as image_features: columns
     pruned to ids + payload before the Arrow boundary, one Python
     pass, executor-parallel."""
@@ -486,7 +502,8 @@ def resize_images(
     id_cols: tuple[str, ...] = ("doc_id",),
     method: str = "bilinear",
 ) -> DataFrame:
-    """Decode (netpbm/BMP, real) + resize (pure-numpy bilinear or
+    """Decode (netpbm/BMP/baseline-JPEG, real) + resize (pure-numpy
+    bilinear or
     nearest) a binary image column; emits the resized raw raster
     (height*width*channels uint8 bytes, row-major RGB) plus dims so
     downstream featurizers can consume it without re-decoding.
