@@ -6,6 +6,7 @@ from .dedup import (
     dedup_clusters,
     exact_dedup,
     embedding_dup_pairs,
+    hamming_dup_pairs,
     jaccard_pairs,
     minhash_incremental_pairs,
     minhash_lsh_pairs,
@@ -22,7 +23,9 @@ from .indexing import add_global_index
 from .multimodal import (
     audio_features,
     decode_images,
+    image_dup_pairs,
     image_features,
+    image_signatures,
     resize_images,
     sample_frames,
 )
@@ -62,6 +65,7 @@ __all__ = [
     "kmeans_fit",
     "dedup_clusters",
     "exact_dedup",
+    "hamming_dup_pairs",
     "embedding_dup_pairs",
     "jaccard_pairs",
     "minhash_incremental_pairs",
@@ -82,7 +86,9 @@ __all__ = [
     "add_global_index",
     "audio_features",
     "decode_images",
+    "image_dup_pairs",
     "image_features",
+    "image_signatures",
     "resize_images",
     "sample_frames",
     "scd2_from_snapshots",

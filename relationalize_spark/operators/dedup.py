@@ -530,6 +530,81 @@ def simhash_pairs(
     )
 
 
+def hamming_dup_pairs(
+    sig_df: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    bands: int = 4,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pairs within a Hamming ball over ANY 64-bit BIGINT signature
+    column — the :func:`simhash_pairs` band machinery (pigeonhole:
+    a pair at distance <= max_hamming agrees on at least one of
+    max_hamming+1 disjoint bit bands, so ``bands >= max_hamming+1``
+    gives recall 1) factored out so perceptual image hashes
+    (:func:`relationalize_spark.operators.multimodal.image_signatures`
+    — dHash/aHash, r11), audio fingerprints, or any other
+    fixed-width signature reuse it without re-deriving the join.
+
+    Buckets are mask-after-shift (``(sig >> 16b) & 0xFFFF``) rather
+    than unsigned shifts so the same expression replays in engines
+    whose ``>>`` sign-extends (DuckDB — the value oracle's form);
+    the mask erases the arithmetic/logical difference. Self-join on
+    (band, bucket) with ``id < id`` dedup, verified by
+    ``bit_count(xor)`` — all Catalyst built-ins, no Python in the
+    hot path. ``keep_cols`` ride along from each side (prefixed
+    ``i_``/``j_``) for downstream verify stages.
+
+    Scale shape: identical to simhash_pairs — candidates are bounded
+    by same-bucket cooccurrence (~n^2/2^16 chance collisions per
+    band at the default 4x16-bit split; past ~10^5-10^6 rows per
+    shard, band within shards or raise bands the way simhash's
+    128-bit lane does)."""
+    assert bands >= max_hamming + 1, "pigeonhole requires bands > max_hamming"
+    assert 64 % bands == 0, "bands must divide 64"
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    base = ensure_parallelism(
+        sig_df.select(
+            F.col(id_col).alias("id"),
+            F.col(sig_col).cast("long").alias("__sig__"),
+            *[F.col(c) for c in keep_cols],
+        )
+    )
+    bucket_cols = [
+        (
+            F.shiftright("__sig__", b * band_bits) if b else F.col("__sig__")
+        ).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    entries = base.select(
+        "id",
+        "__sig__",
+        *keep_cols,
+        F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
+    )
+    a, b = entries.alias("a"), entries.alias("b")
+    hamming = F.bit_count(F.col("a.__sig__").bitwiseXOR(F.col("b.__sig__")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            hamming.alias("hamming"),
+            *[F.col(f"a.{c}").alias(f"i_{c}") for c in keep_cols],
+            *[F.col(f"b.{c}").alias(f"j_{c}") for c in keep_cols],
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # -- embedding --------------------------------------------------------------
 
 def embedding_dup_pairs(

@@ -6544,6 +6544,88 @@ FROM nasg
     )
 
 
+def q152_image_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image near-dup (r11 — operators/multimodal.py:
+    image_signatures dHash + operators/dedup.py:hamming_dup_pairs,
+    the SimHash banding machinery factored out): each document
+    renders a deterministic 9x8 grayscale netpbm image (pixel i =
+    md5_60(token_i) % 256 over its first 72 whitespace tokens — the
+    q123 md5_60 lane, so near-identical texts yield near-identical
+    images AND DuckDB can replay every pixel), assembled JVM-side as
+    hex -> unhex binary. The signatures then run the REAL lane:
+    netpbm decode -> integer luma -> nearest resize -> dHash bits ->
+    banded Hamming self-join (radius 6, 8 bands; pigeonhole recall 1
+    at >= 7). The oracle replays pixels, the 64 gradient compares,
+    the signed-bit packing (bit 63 as the -2^63 addend — DuckDB's
+    << refuses the sign bit), and brute-forces the Hamming ball
+    (result-identical to the banded join by the pigeonhole bound,
+    which tests/test_image_dedup.py proves exhaustively)."""
+    from .operators.dedup import hamming_dup_pairs
+    from .operators.multimodal import image_signatures
+
+    d = load_table(spark, sf, "documents")
+    px = F.transform(
+        F.slice(F.split(F.trim(F.col("text")), _TXT.WS), 1, 72),
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(256),
+        ),
+    )
+    px = F.concat(
+        px,
+        F.array_repeat(F.lit(0).cast("long"), F.lit(72) - F.size(px)),
+    )
+    hexstr = F.concat_ws(
+        "", F.transform(px, lambda v: F.lpad(F.hex(v), 2, "0"))
+    )
+    header_hex = b"P5 9 8 255\n".hex().upper()
+    imgs = d.select(
+        "doc_id",
+        F.unhex(F.concat(F.lit(header_hex), hexstr)).alias("content"),
+    )
+    sigs = image_signatures(
+        imgs, binary_col="content", id_cols=("doc_id",), kind="dhash"
+    ).where(F.col("sig").isNotNull())
+    return hamming_dup_pairs(
+        sigs, id_col="doc_id", sig_col="sig", max_hamming=6, bands=8
+    )
+
+
+Q152_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(trim(text),
+                                          '[ \t\n\x0B\f\r]+'), 1, 72) AS ts
+  FROM documents
+),
+pxl AS (
+  SELECT doc_id,
+    [CASE WHEN j <= len(ts)
+          THEN CAST(('0x' || substr(md5(ts[CAST(j AS INT)]), 1, 15))
+                    AS BIGINT) % 256
+          ELSE CAST(0 AS BIGINT) END
+     FOR j IN range(1, 73)] AS px
+  FROM tk
+),
+sig AS (
+  SELECT doc_id,
+    CAST(list_sum(
+      [CASE WHEN px[CAST((j // 8) * 9 + (j % 8) AS INT) + 1]
+                 > px[CAST((j // 8) * 9 + (j % 8) AS INT) + 2]
+            THEN CASE WHEN j = 63
+                      THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                      ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+            ELSE CAST(0 AS BIGINT) END
+       FOR j IN range(0, 64)]) AS BIGINT) AS sig
+  FROM pxl
+)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 6
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6739,6 +6821,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q19_events_json_extract": (q19_events_json_extract, Q19_SQL),
     "q20_relationalize_explode": (q20_relationalize_explode, Q20_SQL),
     "q21_relationalize_flatten": (q21_relationalize_flatten, Q21_SQL),
+    # new in r11 (behind the cap per the zero-free-slot arithmetic;
+    # fronts with the r9 block in r12):
+    "q152_image_dup_pairs": (q152_image_dup_pairs, Q152_SQL),
     # permanently rows-only (engine-hash values by declared design):
     "q30_simhash_pairs": (q30_simhash_pairs, None),
     "q33_winnow_fingerprint": (q33_winnow_fingerprint, None),
