@@ -1151,6 +1151,104 @@ def test_tfidf_pairs_matches_python_mirror(spark):
         ).collect()
     }
     assert got2 == want
+    # r11: the opt-in Bayardo prefix-filter lane and the single-stage
+    # lane are result-identical — the pruning decision is exact
+    # integer arithmetic on the same lattice
+    got3 = {
+        (r.i, r.j): (r.shared_terms, r.cos_sim)
+        for r in tfidf_pairs(
+            df, threshold=thr, max_df=max_df, prefix_filter=True
+        ).collect()
+    }
+    assert got3 == want
+
+
+def test_tfidf_prefix_filter_equivalence_real_corpus(spark, sf_dir):
+    """r11 (VERDICT r10 item 6): prefix-filtered and unfiltered APSS
+    agree pair-for-pair, value-for-value on the real documents table
+    at two thresholds (high = deep pruning, low = shallow)."""
+    from relationalize_spark.operators.dedup import tfidf_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for thr in (0.8, 0.3):
+        on = {
+            (r.i, r.j): (r.shared_terms, r.cos_sim)
+            for r in tfidf_pairs(
+                d, threshold=thr, max_df=1000, prefix_filter=True
+            ).collect()
+        }
+        off = {
+            (r.i, r.j): (r.shared_terms, r.cos_sim)
+            for r in tfidf_pairs(
+                d, threshold=thr, max_df=1000, prefix_filter=False
+            ).collect()
+        }
+        assert on == off and on  # identical and non-trivial
+
+
+def test_tfidf_prefix_filter_prunes_in_its_regime(spark):
+    """The regime the opt-in lane exists for: a NATURAL (untagged)
+    vocabulary where a high-df low-weight term drives the candidate
+    fanout. The suffix bound must evict that term from every prefix
+    (python-mirrored here), collapsing the candidate join to the
+    genuinely-near pairs, while both lanes stay result-identical."""
+    import math
+    from collections import Counter
+
+    from relationalize_spark.operators.dedup import tfidf_pairs
+
+    # 20 docs: unique heavy head terms + one shared low-weight tail
+    # term; docs 0 and 1 are exact duplicates (the qualifying pair).
+    rows = [(0, "alpha " * 10 + "common"), (1, "alpha " * 10 + "common")]
+    rows += [(i, f"uniq{i} " * 10 + "common") for i in range(2, 20)]
+    rows = [(i, t.strip()) for i, t in rows]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    thr, max_df = 0.8, 1000
+
+    # python mirror of the prefix construction
+    docs = {i: Counter(t.lower().split()) for i, t in rows}
+    dft = Counter(t for c in docs.values() for t in c)
+    n = len(rows)
+    thr_q = math.floor(thr * 1e12)
+    bound = (thr_q * thr_q - 1) // 10**12
+    n_joinable = n_prefix = 0
+    for i, c in docs.items():
+        wq = {
+            t: tf * math.floor((math.log((1 + n) / (1 + dft[t])) + 1) * 1e6)
+            for t, tf in c.items()
+            if dft[t] <= max_df
+        }
+        n2 = sum(v * v for v in wq.values())
+        nw = {
+            t: math.floor(v * 1e6 / math.sqrt(float(n2)))
+            for t, v in wq.items()
+            if dft[t] >= 2
+        }
+        order = sorted(nw, key=lambda t: (dft[t], t))
+        suffix = [nw[t] ** 2 for t in order]
+        for k in range(len(order)):
+            n_joinable += 1
+            if sum(suffix[k:]) > bound:
+                n_prefix += 1
+    # 'common' (df=20) is every doc's only low-weight tail term and
+    # must fall out of every prefix; only the duplicate pair's shared
+    # heavy term survives.
+    assert n_joinable == 22 and n_prefix == 2
+
+    on = {
+        (r.i, r.j): (r.shared_terms, r.cos_sim)
+        for r in tfidf_pairs(
+            df, threshold=thr, max_df=max_df, prefix_filter=True
+        ).collect()
+    }
+    off = {
+        (r.i, r.j): (r.shared_terms, r.cos_sim)
+        for r in tfidf_pairs(
+            df, threshold=thr, max_df=max_df, prefix_filter=False
+        ).collect()
+    }
+    assert on == off
+    assert set(on) == {(0, 1)}  # the duplicates; 'common' alone can't reach 0.8
 
 
 def test_canonical_dedup_collapses_normalization_variants(spark):
