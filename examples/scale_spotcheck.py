@@ -642,6 +642,76 @@ def main() -> None:
 
         return run
 
+    def image_dup_op(sf, kind="dhash"):
+        def run():
+            import pyspark.sql.functions as F
+
+            from relationalize_spark.operators import text as TX
+            from relationalize_spark.operators.dedup import hamming_dup_pairs
+            from relationalize_spark.operators.multimodal import (
+                image_signatures,
+            )
+
+            # the q152 shape: render each doc's tokens (cyclic past
+            # the doc length — constant padding degenerates into LSH
+            # mega-buckets, measured r11) as a deterministic 9x8
+            # netpbm image (md5_60 pixels), run the REAL decode ->
+            # dHash lane, banded Hamming self-join
+            d = spark.read.parquet(f"{sf}/documents.parquet")
+            base = d.select(
+                "doc_id",
+                F.slice(
+                    F.split(F.trim(F.col("text")), TX.WS), 1, 72
+                ).alias("__toks__"),
+            )
+            px = F.transform(
+                F.sequence(F.lit(0), F.lit(71)),
+                lambda i: F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.element_at(
+                                    F.col("__toks__"),
+                                    (
+                                        F.pmod(
+                                            i, F.size(F.col("__toks__"))
+                                        )
+                                        + 1
+                                    ).cast("int"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(256),
+                ),
+            )
+            hexstr = F.concat_ws(
+                "", F.transform(px, lambda v: F.lpad(F.hex(v), 2, "0"))
+            )
+            header_hex = b"P5 9 8 255\n".hex().upper()
+            imgs = base.select(
+                "doc_id",
+                F.unhex(F.concat(F.lit(header_hex), hexstr)).alias(
+                    "content"
+                ),
+            )
+            sigs = image_signatures(
+                imgs, binary_col="content", id_cols=("doc_id",), kind=kind
+            ).where(F.col("sig").isNotNull())
+            return hamming_dup_pairs(
+                sigs,
+                id_col="doc_id",
+                sig_col=("sig", "sig2") if kind == "dhash128" else "sig",
+                max_hamming=6,
+                bands=8,
+            )
+
+        return run
+
     def relative_filter_op(sf):
         def run():
             from relationalize_spark.operators import text as TX
@@ -789,6 +859,11 @@ def main() -> None:
         "ivfpq_recall_q150shape": ivfpq_recall_op,
         "gapfill_q148shape": gapfill_op,
         "class_tfidf_q149shape": class_tfidf_op,
+        "image_dup_q152shape": image_dup_op,
+        # the 128-bit lane: stricter distance scale (6x fewer chance
+        # pairs at 100x) and wider band buckets — see BASELINE.md r11
+        # for the degeneracy-vs-width melt analysis
+        "image_dup128": lambda sf: image_dup_op(sf, kind="dhash128"),
     }
     wanted = None
     for arg in sys.argv[1:]:

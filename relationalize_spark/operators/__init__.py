@@ -23,6 +23,7 @@ from .indexing import add_global_index
 from .multimodal import (
     audio_features,
     decode_images,
+    dhash128,
     image_dup_pairs,
     image_features,
     image_signatures,
@@ -86,6 +87,7 @@ __all__ = [
     "add_global_index",
     "audio_features",
     "decode_images",
+    "dhash128",
     "image_dup_pairs",
     "image_features",
     "image_signatures",

@@ -533,10 +533,11 @@ def simhash_pairs(
 def hamming_dup_pairs(
     sig_df: DataFrame,
     id_col: str = "id",
-    sig_col: str = "sig",
+    sig_col: str | tuple[str, ...] = "sig",
     max_hamming: int = 3,
     bands: int = 4,
     keep_cols: tuple[str, ...] = (),
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs within a Hamming ball over ANY 64-bit BIGINT signature
     column — the :func:`simhash_pairs` band machinery (pigeonhole:
@@ -547,6 +548,42 @@ def hamming_dup_pairs(
     — dHash/aHash, r11), audio fingerprints, or any other
     fixed-width signature reuse it without re-deriving the join.
 
+    ``sig_col`` may be a TUPLE of lane columns (e.g. the 128-bit
+    dHash's two 64-bit lanes): bands then split evenly across lanes,
+    Hamming distance sums over all of them, and the pigeonhole bound
+    holds over the concatenated signature. BUCKET WIDTH is
+    64*lanes/bands bits and chance band collisions grow
+    ~ n^2 / 2^width per band — but measure before assuming that is
+    the binding constraint (r11, BASELINE.md): at 8 bands / one
+    64-bit lane / 500k uniform signatures the ~4x10^9 chance
+    candidates spread across partitions and cost SECONDS; what
+    actually melted the join was bucket DEGENERACY (one shared
+    constant band value -> one mega-bucket -> ~6x10^10 rows through
+    ONE partition), which lane width cannot fix — de-correlate the
+    signature or cap with ``max_bucket``. The wider form's real
+    yields are ~2^64 more distance resolution (6x fewer
+    chance-PAIRS in the r11 measurement: the coarse 64-bit
+    hamming<=6 ball admits them, the 128-bit ball doesn't) and
+    headroom at corpus sizes where chance candidates DO dominate
+    (~n^2/2^width/band crossing the true-pair count). As with
+    simhash's 128-bit lane, distance over more bits with the same
+    ``max_hamming`` halves the tolerated FRACTIONAL disagreement —
+    a semantic switch the caller makes deliberately.
+
+    ``max_bucket`` (opt-in) is the DEGENERATE-bucket guard: drop
+    (band, bucket) groups larger than it from candidate generation —
+    the max_df cap's analog for banded LSH. Signatures with a
+    popular identical band value (a constant region shared by a
+    large corpus fraction; r11's measured case was a constant-padded
+    pixel tail putting 70% of documents in ONE tail-band bucket,
+    ~6e10 candidate rows at 500k docs) quadratically melt the join
+    no matter how wide the buckets are. With the cap, recall 1 is
+    guaranteed only for pairs that agree on at least one
+    NON-degenerate band; a pair whose every agreeing band is
+    degenerate is lost — the documented trade, exactly max_df's.
+    Fix the signature (de-correlate the constant region) where
+    possible; cap where not.
+
     Buckets are mask-after-shift (``(sig >> 16b) & 0xFFFF``) rather
     than unsigned shifts so the same expression replays in engines
     whose ``>>`` sign-extends (DuckDB — the value oracle's form);
@@ -554,41 +591,60 @@ def hamming_dup_pairs(
     (band, bucket) with ``id < id`` dedup, verified by
     ``bit_count(xor)`` — all Catalyst built-ins, no Python in the
     hot path. ``keep_cols`` ride along from each side (prefixed
-    ``i_``/``j_``) for downstream verify stages.
-
-    Scale shape: identical to simhash_pairs — candidates are bounded
-    by same-bucket cooccurrence (~n^2/2^16 chance collisions per
-    band at the default 4x16-bit split; past ~10^5-10^6 rows per
-    shard, band within shards or raise bands the way simhash's
-    128-bit lane does)."""
+    ``i_``/``j_``) for downstream verify stages."""
+    lanes = (sig_col,) if isinstance(sig_col, str) else tuple(sig_col)
     assert bands >= max_hamming + 1, "pigeonhole requires bands > max_hamming"
-    assert 64 % bands == 0, "bands must divide 64"
-    band_bits = 64 // bands
+    assert bands % len(lanes) == 0, "bands must split evenly across lanes"
+    per_lane = bands // len(lanes)
+    assert 64 % per_lane == 0, "per-lane bands must divide 64"
+    band_bits = 64 // per_lane
     mask = (1 << band_bits) - 1
+    lane_names = [f"__sig{i}__" for i in range(len(lanes))]
     base = ensure_parallelism(
         sig_df.select(
             F.col(id_col).alias("id"),
-            F.col(sig_col).cast("long").alias("__sig__"),
+            *[
+                F.col(c).cast("long").alias(n)
+                for c, n in zip(lanes, lane_names)
+            ],
             *[F.col(c) for c in keep_cols],
         )
     )
     bucket_cols = [
-        (
-            F.shiftright("__sig__", b * band_bits) if b else F.col("__sig__")
-        ).bitwiseAND(F.lit(mask))
-        for b in range(bands)
+        (F.shiftright(n, b * band_bits) if b else F.col(n)).bitwiseAND(
+            F.lit(mask)
+        )
+        for n in lane_names
+        for b in range(per_lane)
     ]
     entries = base.select(
         "id",
-        "__sig__",
+        *lane_names,
         *keep_cols,
         F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        # the count window partitions on the same keys the join
+        # shuffles on, so this adds one pass, not a second exchange
+        # pattern
+        wcnt = Window.partitionBy("band", "bucket")
+        entries = (
+            entries.withColumn("__bsz__", F.count(F.lit(1)).over(wcnt))
+            .where(F.col("__bsz__") <= max_bucket)
+            .drop("__bsz__")
+        )
     a, b = entries.alias("a"), entries.alias("b")
-    hamming = F.bit_count(F.col("a.__sig__").bitwiseXOR(F.col("b.__sig__")))
+    hamming = None
+    for n in lane_names:
+        h = F.bit_count(F.col(f"a.{n}").bitwiseXOR(F.col(f"b.{n}")))
+        hamming = h if hamming is None else hamming + h
+    # merge hint: both self-join sides are the corpus-derived band
+    # table — un-hinted, the static estimator broadcast-promoted the
+    # build side at test SF (caught in the r11 plan audit; the
+    # jaccard/tfidf invariant, pinned in test_plan_hygiene)
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),

@@ -594,6 +594,29 @@ def ahash64(arr) -> int:
     return _pack_bits64(bits)
 
 
+def dhash128(arr) -> tuple[int, int]:
+    """128-bit dHash as TWO 64-bit lanes: nearest-resize the luma to
+    16x9 and take :func:`dhash64`'s horizontal-gradient bits per
+    8-row half (lane 1 = rows 0-7, lane 2 = rows 8-15 — finer
+    VERTICAL resolution than dhash64, same horizontal). What the
+    wide form buys, measured (r11, BASELINE.md): a finer DISTANCE
+    scale — at 100x the coarse 64-bit hamming<=6 ball admitted 6x
+    more pairs than the 128-bit ball on the same corpus (chance
+    near-collisions, not near-dups) — plus wider band buckets
+    (headroom for corpus sizes where chance candidates genuinely
+    dominate). It is NOT a fix for degenerate buckets: a constant
+    signature region floods one bucket at any lane width
+    (de-correlate the signature, or cap with
+    ``hamming_dup_pairs(max_bucket=...)``). Distance over 128 bits
+    with the same ``max_hamming`` halves the tolerated fractional
+    disagreement — the simhash 64->128 semantic switch,
+    deliberate."""
+    g = luma_gray(arr)[:, :, None]
+    r = resize_raster(g, 16, 9, method="nearest")[:, :, 0].astype("int64")
+    bits = (r[:, :-1] > r[:, 1:]).reshape(-1)  # 16*8 = 128 bits
+    return _pack_bits64(bits[:64]), _pack_bits64(bits[64:])
+
+
 def image_signatures(
     df: DataFrame,
     binary_col: str = "content",
@@ -609,16 +632,17 @@ def image_signatures(
     per image. Feed the output to
     :func:`relationalize_spark.operators.dedup.hamming_dup_pairs`
     (or use :func:`image_dup_pairs`)."""
-    if kind not in ("dhash", "ahash"):
-        raise ValueError(f"kind must be dhash|ahash, got {kind!r}")
-    hash_fn = dhash64 if kind == "dhash" else ahash64
+    if kind not in ("dhash", "ahash", "dhash128"):
+        raise ValueError(f"kind must be dhash|ahash|dhash128, got {kind!r}")
+    two_lane = kind == "dhash128"
+    hash_fn = {"dhash": dhash64, "ahash": ahash64, "dhash128": dhash128}[kind]
     src = df.select(*id_cols, binary_col)
     id_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in src.schema.fields
         if f.name in id_cols
     )
-    out_schema = f"{id_schema}, sig long"
+    out_schema = f"{id_schema}, sig long" + (", sig2 long" if two_lane else "")
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -627,9 +651,13 @@ def image_signatures(
                 ids = {c: pdf[c].iloc[idx] for c in id_cols}
                 b = pdf[binary_col].iloc[idx]
                 dec = decode_raster(bytes(b)) if b is not None else None
-                rows.append(
-                    {**ids, "sig": hash_fn(dec[4]) if dec else None}
-                )
+                if two_lane:
+                    s = hash_fn(dec[4]) if dec else (None, None)
+                    rows.append({**ids, "sig": s[0], "sig2": s[1]})
+                else:
+                    rows.append(
+                        {**ids, "sig": hash_fn(dec[4]) if dec else None}
+                    )
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(sig_batches, schema=out_schema)
@@ -649,15 +677,24 @@ def image_dup_pairs(
     6/64 with 8 bands (recall 1 needs only 7) — the conventional
     dHash near-dup band. Undecodable images drop out (no NULL
     buckets). One shuffle to band buckets; candidates bounded by
-    bucket cooccurrence, never O(N^2)."""
+    bucket cooccurrence, never O(N^2). Scale guidance (measured r11,
+    BASELINE.md): the join's enemy is bucket DEGENERACY — a shared
+    constant image region floods one bucket and melts the join at
+    any signature width (guard with ``max_bucket`` via
+    ``hamming_dup_pairs``, or de-correlate the pixels); for large
+    corpora prefer ``kind="dhash128"`` for its stricter distance
+    scale (6x fewer chance pairs at 100x here) and wider buckets."""
     from .dedup import hamming_dup_pairs
 
     sigs = image_signatures(
         df, binary_col=binary_col, id_cols=(id_col,), kind=kind
     ).where(F.col("sig").isNotNull())
     return hamming_dup_pairs(
-        sigs, id_col=id_col, sig_col="sig",
-        max_hamming=max_hamming, bands=bands,
+        sigs,
+        id_col=id_col,
+        sig_col=("sig", "sig2") if kind == "dhash128" else "sig",
+        max_hamming=max_hamming,
+        bands=bands,
     )
 
 

@@ -6551,8 +6551,11 @@ def q152_image_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     renders a deterministic 9x8 grayscale netpbm image (pixel i =
     md5_60(token_i) % 256 over its first 72 whitespace tokens — the
     q123 md5_60 lane, so near-identical texts yield near-identical
-    images AND DuckDB can replay every pixel), assembled JVM-side as
-    hex -> unhex binary. The signatures then run the REAL lane:
+    images AND DuckDB can replay every pixel; short documents repeat
+    their tokens cyclically — constant padding degenerated into LSH
+    mega-buckets at 100x, see the inline comment), assembled
+    JVM-side as hex -> unhex binary. The signatures then run the
+    REAL lane:
     netpbm decode -> integer luma -> nearest resize -> dHash bits ->
     banded Hamming self-join (radius 6, 8 bands; pigeonhole recall 1
     at >= 7). The oracle replays pixels, the 64 gradient compares,
@@ -6564,22 +6567,53 @@ def q152_image_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import image_signatures
 
     d = load_table(spark, sf, "documents")
-    px = F.transform(
-        F.slice(F.split(F.trim(F.col("text")), _TXT.WS), 1, 72),
-        lambda t: F.pmod(
-            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-            F.lit(256),
+    # pixel i = md5_60(token_{i mod n}) % 256 — documents SHORTER than
+    # 72 tokens repeat their own tokens CYCLICALLY rather than padding
+    # with a constant. A constant pad is an LSH disaster at corpus
+    # scale: 70% of this corpus is under 72 tokens, so every short
+    # document shared identical all-zero tail bits, the tail band
+    # buckets degenerated into one mega-bucket per band, and the
+    # candidate join melted at 100x (~6e10 rows — measured r11,
+    # killed; BASELINE.md). Cyclic self-padding keeps near-identical
+    # same-length texts near-identical (the pair structure dedup
+    # wants) while unrelated documents' tails stay uncorrelated.
+    # The split is MATERIALIZED in a projection before the transform:
+    # Catalyst does no CSE inside HOF lambdas, so a captured split
+    # would re-tokenize the document once per pixel (the r3 simhash
+    # defect class).
+    base = d.select(
+        "doc_id",
+        F.slice(F.split(F.trim(F.col("text")), _TXT.WS), 1, 72).alias(
+            "__toks__"
         ),
     )
-    px = F.concat(
-        px,
-        F.array_repeat(F.lit(0).cast("long"), F.lit(72) - F.size(px)),
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.element_at(
+                            F.col("__toks__"),
+                            (
+                                F.pmod(i, F.size(F.col("__toks__"))) + 1
+                            ).cast("int"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(256),
+        ),
     )
     hexstr = F.concat_ws(
         "", F.transform(px, lambda v: F.lpad(F.hex(v), 2, "0"))
     )
     header_hex = b"P5 9 8 255\n".hex().upper()
-    imgs = d.select(
+    imgs = base.select(
         "doc_id",
         F.unhex(F.concat(F.lit(header_hex), hexstr)).alias("content"),
     )
@@ -6600,10 +6634,8 @@ WITH tk AS (
 ),
 pxl AS (
   SELECT doc_id,
-    [CASE WHEN j <= len(ts)
-          THEN CAST(('0x' || substr(md5(ts[CAST(j AS INT)]), 1, 15))
-                    AS BIGINT) % 256
-          ELSE CAST(0 AS BIGINT) END
+    [CAST(('0x' || substr(md5(ts[CAST((j - 1) % len(ts) AS INT) + 1]),
+                          1, 15)) AS BIGINT) % 256
      FOR j IN range(1, 73)] AS px
   FROM tk
 ),

@@ -138,6 +138,34 @@ def test_hamming_dup_pairs_pigeonhole_recall_is_total(spark):
     assert got == want and want  # non-trivial by construction
 
 
+def test_hamming_dup_pairs_max_bucket_guard(spark):
+    """The degenerate-bucket cap: signatures sharing a constant low
+    band (the r11 padded-tail shape) flood bucket 0 of band 0; with
+    max_bucket they stop generating candidates THROUGH that band,
+    while pairs that also agree on a healthy band survive."""
+    # 12 sigs: low 16 bits all zero (degenerate band 0); sigs 0 and 1
+    # also share bits 16-31 (healthy band 1) and are hamming 2 apart;
+    # the rest differ pairwise in every non-zero band.
+    rows = [(0, (7 << 16)), (1, (7 << 16) | (3 << 32))]
+    rows += [(i, (i << 16) | (i << 32) | (i << 48)) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "id long, sig long")
+    uncapped = {
+        (r.i, r.j)
+        for r in hamming_dup_pairs(df, max_hamming=2, bands=4).collect()
+    }
+    capped = {
+        (r.i, r.j)
+        for r in hamming_dup_pairs(
+            df, max_hamming=2, bands=4, max_bucket=3
+        ).collect()
+    }
+    # (0,1) agree on band 1 (value 7) — found even with band 0's
+    # 12-entry bucket dropped; uncapped finds the same set here
+    # because hamming still verifies every candidate.
+    assert (0, 1) in capped
+    assert capped == uncapped
+
+
 def test_hamming_dup_pairs_keep_cols(spark):
     df = spark.createDataFrame(
         [(1, 5, "a"), (2, 7, "b")], "id long, sig long, src string"
@@ -182,6 +210,88 @@ def test_image_signatures_and_pairs_end_to_end(spark):
     assert {r.doc_id for r in asigs if r.sig is not None} == {1, 2, 3}
     with pytest.raises(ValueError):
         image_signatures(df, kind="phash")
+
+
+def test_dhash128_analytic_lanes():
+    from relationalize_spark.operators.multimodal import dhash128
+
+    # strictly descending rows at the native 16x9: every gradient
+    # fires in BOTH 8-row halves
+    desc = np.tile(np.arange(100, 91, -1, dtype=np.uint8), (16, 1))
+    assert dhash128(_img(desc)) == (-1, -1)
+    # gradients only in the TOP half: lane 1 all-set, lane 2 empty
+    top = np.zeros((16, 9), dtype=np.uint8)
+    top[:8] = np.arange(100, 91, -1, dtype=np.uint8)
+    assert dhash128(_img(top)) == (-1, 0)
+    # 8-row input: nearest resize duplicates rows into both halves,
+    # so both lanes equal the dhash64 of the same gradient pattern
+    d8 = np.tile(np.arange(100, 91, -1, dtype=np.uint8), (8, 1))
+    assert dhash128(_img(d8)) == (-1, -1)
+
+
+def test_hamming_dup_pairs_two_lane_brute_force(spark):
+    """Two-lane banding: recall 1 + exact precision vs brute force
+    over the concatenated 128-bit distance."""
+    rng = np.random.RandomState(23)
+    rows = []
+    base = (int(rng.randint(0, 2**62)), int(rng.randint(0, 2**62)))
+    for i in range(24):
+        if i % 3 == 0:
+            flips = rng.choice(126, rng.randint(0, 5), replace=False)
+            s1, s2 = base
+            for b in flips:
+                if b < 63:
+                    s1 ^= 1 << int(b)
+                else:
+                    s2 ^= 1 << int(b - 63)
+            rows.append((i, s1, s2))
+        else:
+            rows.append(
+                (i, int(rng.randint(0, 2**62)), int(rng.randint(0, 2**62)))
+            )
+    df = spark.createDataFrame(rows, "id long, sig long, sig2 long")
+    got = {
+        (r.i, r.j, r.hamming)
+        for r in hamming_dup_pairs(
+            df, sig_col=("sig", "sig2"), max_hamming=6, bands=8
+        ).collect()
+    }
+    m = 2**64 - 1
+
+    def ham(a, b):
+        return bin((a[1] ^ b[1]) & m).count("1") + bin((a[2] ^ b[2]) & m).count("1")
+
+    want = {
+        (a[0], b[0], ham(a, b))
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and ham(a, b) <= 6
+    }
+    assert got == want and want
+
+
+def test_image_dup_pairs_dhash128_lane(spark):
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 256, size=(16, 9)).astype(np.uint8)
+    a2 = a.copy()
+    a2[3, 4] = (int(a2[3, 4]) + 110) % 256
+    b = rng.randint(0, 256, size=(16, 9)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_p5(a))), (2, bytearray(_p5(a2))),
+         (3, bytearray(_p5(b))), (4, bytearray(b"junk"))],
+        "doc_id long, content binary",
+    )
+    pairs = {
+        (r.i, r.j)
+        for r in image_dup_pairs(df, kind="dhash128").collect()
+    }
+    assert pairs == {(1, 2)}
+    sigs = image_signatures(df, kind="dhash128").collect()
+    by_id = {r.doc_id: (r.sig, r.sig2) for r in sigs}
+    assert by_id[4] == (None, None)
+    from relationalize_spark.operators.multimodal import dhash128
+
+    assert by_id[1] == dhash128(a[:, :, None])
 
 
 def test_image_signatures_jpeg_payload(spark):

@@ -91,6 +91,9 @@ def test_aggregate_derived_sides_never_broadcast(spark):
     # test SF (the 1-row totals cross join is a BroadcastNestedLoop,
     # deliberately out of scope here).
     tfidf_plan = _plan(tfidf_pairs(docs, threshold=0.8, max_df=1000))
+    tfidf_prefix_plan = _plan(
+        tfidf_pairs(docs, threshold=0.8, max_df=1000, prefix_filter=True)
+    )
     ev = spark.read.parquet(f"{SF}/events.parquet").where(
         F.col("event_type") == "purchase"
     )
@@ -98,9 +101,21 @@ def test_aggregate_derived_sides_never_broadcast(spark):
         gapfill_interpolate(ev, "user_id", "ts", "value", step_s=21600)
     )
 
+    # r11: the banded Hamming self-join's band-entries table is
+    # corpus-derived too (the q152 audit caught the un-hinted plan
+    # broadcast-promoting the build side at test SF)
+    from relationalize_spark.operators.dedup import hamming_dup_pairs
+
+    sigs = docs.select("doc_id", F.xxhash64("text").alias("sig"))
+    hamming_plan = _plan(
+        hamming_dup_pairs(sigs, id_col="doc_id", sig_col="sig")
+    )
+
     for name, plan in (("duplicate_span_stats", span_plan),
                        ("unrelationalize", nest_plan),
                        ("tfidf_pairs", tfidf_plan),
+                       ("tfidf_pairs_prefix", tfidf_prefix_plan),
+                       ("hamming_dup_pairs", hamming_plan),
                        ("gapfill_interpolate", gap_plan)):
         assert "BroadcastHashJoin" not in plan, (
             f"{name}: aggregate-derived join side is broadcast"
