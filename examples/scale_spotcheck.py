@@ -646,59 +646,19 @@ def main() -> None:
         def run():
             import pyspark.sql.functions as F
 
-            from relationalize_spark.operators import text as TX
             from relationalize_spark.operators.dedup import hamming_dup_pairs
             from relationalize_spark.operators.multimodal import (
                 image_signatures,
             )
+            from relationalize_spark.queries import q152_token_images
 
-            # the q152 shape: render each doc's tokens (cyclic past
-            # the doc length — constant padding degenerates into LSH
-            # mega-buckets, measured r11) as a deterministic 9x8
-            # netpbm image (md5_60 pixels), run the REAL decode ->
-            # dHash lane, banded Hamming self-join
+            # the q152 shape, pixel recipe SHARED with the registered
+            # query (q152_token_images — cyclic past the doc length;
+            # constant padding degenerates into LSH mega-buckets,
+            # measured r11): REAL decode -> dHash lane, banded
+            # Hamming self-join
             d = spark.read.parquet(f"{sf}/documents.parquet")
-            base = d.select(
-                "doc_id",
-                F.slice(
-                    F.split(F.trim(F.col("text")), TX.WS), 1, 72
-                ).alias("__toks__"),
-            )
-            px = F.transform(
-                F.sequence(F.lit(0), F.lit(71)),
-                lambda i: F.pmod(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.element_at(
-                                    F.col("__toks__"),
-                                    (
-                                        F.pmod(
-                                            i, F.size(F.col("__toks__"))
-                                        )
-                                        + 1
-                                    ).cast("int"),
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long"),
-                    F.lit(256),
-                ),
-            )
-            hexstr = F.concat_ws(
-                "", F.transform(px, lambda v: F.lpad(F.hex(v), 2, "0"))
-            )
-            header_hex = b"P5 9 8 255\n".hex().upper()
-            imgs = base.select(
-                "doc_id",
-                F.unhex(F.concat(F.lit(header_hex), hexstr)).alias(
-                    "content"
-                ),
-            )
+            imgs = q152_token_images(d)
             sigs = image_signatures(
                 imgs, binary_col="content", id_cols=("doc_id",), kind=kind
             ).where(F.col("sig").isNotNull())

@@ -495,38 +495,19 @@ def simhash_pairs(
         sigs = base.select("id", sim(th1).alias("sig"), sim(th2).alias("sig2"))
         lanes = ["sig", "sig2"]
 
-    assert bands % len(lanes) == 0, "bands must split evenly across lanes"
-    per_lane = bands // len(lanes)
-    band_bits = 64 // per_lane
-    bucket_cols = [
-        F.col(lane)
-        if band_bits == 64
-        else F.shiftrightunsigned(lane, b * band_bits) % (2**band_bits)
-        for lane in lanes
-        for b in range(per_lane)
-    ]
-    entries = sigs.select(
-        "id", *lanes, F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
-    )
-    a = entries.alias("a")
-    b = entries.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    if sig_bits == 128:
-        hamming = hamming + F.bit_count(F.col("a.sig2").bitwiseXOR(F.col("b.sig2")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("i"),
-            F.col("b.id").alias("j"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    # banding/verify delegated to hamming_dup_pairs (r11 review: this
+    # function previously carried its own un-hinted copy of the band
+    # self-join — the corpus-derived build side could still
+    # broadcast-promote, the exact defect class the shared helper
+    # fixes and test_plan_hygiene pins). Bucket values are identical
+    # (mask-after-shift == shiftrightunsigned % 2^bits for the same
+    # band split), so the pair set is unchanged.
+    return hamming_dup_pairs(
+        sigs,
+        id_col="id",
+        sig_col=tuple(lanes),
+        max_hamming=max_hamming,
+        bands=bands,
     )
 
 
@@ -611,9 +592,12 @@ def hamming_dup_pairs(
         )
     )
     bucket_cols = [
-        (F.shiftright(n, b * band_bits) if b else F.col(n)).bitwiseAND(
-            F.lit(mask)
-        )
+        F.col(n)
+        if band_bits == 64  # whole-lane band: the 2^64-1 mask would
+        # overflow LongType, and identity needs no mask
+        else (
+            F.shiftright(n, b * band_bits) if b else F.col(n)
+        ).bitwiseAND(F.lit(mask))
         for n in lane_names
         for b in range(per_lane)
     ]
@@ -1159,35 +1143,48 @@ def tfidf_pairs(
     # joinable terms in ONE global order (df ASC, term ASC — rarest
     # first, so prefixes join on the smallest posting lists) and keep
     # term k in the PREFIX iff the suffix-inclusive squared norm from
-    # k still permits a qualifying pair. Exactly: with nwq on the
-    # 1e-6 lattice, sum(nwq^2) <= 1e12 per doc, so for any pair whose
-    # shared terms all sit in x's suffix,
-    #   dot_q^2 <= ssq_suffix(x) * 1e12,
-    # and pruning the suffix is safe once ssq_suffix * 1e12 < thr_q^2
-    # — i.e. ssq_suffix <= B with B = (thr_q^2 - 1) // 1e12, ALL in
-    # exact integers (no float enters the pruning decision, so the
-    # output set is bit-identical to the unfiltered lane; pinned by
-    # test + the unchanged q144 oracle). A qualifying pair must
-    # therefore share at least one PREFIX term of each member, so
-    # candidates = (prefix postings) x (full postings) on the term
-    # key — per-term fanout drops from df^2 to prefix_df * df, with
-    # the max_df cap still the backstop. Docs whose whole vector
-    # falls under the bound generate an empty prefix AND can never
-    # qualify, consistently. Verification gathers ALL shared terms
-    # back from the full posting table (two keyed joins), so
-    # shared_terms/dot_q are computed over the identical term set as
-    # the unfiltered lane.
-    bound = (thr_q * thr_q - 1) // 10**12
+    # k still permits a qualifying pair. Exactly: for any pair whose
+    # shared terms all sit in x's suffix, Cauchy-Schwarz gives
+    #   dot_q^2 <= ssq_suffix(x) * ssq(y) <= ssq_suffix(x) * MAX_SSQ,
+    # where MAX_SSQ is the corpus maximum of sum(nwq^2) — computed,
+    # not assumed (the r11 review showed the tempting "<= 1e12"
+    # premise can be overshot by floor-of-IEEE rounding in nwq), and
+    # carried as a 1-row broadcast. Pruning the suffix is safe once
+    # ssq_suffix * MAX_SSQ < thr_q^2, compared in DECIMAL(38,0) —
+    # exact integers end to end, so the output set is bit-identical
+    # to the unfiltered lane (pinned by tests + the q144 oracle).
+    # A qualifying pair must therefore share at least one PREFIX
+    # term of each member, so candidates = (prefix postings) x
+    # (full postings) on the term key — per-term fanout drops from
+    # df^2 to prefix_df * df, with the max_df cap still the
+    # backstop. Docs whose whole vector falls under the bound
+    # generate an empty prefix AND can never qualify, consistently.
+    # Verification gathers ALL shared terms back from the full
+    # posting table (two keyed joins), so shared_terms/dot_q are
+    # computed over the identical term set as the unfiltered lane.
+    max_ssq = (
+        joinable.groupBy("id")
+        .agg(F.sum(F.col("nwq") * F.col("nwq")).alias("__ssq__"))
+        .agg(F.max("__ssq__").alias("__max_ssq__"))
+    )
     wnd = (
         Window.partitionBy("id")
         .orderBy(F.col("dft").asc(), F.col("term").asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    thr_sq = F.lit(thr_q).cast("decimal(38,0)") * F.lit(thr_q).cast(
+        "decimal(38,0)"
+    )
     prefix = (
         joinable.withColumn(
             "__ssq_from__", F.sum(F.col("nwq") * F.col("nwq")).over(wnd)
         )
-        .where(F.col("__ssq_from__") > F.lit(bound))
+        .crossJoin(F.broadcast(max_ssq))
+        .where(
+            F.col("__ssq_from__").cast("decimal(38,0)")
+            * F.col("__max_ssq__").cast("decimal(38,0)")
+            >= thr_sq
+        )
         .select("id", "term")
     )
     full = joinable.select("id", "term", "nwq")

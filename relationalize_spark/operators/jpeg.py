@@ -247,6 +247,14 @@ def _decode(data: bytes) -> np.ndarray | None:
                 h, v = hv >> 4, hv & 0x0F
                 if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise _Corrupt("bad sampling factor")
+                if ncomp == 1:
+                    # T.81 A.2: a single-component scan is
+                    # NON-INTERLEAVED — one 8x8 data unit per MCU in
+                    # raster order, declared sampling factors ignored
+                    # (an encoder may legally declare 2x2; honoring
+                    # it here would consume blocks in MCU-tile order
+                    # and silently scramble the image — r11 review).
+                    h = v = 1
                 comps.append((cid, h, v, tq))
             frame = (height, width, comps)
         elif marker in (
@@ -290,6 +298,17 @@ def _decode_scan(frame, scan_map, qt, huff, intervals, restart_interval):
     mcus_y = -(-height // (8 * vmax))
     n_mcus = mcus_x * mcus_y
     per_interval = restart_interval or n_mcus
+    # Amplification guard (r11 review): a block can't be coded in
+    # fewer than 2 bits (one DC code + one EOB, 1-bit codes each), so
+    # SOF dimensions demanding more blocks than the entropy data
+    # could possibly hold are corrupt — reject BEFORE the loop
+    # accumulates gigabytes of int64 block arrays from a crafted
+    # 65535x65535 header (~500-2500x input amplification, an
+    # executor OOM the None-not-raise contract must not allow).
+    total_blocks = n_mcus * sum(h * v for _, h, v, _ in comps)
+    total_bits = sum(len(iv) for iv in intervals) * 8
+    if total_blocks * 2 > total_bits:
+        raise _Corrupt("frame demands more blocks than entropy bits")
 
     # Per component: dequantized coefficient blocks in MCU order, to
     # be IDCT'd in ONE einsum at the end (the entropy loop is the

@@ -674,7 +674,9 @@ def image_dup_pairs(
     """Perceptual image near-dup pairs: decode -> dHash/aHash ->
     banded Hamming self-join (the SimHash pigeonhole machinery,
     factored as ``dedup.hamming_dup_pairs``). Default Hamming radius
-    6/64 with 8 bands (recall 1 needs only 7) — the conventional
+    6/64 with 8 bands — pigeonhole needs only max_hamming+1 = 7, but
+    the implementation requires bands to divide the per-lane 64
+    bits, so 8 is the practical minimum here — the conventional
     dHash near-dup band. Undecodable images drop out (no NULL
     buckets). One shuffle to band buckets; candidates bounded by
     bucket cooccurrence, never O(N^2). Scale guidance (measured r11,

@@ -6566,21 +6566,35 @@ def q152_image_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import hamming_dup_pairs
     from .operators.multimodal import image_signatures
 
-    d = load_table(spark, sf, "documents")
-    # pixel i = md5_60(token_{i mod n}) % 256 — documents SHORTER than
-    # 72 tokens repeat their own tokens CYCLICALLY rather than padding
-    # with a constant. A constant pad is an LSH disaster at corpus
-    # scale: 70% of this corpus is under 72 tokens, so every short
-    # document shared identical all-zero tail bits, the tail band
-    # buckets degenerated into one mega-bucket per band, and the
-    # candidate join melted at 100x (~6e10 rows — measured r11,
-    # killed; BASELINE.md). Cyclic self-padding keeps near-identical
-    # same-length texts near-identical (the pair structure dedup
-    # wants) while unrelated documents' tails stay uncorrelated.
-    # The split is MATERIALIZED in a projection before the transform:
-    # Catalyst does no CSE inside HOF lambdas, so a captured split
-    # would re-tokenize the document once per pixel (the r3 simhash
-    # defect class).
+    imgs = q152_token_images(load_table(spark, sf, "documents"))
+    sigs = image_signatures(
+        imgs, binary_col="content", id_cols=("doc_id",), kind="dhash"
+    ).where(F.col("sig").isNotNull())
+    return hamming_dup_pairs(
+        sigs, id_col="doc_id", sig_col="sig", max_hamming=6, bands=8
+    )
+
+
+def q152_token_images(d: DataFrame) -> DataFrame:
+    """(doc_id, content) — each document rendered as a deterministic
+    9x8 grayscale netpbm payload, the q152 pixel recipe shared with
+    examples/scale_spotcheck.py so the 100x measurements measure the
+    registered query (r11 review).
+
+    pixel i = md5_60(token_{i mod n}) % 256 — documents SHORTER than
+    72 tokens repeat their own tokens CYCLICALLY rather than padding
+    with a constant. A constant pad is an LSH disaster at corpus
+    scale: 70% of this corpus is under 72 tokens, so every short
+    document shared identical all-zero tail bits, the tail band
+    buckets degenerated into one mega-bucket per band, and the
+    candidate join melted at 100x (~6e10 rows — measured r11,
+    killed; BASELINE.md). Cyclic self-padding keeps near-identical
+    same-length texts near-identical (the pair structure dedup
+    wants) while unrelated documents' tails stay uncorrelated.
+    The split is MATERIALIZED in a projection before the transform:
+    Catalyst does no CSE inside HOF lambdas, so a captured split
+    would re-tokenize the document once per pixel (the r3 simhash
+    defect class)."""
     base = d.select(
         "doc_id",
         F.slice(F.split(F.trim(F.col("text")), _TXT.WS), 1, 72).alias(
@@ -6613,15 +6627,9 @@ def q152_image_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "", F.transform(px, lambda v: F.lpad(F.hex(v), 2, "0"))
     )
     header_hex = b"P5 9 8 255\n".hex().upper()
-    imgs = base.select(
+    return base.select(
         "doc_id",
         F.unhex(F.concat(F.lit(header_hex), hexstr)).alias("content"),
-    )
-    sigs = image_signatures(
-        imgs, binary_col="content", id_cols=("doc_id",), kind="dhash"
-    ).where(F.col("sig").isNotNull())
-    return hamming_dup_pairs(
-        sigs, id_col="doc_id", sig_col="sig", max_hamming=6, bands=8
     )
 
 
@@ -6631,6 +6639,11 @@ WITH tk AS (
          list_slice(regexp_split_to_array(trim(text),
                                           '[ \t\n\x0B\f\r]+'), 1, 72) AS ts
   FROM documents
+  -- NULL text mirrors the Spark lane's dropped NULL signature (the
+  -- decode of a header-only payload fails there); without this
+  -- guard the CASE below would collapse an all-NULL pixel list to
+  -- sig = 0 and pair the doc with every legitimate sig-0 doc
+  WHERE text IS NOT NULL
 ),
 pxl AS (
   SELECT doc_id,

@@ -283,7 +283,10 @@ class JsonStreamDemux:
     #:   partition depth — flipping exactly_once mid-corpus is safe
     #:   here too (mixed depths would break partition discovery,
     #:   which per_table tolerates via recursiveFileLookup but a
-    #:   partition-discovered tree must not).
+    #:   partition-discovered tree must not). Corpora whose appends
+    #:   predate the batch=-1 sentinel (flat ``__rows__/__table__=T``)
+    #:   stay readable: ``finalize`` detects the two generations and
+    #:   reads each as its own partition-discovery root.
     write_layout: str = "per_table"
     #: per-batch table writes run on a driver thread pool of this
     #: size (1 = serial). Part of the ~0.7 s/table per-batch floor is
@@ -552,11 +555,32 @@ class JsonStreamDemux:
         rows_root = f"{self.base_path}/__rows__"
         fs, p = _fs_for(spark, rows_root)
         if fs.exists(p):
-            parts.append(
-                spark.read.text(rows_root)
-                .where(F.col("__table__") == t)
-                .select("value")
-            )
+            # The tree may hold TWO single-job generations: the
+            # legacy flat append shape (__rows__/__table__=T, written
+            # before r11 moved appends under batch=-1) and the
+            # uniform batch=N shape. Partition discovery rejects a
+            # tree mixing the two depths, so each consistent
+            # generation is read as its own root (basePath keeps the
+            # partition columns resolving against __rows__) and the
+            # results union — old corpora stay readable after the
+            # layout change.
+            kids = _fs_list_dirs(spark, rows_root)
+            legacy = [k for k in kids if k.startswith("__table__=")]
+            batched = [k for k in kids if k.startswith("batch=")]
+            if legacy and batched:
+                for gen in (legacy, batched):
+                    parts.append(
+                        spark.read.option("basePath", rows_root)
+                        .text([f"{rows_root}/{k}" for k in gen])
+                        .where(F.col("__table__") == t)
+                        .select("value")
+                    )
+            else:
+                parts.append(
+                    spark.read.text(rows_root)
+                    .where(F.col("__table__") == t)
+                    .select("value")
+                )
         if not parts:
             return spark.createDataFrame([], "value string")
         out = parts[0]

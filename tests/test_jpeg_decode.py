@@ -319,6 +319,51 @@ def test_restart_markers_reset_predictors():
         assert (arr[:, 8 * i : 8 * i + 8, 0] == want).all()
 
 
+def test_single_component_scan_is_noninterleaved():
+    """T.81 A.2 (r11 review): a grayscale JPEG may legally DECLARE
+    2x2 sampling factors, but any single-component scan is
+    non-interleaved — blocks arrive in raster order, one per MCU,
+    factors ignored. Honoring the factors would consume 4 blocks per
+    16x16 tile and scramble a 32x16 image silently."""
+    # 32x16 = 4x2 blocks in raster order, distinct flat values
+    dcs = [8 * k for k in range(8)]
+    blocks = [[d] + [0] * 63 for d in dcs]
+    data = encode_jpeg(_gray(blocks, 16, 32), [(1, 1)], Q1)
+    # rewrite the SOF sampling byte from 0x11 to 0x22 (declared 2x2)
+    sof_at = data.index(b"\xff\xc0")
+    comp0 = sof_at + 2 + 2 + 1 + 4 + 1  # marker+len+prec+dims+ncomp
+    assert data[comp0 + 1] == 0x11
+    mutated = data[: comp0 + 1] + b"\x22" + data[comp0 + 2 :]
+    arr = decode_jpeg_baseline(mutated)
+    want = decode_jpeg_baseline(data)
+    assert arr is not None and (arr == want).all()
+    for k, d in enumerate(dcs):  # raster order, not tile order
+        y, x = divmod(k, 4)
+        v = int(np.floor(128 + d / 8 + 0.5))
+        assert (arr[8 * y : 8 * y + 8, 8 * x : 8 * x + 8, 0] == v).all()
+
+
+def test_huge_sof_amplification_guard():
+    """r11 review: a crafted small payload declaring 65535x65535
+    must be rejected by the blocks-vs-entropy-bits bound BEFORE the
+    decode loop can accumulate gigabytes — None, and fast."""
+    import struct
+    import time
+
+    zz = [8] + [0] * 63
+    data = encode_jpeg(_gray([zz], 8, 8), [(1, 1)], Q1)
+    sof_at = data.index(b"\xff\xc0")
+    dims_at = sof_at + 5  # after marker+len+precision
+    mutated = (
+        data[:dims_at]
+        + struct.pack(">HH", 65535, 65535)
+        + data[dims_at + 4 :]
+    )
+    t0 = time.time()
+    assert decode_jpeg_baseline(mutated) is None
+    assert time.time() - t0 < 2.0
+
+
 def test_out_of_envelope_and_malformed_return_none():
     zz = [8] + [0] * 63
     good = encode_jpeg(_gray([zz], 8, 8), [(1, 1)], Q1)

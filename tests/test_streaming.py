@@ -712,6 +712,42 @@ def test_json_stream_demux_single_job_layout_parity(spark, tmp_path):
     assert snap(flip) == base_tables
 
 
+def test_json_stream_demux_single_job_legacy_flat_rows_migrate(spark, tmp_path):
+    """r11 review: a single_job corpus whose append-mode rows predate
+    the batch=-1 sentinel (flat __rows__/__table__=T) must stay
+    readable after the upgraded code appends next to it — the two
+    generations have different partition depths, so finalize reads
+    each as its own discovery root."""
+    import os
+
+    from relationalize_spark.streaming.relationalize_stream import JsonStreamDemux
+
+    base = str(tmp_path / "out")
+    d = JsonStreamDemux(
+        base, "root", key_cols=["k"],
+        write_layout="single_job", exactly_once=False,
+    )
+    # batch 0 through the OLD layout: simulate by writing the flat
+    # shape the pre-r11 code produced (rows directly under
+    # __rows__/__table__=T), plus the schema metadata via the demux.
+    d.process_batch(
+        spark.createDataFrame([('{"k": 1}',)], "value string"), 0
+    )
+    # relocate batch=-1 rows to the legacy flat layout
+    rows_root = f"{base}/__rows__"
+    legacy_dirs = os.listdir(f"{rows_root}/batch=-1")
+    for td in legacy_dirs:
+        os.rename(f"{rows_root}/batch=-1/{td}", f"{rows_root}/{td}")
+    os.rmdir(f"{rows_root}/batch=-1")
+    # batch 1 through the NEW layout appends under batch=-1
+    d.process_batch(
+        spark.createDataFrame([('{"k": 2}',)], "value string"), 1
+    )
+    tables = d.finalize(spark)
+    got = sorted(str(r.k) for r in tables["root"].select("k").collect())
+    assert got == ["1", "2"]
+
+
 def test_json_stream_demux_single_job_empty_table_set(spark, tmp_path, monkeypatch):
     """r11 ADVICE: a batch whose relationalize yields ZERO tables must
     be a no-op under single_job (the per_table path writes nothing;
