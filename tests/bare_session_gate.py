@@ -9,23 +9,26 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 10 FINAL HEAD at commit f0dd37a (q143/q101
-floor-lattice quantization fix, explicit WS class across operators +
-all oracles, q150 IVF-PQ recall-vs-nprobe, q151 ivfpq_append, the
-r10 window rotation, demux schema-stable write skip, MJPEG-in-AVI
-real video path, all six r9 ADVICE closures, all six r10 mid-round
-review fixes (two passes, twelve findings), the whole-repo
-floor-lattice sweep — ~15 round-quantizer paths converted:
-q60/q98/q112/q116/q118/q119/q121/q126-q129/q31/q32/q53/q108/q110/
-q120 — the shared floor_lattice helper, the opt-in single-job demux
-layout, and the slow-lane sf0.01 oracle sweep) —
-BARE-SESSION GATE: ALL 151 OK.
-(Earlier r10 runs: ALL 151 at 28502b8 and 405e467.)
-(Prior rounds: r8 final ALL 142; earlier r8 runs as the registry
-grew: ALL 130 / 135 / 136 / 137 / 140. The r9 round shipped with
-this header stale at 142 while the registry was 149 — r9 verdict
-item 3; keep this header current with an ALL-<registry> run at the
-final gate-attested commit EVERY round.)
+Last full run: round 11 FINAL HEAD at commit ba549fb (the r11
+window rotation — the 50 r8-attested entries, zero free slots;
+q152 perceptual image near-dup registered behind the cap with its
+full pixel/bit/packing value oracle at both SFs; pure-numpy
+baseline JPEG decoder closing the AVI→keyframes→pixels lane;
+hamming_dup_pairs with multi-lane 128-bit signatures and the
+max_bucket degeneracy cap, simhash_pairs delegating to it; the
+opt-in Bayardo prefix filter with the corpus-max exact bound;
+pagerank true integer division; all five r10 ADVICE closures; all
+eight r11 mid-round review fixes; the cyclic-padding fix for the
+measured LSH mega-bucket melt) —
+BARE-SESSION GATE: ALL 152 OK.
+(Earlier r11 run: ALL 151 at the rotation commit 73c6a24, before
+q152 registered.)
+(Prior rounds: r10 final ALL 151 at f0dd37a — earlier r10 runs ALL
+151 at 28502b8 and 405e467; r8 final ALL 142; earlier r8 runs as
+the registry grew: ALL 130 / 135 / 136 / 137 / 140. The r9 round
+shipped with this header stale at 142 while the registry was 149 —
+r9 verdict item 3; keep this header current with an
+ALL-<registry> run at the final gate-attested commit EVERY round.)
 """
 
 import os
