@@ -700,6 +700,82 @@ def image_dup_pairs(
     )
 
 
+def video_dup_pairs(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    max_hamming: int = 6,
+    bands: int = 8,
+    kind: str = "dhash",
+    min_matches: int = 1,
+    mode: str = "auto",
+) -> DataFrame:
+    """Video-level near-dup pairs by keyframe perceptual hashing —
+    the whole r10/r11 multimodal lane composed end to end: RIFF-walk
+    keyframe extraction (:func:`sample_frames`), in-container JPEG
+    decode (:mod:`.jpeg`), dHash signatures
+    (:func:`image_signatures`), banded Hamming join
+    (``dedup.hamming_dup_pairs``), then aggregation to video pairs.
+    Two videos pair when at least ``min_matches`` of their sampled
+    keyframes are pairwise within ``max_hamming`` — the standard
+    re-encode/re-container dedup for video corpora (dHash survives
+    requantization; the keyframe SAMPLE survives trims at the
+    match-count level).
+
+    Output: ``(i, j, n_frame_matches, min_hamming)`` with ``i < j``.
+
+    Scale shape: frames explode bounded by ``n_frames`` per video;
+    one Arrow pass decodes+hashes; the banded join is
+    bucket-bounded (same machinery and same degeneracy guidance as
+    :func:`image_dup_pairs` — solid-color intro/outro frames are a
+    classic degenerate bucket, cap with ``hamming_dup_pairs``'s
+    ``max_bucket`` when corpora carry them); the final aggregation
+    shuffles only matched FRAME pairs. Frame identity inside the
+    join is ``xxhash64(id, frame_idx)`` (the video id rides along as
+    a keep_col), so within-video matches are dropped exactly and
+    the pair orientation is normalized to video-id order."""
+    from .dedup import hamming_dup_pairs
+
+    frames = sample_frames(
+        df,
+        binary_col=binary_col,
+        id_cols=(id_col,),
+        n_frames=n_frames,
+        mode=mode,
+    )
+    sigs = image_signatures(
+        frames, binary_col="frame", id_cols=(id_col, "frame_idx"), kind=kind
+    )
+    lanes = ("sig", "sig2") if kind == "dhash128" else ("sig",)
+    sigs = sigs.where(F.col("sig").isNotNull()).withColumn(
+        "__fid__", F.xxhash64(F.col(id_col), F.col("frame_idx"))
+    )
+    fp = hamming_dup_pairs(
+        sigs,
+        id_col="__fid__",
+        sig_col=lanes if len(lanes) > 1 else lanes[0],
+        max_hamming=max_hamming,
+        bands=bands,
+        keep_cols=(id_col,),
+    )
+    vi, vj = F.col(f"i_{id_col}"), F.col(f"j_{id_col}")
+    return (
+        fp.where(vi != vj)
+        .select(
+            F.least(vi, vj).alias("i"),
+            F.greatest(vi, vj).alias("j"),
+            "hamming",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .where(F.col("n_frame_matches") >= min_matches)
+    )
+
+
 #: Arrow batch schema produced by audio_features.
 AUDIO_FEATURES_FIELDS = (
     "n_bytes int, sample_rate int, n_channels int, n_samples int, "

@@ -294,6 +294,74 @@ def test_image_dup_pairs_dhash128_lane(spark):
     assert by_id[1] == dhash128(a[:, :, None])
 
 
+def test_video_dup_pairs_end_to_end(spark):
+    """The whole multimodal lane composed: MJPEG-in-AVI payloads ->
+    RIFF-walk keyframes -> in-container JPEG decode -> dHash ->
+    banded join -> video pairs. Video A and its re-encode-alike A'
+    (one shared-looking frame, one slightly different) pair; the
+    unrelated video B does not; within-video frame matches are
+    excluded."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_jpeg_decode import _gray, encode_jpeg
+    from test_media_pipeline import _avi
+
+    from relationalize_spark.operators.multimodal import video_dup_pairs
+
+    from relationalize_spark.operators.jpeg import decode_jpeg_baseline
+
+    rng = np.random.RandomState(17)
+
+    def jpeg_of(seed):  # DC-per-row-varied 16-block grayscale frame
+        r = np.random.RandomState(seed)
+        blocks = []
+        for _ in range(16):  # 2 block-rows x 8 block-cols = 16x64 px
+            zz = [int(r.randint(-100, 100))] + [0] * 63
+            zz[1], zz[8] = int(r.randint(-40, 40)), int(r.randint(-40, 40))
+            blocks.append(zz)
+        return encode_jpeg(_gray(blocks, 16, 64), [(1, 1)], [1] * 64)
+
+    f_shared = jpeg_of(1)
+    f_a, f_a2, f_b1, f_b2 = (jpeg_of(s) for s in (2, 3, 4, 5))
+    # precondition, recomputed from the REAL decode: the shared frame
+    # matches only itself at the join's radius; all other cross-frame
+    # distances exceed it (seed chosen to satisfy this — the assert
+    # makes the choice visible rather than lucky)
+    sigs = {
+        n: dhash64(decode_jpeg_baseline(f))
+        for n, f in [("s", f_shared), ("a", f_a), ("a2", f_a2),
+                     ("b1", f_b1), ("b2", f_b2)]
+    }
+    m = 2**64 - 1
+    for x in sigs:
+        for y in sigs:
+            if x < y:
+                assert bin((sigs[x] ^ sigs[y]) & m).count("1") > 6, (x, y)
+
+    video_a = _avi([f_shared, f_a])
+    video_a2 = _avi([f_shared, f_a2])  # byte-identical shared frame
+    video_b = _avi([f_b1, f_b2])
+    df = spark.createDataFrame(
+        [(1, bytearray(video_a)), (2, bytearray(video_a2)),
+         (3, bytearray(video_b))],
+        "doc_id long, content binary",
+    )
+    got = {
+        (r.i, r.j): (r.n_frame_matches, r.min_hamming)
+        for r in video_dup_pairs(df, n_frames=2).collect()
+    }
+    assert got == {(1, 2): (1, 0)}
+    # min_matches filters sub-threshold evidence
+    assert video_dup_pairs(df, n_frames=2, min_matches=2).count() == 0
+    # the 128-bit lane works through the same composition
+    got128 = {
+        (r.i, r.j)
+        for r in video_dup_pairs(df, n_frames=2, kind="dhash128").collect()
+    }
+    assert got128 == {(1, 2)}
+
+
 def test_image_signatures_jpeg_payload(spark):
     """The decoded-JPEG lane feeds the perceptual hash: a flat JPEG
     and the identical flat netpbm produce the SAME signature (both

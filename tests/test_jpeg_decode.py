@@ -296,6 +296,94 @@ def test_ycbcr_420_color_exact():
         assert (arr[:, :, ch] == want[ch]).all(), (ch, arr[0, 0, ch], want)
 
 
+def test_ycbcr_422_ac_against_reference_idct():
+    """4:2:2 (h=2, v=1 luma): 2 Y blocks + 1 Cb + 1 Cr per MCU, with
+    AC content in every component — checked against the independent
+    IDCT + horizontal replication upsample + JFIF transform, all
+    recomputed in the test."""
+    yb0, yb1 = [0] * 64, [0] * 64
+    yb0[0], yb0[2], yb0[9] = 64, 40, -36
+    yb1[0], yb1[1] = -48, 24
+    cbb, crb = [0] * 64, [0] * 64
+    cbb[0], cbb[3] = 80, 20
+    crb[0], crb[5] = -72, -16
+    q = [2] * 64
+    planes = [
+        {"size": (8, 16), "blocks": [yb0, yb1]},
+        {"size": (8, 16), "blocks": [cbb]},
+        {"size": (8, 16), "blocks": [crb]},
+    ]
+    data = encode_jpeg(planes, [(2, 1), (1, 1), (1, 1)], q)
+    arr = decode_jpeg_baseline(data)
+    assert arr.shape == (8, 16, 3)
+
+    def plane(zz):
+        coef = np.zeros((8, 8))
+        for i, (r, c) in enumerate(_ZZ_PAIRS):
+            coef[r, c] = zz[i] * q[i]
+        return np.clip(np.floor(_idct_ref(coef) + 128 + 0.5), 0, 255)
+
+    y = np.hstack([plane(yb0), plane(yb1)])          # 8x16
+    cb = np.repeat(plane(cbb), 2, axis=1) - 128      # horizontal rep
+    cr = np.repeat(plane(crb), 2, axis=1) - 128
+    want = np.stack(
+        [
+            np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255),
+            np.clip(
+                np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
+            ),
+            np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    assert (arr == want).all()
+
+
+def test_ycbcr_444_multiblock_ac():
+    """4:4:4 color, 2x1 MCUs, AC in all three channels of both MCUs —
+    the interleaved component order (Y,Cb,Cr per MCU) reassembles
+    correctly."""
+    def blk(*pairs):
+        z = [0] * 64
+        for i, v in pairs:
+            z[i] = v
+        return z
+
+    q = [1] * 64
+    yb = [blk((0, 80), (1, 30)), blk((0, -80), (4, 22))]
+    cbb = [blk((0, 40)), blk((0, -40), (2, 18))]
+    crb = [blk((0, -56), (6, 14)), blk((0, 56))]
+    planes = [
+        {"size": (8, 16), "blocks": yb},
+        {"size": (8, 16), "blocks": cbb},
+        {"size": (8, 16), "blocks": crb},
+    ]
+    data = encode_jpeg(planes, [(1, 1), (1, 1), (1, 1)], q)
+    arr = decode_jpeg_baseline(data)
+    assert arr.shape == (8, 16, 3)
+
+    def plane(zz):
+        coef = np.zeros((8, 8))
+        for i, (r, c) in enumerate(_ZZ_PAIRS):
+            coef[r, c] = zz[i] * q[i]
+        return np.clip(np.floor(_idct_ref(coef) + 128 + 0.5), 0, 255)
+
+    y = np.hstack([plane(z) for z in yb])
+    cb = np.hstack([plane(z) for z in cbb]) - 128
+    cr = np.hstack([plane(z) for z in crb]) - 128
+    want = np.stack(
+        [
+            np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255),
+            np.clip(
+                np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
+            ),
+            np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    assert (arr == want).all()
+
+
 def test_non_multiple_of_8_crops():
     """A 5x11 image needs 1x2 blocks; the decoder must crop the
     padded plane back to the declared frame size."""
