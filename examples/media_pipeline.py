@@ -1,18 +1,25 @@
 """Media curation pipeline: binaryFile scan -> real decode -> quality
-filter -> resize -> feature parquet, all Arrow-batched.
+filter -> resize -> perceptual dedup -> feature parquet, all
+Arrow-batched.
 
 The multimodal counterpart of training_data_pipeline.py: images
-(netpbm/BMP, decoded for real in pure numpy) and audio (PCM WAV via
-the stdlib codec) arrive as opaque binary rows from the binaryFile
-source, get decoded/validated/featurized through mapInPandas, and
-land as typed parquet a downstream trainer can scan without touching
-the payload bytes again.
+(netpbm/BMP/baseline-JPEG, decoded for real in pure numpy), audio
+(PCM WAV via the stdlib codec), and video (MJPEG-in-AVI keyframes
+via the codec-free RIFF walk, r10/r11) arrive as opaque binary rows
+from the binaryFile source, get decoded/validated/featurized through
+mapInPandas, and land as typed parquet a downstream trainer can scan
+without touching the payload bytes again. The r11 dedup lanes run
+inline: dHash near-dup pairs over the decoded images, and
+keyframe-evidence near-dup pairs over the videos.
 
 Scale notes: the scan parallelizes by file (compact tiny-file corpora
 upstream); the length guard prunes oversized payloads on the listing
 column before any bytes move; ids + payload are pruned to the Python
 boundary; every decode failure becomes a NULL-featured row in the
-rejects output rather than a job failure.
+rejects output rather than a job failure; the near-dup joins are
+band-bucket-bounded (see operators/dedup.py:hamming_dup_pairs for
+the degenerate-bucket guidance — solid-color scans/intros are the
+classic mega-bucket).
 
 Usage:
     python examples/media_pipeline.py <media_dir> <out_dir>
@@ -38,10 +45,13 @@ def run(spark: SparkSession, media_dir: str, out_dir: str,
     )
     from relationalize_spark.sources.readers import read_binary_files
 
-    images = read_binary_files(spark, media_dir, glob="*.{ppm,pgm,bmp}",
+    images = read_binary_files(spark, media_dir,
+                               glob="*.{ppm,pgm,bmp,jpg,jpeg}",
                                max_bytes=max_bytes)
     audio = read_binary_files(spark, media_dir, glob="*.wav",
                               max_bytes=max_bytes)
+    videos = read_binary_files(spark, media_dir, glob="*.avi",
+                               max_bytes=max_bytes)
 
     img_meta = decode_images(
         images.select(F.col("path").alias("doc_id"), "content"),
@@ -59,15 +69,37 @@ def run(spark: SparkSession, media_dir: str, out_dir: str,
         "content", ("doc_id",),
     )
 
+    # r11 dedup lanes: perceptual near-dup over the decoded images
+    # (re-encodes/requantizations collapse), and keyframe-evidence
+    # near-dup over the videos (real RIFF walk + in-container JPEG
+    # decode feed the same dHash machinery)
+    from relationalize_spark.operators.multimodal import (
+        image_dup_pairs,
+        video_dup_pairs,
+    )
+
+    img_dups = image_dup_pairs(
+        images.select(F.col("path").alias("doc_id"), "content"),
+        id_col="doc_id",
+    )
+    vid_dups = video_dup_pairs(
+        videos.select(F.col("path").alias("doc_id"), "content"),
+        id_col="doc_id",
+    )
+
     ok.write.mode("overwrite").parquet(f"{out_dir}/image_meta")
     rejects.write.mode("overwrite").parquet(f"{out_dir}/image_rejects")
     resized.write.mode("overwrite").parquet(f"{out_dir}/image_rasters")
     wav_feats.write.mode("overwrite").parquet(f"{out_dir}/audio_features")
+    img_dups.write.mode("overwrite").parquet(f"{out_dir}/image_dups")
+    vid_dups.write.mode("overwrite").parquet(f"{out_dir}/video_dups")
     return {
         "images_ok": ok.count(),
         "images_rejected": rejects.count(),
         "rasters": resized.count(),
         "audio": wav_feats.count(),
+        "image_dup_pairs": img_dups.count(),
+        "video_dup_pairs": vid_dups.count(),
     }
 
 

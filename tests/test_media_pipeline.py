@@ -37,27 +37,61 @@ def _wav(freq=440, rate=8000, n=800):
 
 
 def test_media_pipeline_end_to_end(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_jpeg_decode import _gray, encode_jpeg
+
     rng = np.random.default_rng(3)
     arr = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    arr2 = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)  # distinct
     media = tmp_path / "media"
     media.mkdir()
     (media / "a.ppm").write_bytes(_ppm(arr))
-    (media / "b.bmp").write_bytes(_bmp(arr))
+    (media / "b.bmp").write_bytes(_bmp(arr2))
     (media / "broken.ppm").write_bytes(b"P6 garbage header")
     (media / "tone.wav").write_bytes(_wav())
     (media / "notes.txt").write_bytes(b"ignored entirely")
+    # r11: a real JPEG (flat gray — decodes in-container), the SAME
+    # ppm pixels saved twice under different names (an exact
+    # perceptual dup pair), and two videos sharing one keyframe
+    jpg = encode_jpeg(_gray([[80] + [0] * 63], 8, 8), [(1, 1)], [1] * 64)
+    (media / "c.jpg").write_bytes(jpg)
+    (media / "a_copy.ppm").write_bytes(_ppm(arr))
+    f_shared = encode_jpeg(
+        _gray([[8 * k] + [0] * 63 for k in range(8)], 8, 64),
+        [(1, 1)], [1] * 64,
+    )
+    f_other = encode_jpeg(
+        _gray([[200 - 25 * k] + [0] * 63 for k in range(8)], 8, 64),
+        [(1, 1)], [1] * 64,
+    )
+    (media / "v1.avi").write_bytes(_avi([f_shared, f_other]))
+    (media / "v2.avi").write_bytes(_avi([f_shared]))
 
     out = tmp_path / "out"
     counts = run(spark, str(media), str(out), target_hw=(4, 5))
-    assert counts == {"images_ok": 2, "images_rejected": 1, "rasters": 2, "audio": 1}
+    assert counts == {
+        "images_ok": 4, "images_rejected": 1, "rasters": 4, "audio": 1,
+        "image_dup_pairs": 1, "video_dup_pairs": 1,
+    }
 
     rasters = spark.read.parquet(str(out / "image_rasters")).collect()
     assert all(
-        (r.height, r.width) == (4, 5) and len(bytes(r.raster)) == 4 * 5 * 3
+        (r.height, r.width) == (4, 5)
+        and len(bytes(r.raster)) == 4 * 5 * (3 if r.channels == 3 else 1)
         for r in rasters
     )
     af = spark.read.parquet(str(out / "audio_features")).first()
     assert af.sample_rate == 8000 and af.n_samples == 800 and af.rms > 0.1
+    dup = spark.read.parquet(str(out / "image_dups")).first()
+    assert {dup.i.split("/")[-1], dup.j.split("/")[-1]} == {
+        "a.ppm", "a_copy.ppm"
+    } and dup.hamming == 0
+    vdup = spark.read.parquet(str(out / "video_dups")).first()
+    assert {vdup.i.split("/")[-1], vdup.j.split("/")[-1]} == {
+        "v1.avi", "v2.avi"
+    } and vdup.min_hamming == 0
 
 
 # -- guarded optional codecs (r5) ------------------------------------------
