@@ -74,6 +74,7 @@ def run(spark: SparkSession, media_dir: str, out_dir: str,
     # near-dup over the videos (real RIFF walk + in-container JPEG
     # decode feed the same dHash machinery)
     from relationalize_spark.operators.multimodal import (
+        audio_dup_pairs,
         image_dup_pairs,
         video_dup_pairs,
     )
@@ -86,6 +87,10 @@ def run(spark: SparkSession, media_dir: str, out_dir: str,
         videos.select(F.col("path").alias("doc_id"), "content"),
         id_col="doc_id",
     )
+    aud_dups = audio_dup_pairs(
+        audio.select(F.col("path").alias("doc_id"), "content"),
+        id_col="doc_id",
+    )
 
     ok.write.mode("overwrite").parquet(f"{out_dir}/image_meta")
     rejects.write.mode("overwrite").parquet(f"{out_dir}/image_rejects")
@@ -93,6 +98,7 @@ def run(spark: SparkSession, media_dir: str, out_dir: str,
     wav_feats.write.mode("overwrite").parquet(f"{out_dir}/audio_features")
     img_dups.write.mode("overwrite").parquet(f"{out_dir}/image_dups")
     vid_dups.write.mode("overwrite").parquet(f"{out_dir}/video_dups")
+    aud_dups.write.mode("overwrite").parquet(f"{out_dir}/audio_dups")
     return {
         "images_ok": ok.count(),
         "images_rejected": rejects.count(),
@@ -100,6 +106,7 @@ def run(spark: SparkSession, media_dir: str, out_dir: str,
         "audio": wav_feats.count(),
         "image_dup_pairs": img_dups.count(),
         "video_dup_pairs": vid_dups.count(),
+        "audio_dup_pairs": aud_dups.count(),
     }
 
 

@@ -700,6 +700,119 @@ def image_dup_pairs(
     )
 
 
+def _wav_int_samples(data: bytes):
+    """PCM WAV -> exact int64 mono samples (channels SUMMED, not
+    float-averaged, so every downstream energy stat is exact integer
+    arithmetic), or None outside the PCM envelope. The integer twin
+    of :func:`_decode_wav_pcm` for the fingerprint lane."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            channels = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif width == 1:
+        x = np.frombuffer(raw, dtype="u1").astype(np.int64) - 128
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+    else:
+        return None
+    if channels > 1 and x.size % channels == 0:
+        x = x.reshape(-1, channels).sum(axis=1)
+    return x
+
+
+def ehash64(samples) -> int | None:
+    """64-bit audio energy-gradient fingerprint — the PCM analog of
+    :func:`dhash64`: split the mono int stream into 65 equal-length
+    windows (bounds ``floor(k*n/65)``), window energy = exact int64
+    sum of |sample|, bit j = E_j > E_{j+1}. Invariant to POSITIVE
+    GAIN exactly (scaling every sample by c > 0 scales every window
+    energy by c, preserving each strict compare and each tie — no
+    float ever enters), robust to requantization noise the way
+    gradient signs are; NOT invariant to resampling or time shifts
+    (window grid moves). Streams shorter than 65 samples return
+    None. Feed to ``dedup.hamming_dup_pairs`` via
+    :func:`audio_signatures` / :func:`audio_dup_pairs`."""
+    import numpy as np
+
+    n = int(samples.size)
+    if n < 65:
+        return None
+    bounds = (np.arange(66, dtype=np.int64) * n) // 65
+    mags = np.abs(samples)
+    csum = np.concatenate(([0], np.cumsum(mags)))
+    energy = csum[bounds[1:]] - csum[bounds[:-1]]
+    bits = energy[:-1] > energy[1:]
+    return _pack_bits64(bits)
+
+
+def audio_signatures(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-payload 64-bit audio fingerprint (:func:`ehash64` over the
+    real stdlib PCM decode). Undecodable or too-short payloads yield
+    NULL sig. Same Arrow shape as image_signatures."""
+    src = df.select(*id_cols, binary_col)
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in id_cols
+    )
+    out_schema = f"{id_schema}, sig long"
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                ids = {c: pdf[c].iloc[idx] for c in id_cols}
+                b = pdf[binary_col].iloc[idx]
+                x = _wav_int_samples(bytes(b)) if b is not None else None
+                rows.append(
+                    {**ids, "sig": ehash64(x) if x is not None else None}
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(sig_batches, schema=out_schema)
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Audio near-dup pairs: PCM decode -> energy-gradient
+    fingerprint -> banded Hamming self-join — re-gained and
+    requantized copies of the same recording collapse (the gain
+    invariance is EXACT, see :func:`ehash64`). Same machinery,
+    same scale shape, and same degenerate-bucket guidance as
+    :func:`image_dup_pairs` (silence is audio's solid-color frame:
+    all-zero energies tie every compare to sig 0 — cap with
+    ``max_bucket`` on silence-heavy corpora or trim silence
+    upstream)."""
+    from .dedup import hamming_dup_pairs
+
+    sigs = audio_signatures(
+        df, binary_col=binary_col, id_cols=(id_col,)
+    ).where(F.col("sig").isNotNull())
+    return hamming_dup_pairs(
+        sigs, id_col=id_col, sig_col="sig",
+        max_hamming=max_hamming, bands=bands,
+    )
+
+
 def video_dup_pairs(
     df: DataFrame,
     binary_col: str = "content",

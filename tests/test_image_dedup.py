@@ -362,6 +362,89 @@ def test_video_dup_pairs_end_to_end(spark):
     assert got128 == {(1, 2)}
 
 
+def _wav_pcm16(x, rate=8000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(x, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_ehash_gain_invariance_exact():
+    """The energy-gradient fingerprint is EXACTLY invariant to
+    positive gain: integer-scaled samples give the identical sig
+    (every window energy scales by the same factor — strict compares
+    and ties both preserved, no float anywhere)."""
+    from relationalize_spark.operators.multimodal import ehash64
+
+    rng = np.random.RandomState(9)
+    x = rng.randint(-8000, 8000, size=1300).astype(np.int64)
+    assert ehash64(x) == ehash64(3 * x) == ehash64(7 * x)
+    # silence: every energy 0, every compare ties -> sig 0 (the
+    # documented degenerate case)
+    assert ehash64(np.zeros(1300, dtype=np.int64)) == 0
+    # too short -> None
+    assert ehash64(np.arange(64, dtype=np.int64)) is None
+    assert ehash64(np.arange(65, dtype=np.int64)) is not None
+
+
+def test_ehash_analytic_bits():
+    """Hand-checkable windows: n = 65*10 samples, window k filled
+    with constant magnitude m_k -> E_k = 10*m_k; bits follow the
+    m_k gradient exactly."""
+    from relationalize_spark.operators.multimodal import (
+        _pack_bits64,
+        ehash64,
+    )
+
+    mags = np.arange(65, dtype=np.int64)  # ascending -> no bit set
+    x = np.repeat(mags, 10)
+    assert ehash64(x) == 0
+    mags_desc = mags[::-1].copy()  # descending -> all 64 bits
+    assert ehash64(np.repeat(mags_desc, 10)) == -1
+    # single spike in window 63: bit 62 (E62<E63: 0) and bit 63
+    # (E63>E64) -> exactly the sign addend
+    m = np.zeros(65, dtype=np.int64)
+    m[63] = 5
+    assert ehash64(np.repeat(m, 10)) == _pack_bits64(
+        [False] * 63 + [True]
+    ) == -(2**63)
+
+
+def test_audio_dup_pairs_end_to_end(spark):
+    """PCM WAVs through the real decode: a re-gained copy pairs with
+    its original at hamming 0; a different tone does not; garbage
+    and too-short payloads drop out."""
+    from relationalize_spark.operators.multimodal import audio_dup_pairs
+
+    rng = np.random.RandomState(21)
+    t = np.arange(1600)
+    a = (np.sin(2 * np.pi * 440 * t / 8000) * 8000 +
+         rng.randint(-300, 300, size=t.size)).astype(np.int64)
+    a_regained = 3 * a  # exact integer gain (no clipping: < 32768)
+    b = (np.sin(2 * np.pi * 97 * t / 8000) * 9000 +
+         rng.randint(-300, 300, size=t.size)).astype(np.int64)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_pcm16(a))),
+            (2, bytearray(_wav_pcm16(a_regained))),
+            (3, bytearray(_wav_pcm16(b))),
+            (4, bytearray(b"not audio")),
+            (5, bytearray(_wav_pcm16(np.arange(10)))),  # too short
+        ],
+        "doc_id long, content binary",
+    )
+    got = {
+        (r.i, r.j): r.hamming for r in audio_dup_pairs(df).collect()
+    }
+    assert got == {(1, 2): 0}
+
+
 def test_image_signatures_jpeg_payload(spark):
     """The decoded-JPEG lane feeds the perceptual hash: a flat JPEG
     and the identical flat netpbm produce the SAME signature (both

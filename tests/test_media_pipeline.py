@@ -25,8 +25,25 @@ def _bmp(arr):
     return struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54) + info + rows
 
 
-def _wav(freq=440, rate=8000, n=800):
-    x = (np.sin(2 * np.pi * freq * np.arange(n) / rate) * 20000).astype("<i2")
+def _wav(freq=440, rate=8000, n=800, amp=20000):
+    x = (np.sin(2 * np.pi * freq * np.arange(n) / rate) * amp).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _wav_scaled(mult, freq=440, rate=8000, n=800, base_amp=9000):
+    """An EXACT integer-gain twin of ``_wav(amp=base_amp)``: the same
+    rounded base samples multiplied by ``mult`` (no re-rounding), so
+    ehash64's gain invariance guarantees an identical fingerprint."""
+    x = (np.sin(2 * np.pi * freq * np.arange(n) / rate) * base_amp).astype(
+        "<i2"
+    ).astype(np.int64)
+    x = (x * mult).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -50,7 +67,7 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     (media / "a.ppm").write_bytes(_ppm(arr))
     (media / "b.bmp").write_bytes(_bmp(arr2))
     (media / "broken.ppm").write_bytes(b"P6 garbage header")
-    (media / "tone.wav").write_bytes(_wav())
+    (media / "tone.wav").write_bytes(_wav(amp=9000))
     (media / "notes.txt").write_bytes(b"ignored entirely")
     # r11: a real JPEG (flat gray — decodes in-container), the SAME
     # ppm pixels saved twice under different names (an exact
@@ -68,12 +85,14 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     )
     (media / "v1.avi").write_bytes(_avi([f_shared, f_other]))
     (media / "v2.avi").write_bytes(_avi([f_shared]))
+    # an exact-gain copy of the tone: the audio dedup lane pairs them
+    (media / "tone_loud.wav").write_bytes(_wav_scaled(3))
 
     out = tmp_path / "out"
     counts = run(spark, str(media), str(out), target_hw=(4, 5))
     assert counts == {
-        "images_ok": 4, "images_rejected": 1, "rasters": 4, "audio": 1,
-        "image_dup_pairs": 1, "video_dup_pairs": 1,
+        "images_ok": 4, "images_rejected": 1, "rasters": 4, "audio": 2,
+        "image_dup_pairs": 1, "video_dup_pairs": 1, "audio_dup_pairs": 1,
     }
 
     rasters = spark.read.parquet(str(out / "image_rasters")).collect()
