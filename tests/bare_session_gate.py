@@ -9,7 +9,14 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 11 FINAL HEAD at commit ba549fb (the r11
+Last full run: round 11 FINAL HEAD at commit 7c080b0 (everything in
+the ba549fb run below, plus the post-attestation additions: JPEG
+4:2:2/4:4:4 chroma tests, video_dup_pairs keyframe-evidence video
+near-dup, audio_dup_pairs energy-gradient audio near-dup, the media
+pipeline's three dedup outputs, README refresh) —
+BARE-SESSION GATE: ALL 152 OK. Full suite at the same HEAD:
+867 passed / 1 env-skip in 24:15.
+Prior r11 run: commit ba549fb (the r11
 window rotation — the 50 r8-attested entries, zero free slots;
 q152 perceptual image near-dup registered behind the cap with its
 full pixel/bit/packing value oracle at both SFs; pure-numpy
@@ -19,9 +26,8 @@ max_bucket degeneracy cap, simhash_pairs delegating to it; the
 opt-in Bayardo prefix filter with the corpus-max exact bound;
 pagerank true integer division; all five r10 ADVICE closures; all
 eight r11 mid-round review fixes; the cyclic-padding fix for the
-measured LSH mega-bucket melt) —
-BARE-SESSION GATE: ALL 152 OK.
-(Earlier r11 run: ALL 151 at the rotation commit 73c6a24, before
+measured LSH mega-bucket melt) — ALL 152 OK.
+(Earliest r11 run: ALL 151 at the rotation commit 73c6a24, before
 q152 registered.)
 (Prior rounds: r10 final ALL 151 at f0dd37a — earlier r10 runs ALL
 151 at 28502b8 and 405e467; r8 final ALL 142; earlier r8 runs as
