@@ -92,22 +92,23 @@ def run(spark: SparkSession, media_dir: str, out_dir: str,
         id_col="doc_id",
     )
 
-    ok.write.mode("overwrite").parquet(f"{out_dir}/image_meta")
-    rejects.write.mode("overwrite").parquet(f"{out_dir}/image_rejects")
-    resized.write.mode("overwrite").parquet(f"{out_dir}/image_rasters")
-    wav_feats.write.mode("overwrite").parquet(f"{out_dir}/audio_features")
-    img_dups.write.mode("overwrite").parquet(f"{out_dir}/image_dups")
-    vid_dups.write.mode("overwrite").parquet(f"{out_dir}/video_dups")
-    aud_dups.write.mode("overwrite").parquet(f"{out_dir}/audio_dups")
-    return {
-        "images_ok": ok.count(),
-        "images_rejected": rejects.count(),
-        "rasters": resized.count(),
-        "audio": wav_feats.count(),
-        "image_dup_pairs": img_dups.count(),
-        "video_dup_pairs": vid_dups.count(),
-        "audio_dup_pairs": aud_dups.count(),
+    outputs = {
+        "images_ok": ("image_meta", ok),
+        "images_rejected": ("image_rejects", rejects),
+        "rasters": ("image_rasters", resized),
+        "audio": ("audio_features", wav_feats),
+        "image_dup_pairs": ("image_dups", img_dups),
+        "video_dup_pairs": ("video_dups", vid_dups),
+        "audio_dup_pairs": ("audio_dups", aud_dups),
     }
+    counts = {}
+    for key, (name, frame) in outputs.items():
+        frame.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        # count the WRITTEN parquet, not the lineage: every lane here
+        # is a full decode (+ a banded self-join for the dup outputs)
+        # and a lineage count would execute each twice (r11 review)
+        counts[key] = spark.read.parquet(f"{out_dir}/{name}").count()
+    return counts
 
 
 if __name__ == "__main__":

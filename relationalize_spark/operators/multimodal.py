@@ -433,36 +433,21 @@ def decode_images(
     than failing the job. Same scale shape as image_features: columns
     pruned to ids + payload before the Arrow boundary, one Python
     pass, executor-parallel."""
-    src = df.select(*id_cols, binary_col)
-    id_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in src.schema.fields
-        if f.name in id_cols
+    def row(data: bytes | None) -> dict:
+        dec = decode_raster(data) if data is not None else None
+        if dec is None:
+            return {"n_bytes": len(data) if data is not None else None,
+                    "format": None, "height": None, "width": None,
+                    "channels": None, "channel_means": None}
+        fmt, h, w, c, arr = dec
+        return {"n_bytes": len(data), "format": fmt,
+                "height": h, "width": w, "channels": c,
+                "channel_means": [float(m) for m in
+                                  arr.reshape(-1, c).mean(axis=0)]}
+
+    return _per_payload_frame(
+        df, binary_col, id_cols, DECODED_IMAGE_FIELDS, row
     )
-    out_schema = f"{id_schema}, {DECODED_IMAGE_FIELDS}"
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for idx in range(len(pdf)):
-                ids = {c: pdf[c].iloc[idx] for c in id_cols}
-                b = pdf[binary_col].iloc[idx]
-                data = bytes(b) if b is not None else None
-                dec = decode_raster(data) if data is not None else None
-                if dec is None:
-                    rows.append({**ids,
-                                 "n_bytes": len(data) if data is not None else None,
-                                 "format": None, "height": None, "width": None,
-                                 "channels": None, "channel_means": None})
-                else:
-                    fmt, h, w, c, arr = dec
-                    rows.append({**ids, "n_bytes": len(data), "format": fmt,
-                                 "height": h, "width": w, "channels": c,
-                                 "channel_means": [float(m) for m in
-                                                   arr.reshape(-1, c).mean(axis=0)]})
-            yield pd.DataFrame(rows)
-
-    return src.mapInPandas(decode_batches, schema=out_schema)
 
 
 def resize_raster(arr, out_h: int, out_w: int, method: str = "bilinear"):
@@ -617,6 +602,41 @@ def dhash128(arr) -> tuple[int, int]:
     return _pack_bits64(bits[:64]), _pack_bits64(bits[64:])
 
 
+def _per_payload_frame(
+    df: DataFrame,
+    binary_col: str,
+    id_cols: tuple[str, ...],
+    out_fields: str,
+    row_fn,
+) -> DataFrame:
+    """The shared per-payload mapInPandas shape (r11 review: this
+    loop was hand-copied into every modality lane): ids + payload
+    pruned before the Arrow boundary, one executor-parallel Python
+    pass, ``row_fn(payload_bytes_or_None) -> dict`` supplying the
+    non-id output fields. Any contract fix (NULL handling, batch
+    shape) lands HERE once."""
+    src = df.select(*id_cols, binary_col)
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in id_cols
+    )
+    out_schema = f"{id_schema}, {out_fields}"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for idx in range(len(pdf)):
+                ids = {c: pdf[c].iloc[idx] for c in id_cols}
+                b = pdf[binary_col].iloc[idx]
+                rows.append(
+                    {**ids, **row_fn(bytes(b) if b is not None else None)}
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(batches, schema=out_schema)
+
+
 def image_signatures(
     df: DataFrame,
     binary_col: str = "content",
@@ -636,31 +656,21 @@ def image_signatures(
         raise ValueError(f"kind must be dhash|ahash|dhash128, got {kind!r}")
     two_lane = kind == "dhash128"
     hash_fn = {"dhash": dhash64, "ahash": ahash64, "dhash128": dhash128}[kind]
-    src = df.select(*id_cols, binary_col)
-    id_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in src.schema.fields
-        if f.name in id_cols
+
+    def row(data: bytes | None) -> dict:
+        dec = decode_raster(data) if data is not None else None
+        if two_lane:
+            s = hash_fn(dec[4]) if dec else (None, None)
+            return {"sig": s[0], "sig2": s[1]}
+        return {"sig": hash_fn(dec[4]) if dec else None}
+
+    return _per_payload_frame(
+        df,
+        binary_col,
+        id_cols,
+        "sig long" + (", sig2 long" if two_lane else ""),
+        row,
     )
-    out_schema = f"{id_schema}, sig long" + (", sig2 long" if two_lane else "")
-
-    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for idx in range(len(pdf)):
-                ids = {c: pdf[c].iloc[idx] for c in id_cols}
-                b = pdf[binary_col].iloc[idx]
-                dec = decode_raster(bytes(b)) if b is not None else None
-                if two_lane:
-                    s = hash_fn(dec[4]) if dec else (None, None)
-                    rows.append({**ids, "sig": s[0], "sig2": s[1]})
-                else:
-                    rows.append(
-                        {**ids, "sig": hash_fn(dec[4]) if dec else None}
-                    )
-            yield pd.DataFrame(rows)
-
-    return src.mapInPandas(sig_batches, schema=out_schema)
 
 
 def image_dup_pairs(
@@ -670,6 +680,7 @@ def image_dup_pairs(
     max_hamming: int = 6,
     bands: int = 8,
     kind: str = "dhash",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Perceptual image near-dup pairs: decode -> dHash/aHash ->
     banded Hamming self-join (the SimHash pigeonhole machinery,
@@ -697,6 +708,7 @@ def image_dup_pairs(
         sig_col=("sig", "sig2") if kind == "dhash128" else "sig",
         max_hamming=max_hamming,
         bands=bands,
+        max_bucket=max_bucket,
     )
 
 
@@ -715,15 +727,19 @@ def _wav_int_samples(data: bytes):
             channels = w.getnchannels()
             width = w.getsampwidth()
             raw = w.readframes(w.getnframes())
+        # inside the try: a TRUNCATED stream parses through wave but
+        # returns an odd-length buffer, and frombuffer raising out
+        # of here would fail the Spark task instead of yielding the
+        # contractual NULL sig (r11 review — reproduced)
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        elif width == 1:
+            x = np.frombuffer(raw, dtype="u1").astype(np.int64) - 128
+        elif width == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+        else:
+            return None
     except Exception:
-        return None
-    if width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-    elif width == 1:
-        x = np.frombuffer(raw, dtype="u1").astype(np.int64) - 128
-    elif width == 4:
-        x = np.frombuffer(raw, dtype="<i4").astype(np.int64)
-    else:
         return None
     if channels > 1 and x.size % channels == 0:
         x = x.reshape(-1, channels).sum(axis=1)
@@ -763,27 +779,12 @@ def audio_signatures(
     """Per-payload 64-bit audio fingerprint (:func:`ehash64` over the
     real stdlib PCM decode). Undecodable or too-short payloads yield
     NULL sig. Same Arrow shape as image_signatures."""
-    src = df.select(*id_cols, binary_col)
-    id_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in src.schema.fields
-        if f.name in id_cols
-    )
-    out_schema = f"{id_schema}, sig long"
 
-    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for idx in range(len(pdf)):
-                ids = {c: pdf[c].iloc[idx] for c in id_cols}
-                b = pdf[binary_col].iloc[idx]
-                x = _wav_int_samples(bytes(b)) if b is not None else None
-                rows.append(
-                    {**ids, "sig": ehash64(x) if x is not None else None}
-                )
-            yield pd.DataFrame(rows)
+    def row(data: bytes | None) -> dict:
+        x = _wav_int_samples(data) if data is not None else None
+        return {"sig": ehash64(x) if x is not None else None}
 
-    return src.mapInPandas(sig_batches, schema=out_schema)
+    return _per_payload_frame(df, binary_col, id_cols, "sig long", row)
 
 
 def audio_dup_pairs(
@@ -792,6 +793,7 @@ def audio_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     bands: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs: PCM decode -> energy-gradient
     fingerprint -> banded Hamming self-join — re-gained and
@@ -809,7 +811,7 @@ def audio_dup_pairs(
     ).where(F.col("sig").isNotNull())
     return hamming_dup_pairs(
         sigs, id_col=id_col, sig_col="sig",
-        max_hamming=max_hamming, bands=bands,
+        max_hamming=max_hamming, bands=bands, max_bucket=max_bucket,
     )
 
 
@@ -823,6 +825,7 @@ def video_dup_pairs(
     kind: str = "dhash",
     min_matches: int = 1,
     mode: str = "auto",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Video-level near-dup pairs by keyframe perceptual hashing —
     the whole r10/r11 multimodal lane composed end to end: RIFF-walk
@@ -830,11 +833,16 @@ def video_dup_pairs(
     decode (:mod:`.jpeg`), dHash signatures
     (:func:`image_signatures`), banded Hamming join
     (``dedup.hamming_dup_pairs``), then aggregation to video pairs.
-    Two videos pair when at least ``min_matches`` of their sampled
-    keyframes are pairwise within ``max_hamming`` — the standard
-    re-encode/re-container dedup for video corpora (dHash survives
-    requantization; the keyframe SAMPLE survives trims at the
-    match-count level).
+    Two videos pair when at least ``min_matches`` of EACH side's
+    sampled keyframes participate in a cross-video match within
+    ``max_hamming`` — the standard re-encode/re-container dedup for
+    video corpora (dHash survives requantization; the keyframe
+    SAMPLE survives trims at the match-count level).
+    ``n_frame_matches`` counts DISTINCT matched keyframes on the
+    sparser side (min over the two sides), NOT matched frame pairs —
+    a still/slideshow whose near-identical frames all hit one shared
+    intro card would inflate a pair count quadratically and defeat
+    the threshold (r11 review).
 
     Output: ``(i, j, n_frame_matches, min_hamming)`` with ``i < j``.
 
@@ -870,19 +878,34 @@ def video_dup_pairs(
         sig_col=lanes if len(lanes) > 1 else lanes[0],
         max_hamming=max_hamming,
         bands=bands,
-        keep_cols=(id_col,),
+        keep_cols=(id_col, "frame_idx"),
+        max_bucket=max_bucket,
     )
     vi, vj = F.col(f"i_{id_col}"), F.col(f"j_{id_col}")
+    # orient each matched frame pair to video-id order, keeping WHICH
+    # frame belongs to which side, so the evidence count is distinct
+    # keyframes per side
+    fi = F.when(vi < vj, F.col("i_frame_idx")).otherwise(
+        F.col("j_frame_idx")
+    )
+    fj = F.when(vi < vj, F.col("j_frame_idx")).otherwise(
+        F.col("i_frame_idx")
+    )
     return (
         fp.where(vi != vj)
         .select(
             F.least(vi, vj).alias("i"),
             F.greatest(vi, vj).alias("j"),
+            fi.alias("__fi__"),
+            fj.alias("__fj__"),
             "hamming",
         )
         .groupBy("i", "j")
         .agg(
-            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.least(
+                F.count_distinct(F.col("__fi__")),
+                F.count_distinct(F.col("__fj__")),
+            ).alias("n_frame_matches"),
             F.min("hamming").alias("min_hamming"),
         )
         .where(F.col("n_frame_matches") >= min_matches)
@@ -914,15 +937,24 @@ def _decode_wav_pcm(data: bytes):
             width = w.getsampwidth()
             n = w.getnframes()
             raw = w.readframes(n)
+        # inside the try: truncated streams hand frombuffer an
+        # odd-length buffer (r11 review — the same crash fixed in
+        # _wav_int_samples; decode failures must be None, not task
+        # failures)
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+        elif width == 1:
+            x = (
+                np.frombuffer(raw, dtype="u1").astype("float64") - 128.0
+            ) / 128.0
+        elif width == 4:
+            x = (
+                np.frombuffer(raw, dtype="<i4").astype("float64")
+                / 2147483648.0
+            )
+        else:
+            return None
     except Exception:
-        return None
-    if width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
-    elif width == 1:
-        x = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
-    elif width == 4:
-        x = np.frombuffer(raw, dtype="<i4").astype("float64") / 2147483648.0
-    else:
         return None
     if channels > 1 and x.size % channels == 0:
         x = x.reshape(-1, channels).mean(axis=1)  # downmix to mono
@@ -943,34 +975,21 @@ def audio_features(
     failing the job — the production pattern for dirty corpora).
     Same Arrow-batched mapInPandas shape as image_features: columns
     pruned to ids + payload before the Python boundary."""
-    src = df.select(*id_cols, binary_col)
-    id_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in src.schema.fields
-        if f.name in id_cols
+
+    def row(data: bytes | None) -> dict:
+        decoded = _decode_wav_pcm(data) if data is not None else None
+        if decoded is None:
+            return {"n_bytes": len(data) if data is not None else None,
+                    "sample_rate": None, "n_channels": None,
+                    "n_samples": None, "duration_s": None,
+                    "rms": None, "zero_crossing_rate": None}
+        rate, channels, n_samples, rms, zcr = decoded
+        return {"n_bytes": len(data),
+                "sample_rate": rate, "n_channels": channels,
+                "n_samples": n_samples,
+                "duration_s": (n_samples / rate) if rate else None,
+                "rms": rms, "zero_crossing_rate": zcr}
+
+    return _per_payload_frame(
+        df, binary_col, id_cols, AUDIO_FEATURES_FIELDS, row
     )
-    out_schema = f"{id_schema}, {AUDIO_FEATURES_FIELDS}"
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for idx in range(len(pdf)):
-                ids = {c: pdf[c].iloc[idx] for c in id_cols}
-                b = pdf[binary_col].iloc[idx]
-                data = bytes(b) if b is not None else None
-                decoded = _decode_wav_pcm(data) if data is not None else None
-                if decoded is None:
-                    rows.append({**ids, "n_bytes": len(data) if data is not None else None,
-                                 "sample_rate": None, "n_channels": None,
-                                 "n_samples": None, "duration_s": None,
-                                 "rms": None, "zero_crossing_rate": None})
-                else:
-                    rate, channels, n_samples, rms, zcr = decoded
-                    rows.append({**ids, "n_bytes": len(data),
-                                 "sample_rate": rate, "n_channels": channels,
-                                 "n_samples": n_samples,
-                                 "duration_s": (n_samples / rate) if rate else None,
-                                 "rms": rms, "zero_crossing_rate": zcr})
-            yield pd.DataFrame(rows)
-
-    return src.mapInPandas(decode_batches, schema=out_schema)

@@ -311,8 +311,6 @@ def test_video_dup_pairs_end_to_end(spark):
 
     from relationalize_spark.operators.jpeg import decode_jpeg_baseline
 
-    rng = np.random.RandomState(17)
-
     def jpeg_of(seed):  # DC-per-row-varied 16-block grayscale frame
         r = np.random.RandomState(seed)
         blocks = []
@@ -414,6 +412,67 @@ def test_ehash_analytic_bits():
     assert ehash64(np.repeat(m, 10)) == _pack_bits64(
         [False] * 63 + [True]
     ) == -(2**63)
+
+
+def test_truncated_wav_yields_null_not_crash(spark):
+    """r11 second review (reproduced crash): a WAV truncated to an
+    odd byte length parses through wave.open but hands frombuffer an
+    odd buffer — both decode lanes must yield NULL rows, never fail
+    the task."""
+    from relationalize_spark.operators.multimodal import (
+        audio_features,
+        audio_signatures,
+    )
+
+    good = _wav_pcm16(np.arange(-500, 500, dtype=np.int64))
+    truncated = good[:-1]  # odd-length sample stream
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(truncated))],
+        "doc_id long, content binary",
+    )
+    sigs = {r.doc_id: r.sig for r in audio_signatures(df).collect()}
+    assert sigs[1] is not None and sigs[2] is None
+    feats = {r.doc_id: r.rms for r in audio_features(df).collect()}
+    assert feats[1] is not None and feats[2] is None
+
+
+def test_video_dup_pairs_counts_keyframes_not_pairs(spark):
+    """r11 second review: a still video (every keyframe identical)
+    sharing ONE piece of content with another video must count 1
+    matched keyframe (min over sides), not a quadratic pair count —
+    otherwise min_matches is defeated by repeated intro cards."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_jpeg_decode import _gray, encode_jpeg
+    from test_media_pipeline import _avi
+
+    from relationalize_spark.operators.multimodal import video_dup_pairs
+
+    def jpeg_of(seed):
+        r = np.random.RandomState(seed)
+        blocks = []
+        for _ in range(16):
+            zz = [int(r.randint(-100, 100))] + [0] * 63
+            zz[1], zz[8] = int(r.randint(-40, 40)), int(r.randint(-40, 40))
+            blocks.append(zz)
+        return encode_jpeg(_gray(blocks, 16, 64), [(1, 1)], [1] * 64)
+
+    card = jpeg_of(1)
+    still = _avi([card, card, card])        # slideshow: 3 identical
+    once = _avi([card, jpeg_of(2)])         # shares the card once
+    df = spark.createDataFrame(
+        [(1, bytearray(still)), (2, bytearray(once))],
+        "doc_id long, content binary",
+    )
+    got = {
+        (r.i, r.j): r.n_frame_matches
+        for r in video_dup_pairs(df, n_frames=3).collect()
+    }
+    # 3 frame PAIRS match (3 still frames x 1 shared) but only ONE
+    # keyframe participates on the sparser side
+    assert got == {(1, 2): 1}
+    assert video_dup_pairs(df, n_frames=3, min_matches=2).count() == 0
 
 
 def test_audio_dup_pairs_end_to_end(spark):
