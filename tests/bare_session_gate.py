@@ -9,13 +9,18 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 11 FINAL HEAD at commit 7c080b0 (everything in
-the ba549fb run below, plus the post-attestation additions: JPEG
+Last full run: round 11 FINAL HEAD at commit c5e9fc9 (everything in
+the runs below, plus the post-attestation additions — JPEG
 4:2:2/4:4:4 chroma tests, video_dup_pairs keyframe-evidence video
 near-dup, audio_dup_pairs energy-gradient audio near-dup, the media
-pipeline's three dedup outputs, README refresh) —
+pipeline's three dedup outputs — and the SECOND review pass's seven
+closures: truncated-WAV crash fix in both decode lanes, keyframe-
+not-pair evidence counting, max_bucket passthroughs, the shared
+per-payload mapInPandas helper, exports, parquet-read counts) —
 BARE-SESSION GATE: ALL 152 OK. Full suite at the same HEAD:
-867 passed / 1 env-skip in 24:15.
+869 passed / 1 env-skip in 21:59.
+(Earlier r11 attested runs: ALL 152 + 867-test suite at 7c080b0;
+ALL 152 at ba549fb.)
 Prior r11 run: commit ba549fb (the r11
 window rotation — the 50 r8-attested entries, zero free slots;
 q152 perceptual image near-dup registered behind the cap with its
