@@ -103,19 +103,33 @@ def test_aggregate_derived_sides_never_broadcast(spark):
 
     # r11: the banded Hamming self-join's band-entries table is
     # corpus-derived too (the q152 audit caught the un-hinted plan
-    # broadcast-promoting the build side at test SF)
+    # broadcast-promoting the build side at test SF); the
+    # video/audio dup compositions inherit the same join and must
+    # stay clean through their wrapping (plus Arrow-only Python)
     from relationalize_spark.operators.dedup import hamming_dup_pairs
+    from relationalize_spark.operators.multimodal import (
+        audio_dup_pairs,
+        video_dup_pairs,
+    )
 
     sigs = docs.select("doc_id", F.xxhash64("text").alias("sig"))
     hamming_plan = _plan(
         hamming_dup_pairs(sigs, id_col="doc_id", sig_col="sig")
     )
+    media = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    video_plan = _plan(video_dup_pairs(media, n_frames=2))
+    audio_plan = _plan(audio_dup_pairs(media))
+    assert "BatchEvalPython" not in video_plan + audio_plan
 
     for name, plan in (("duplicate_span_stats", span_plan),
                        ("unrelationalize", nest_plan),
                        ("tfidf_pairs", tfidf_plan),
                        ("tfidf_pairs_prefix", tfidf_prefix_plan),
                        ("hamming_dup_pairs", hamming_plan),
+                       ("video_dup_pairs", video_plan),
+                       ("audio_dup_pairs", audio_plan),
                        ("gapfill_interpolate", gap_plan)):
         assert "BroadcastHashJoin" not in plan, (
             f"{name}: aggregate-derived join side is broadcast"
