@@ -102,6 +102,7 @@ def kmeans_fit(
     id_col: str | None = None,
     tol: float = 1e-9,
     replayable: bool = False,
+    init_centroids: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Fit k centroids with Lloyd's iterations; returns the k x dim
     centroid matrix.
@@ -123,11 +124,22 @@ def kmeans_fit(
     aggregation. This is what gives Lloyd's a TRUE chained-CTE SQL
     value oracle (see queries q67/q108) rather than a rows-only
     check.
+
+    ``init_centroids``: skip the init-collect job and start from these
+    k vectors. The caller must pass exactly what the default init
+    would compute (the ``as_double`` vectors of the k smallest
+    ``id_col`` rows) for results to be unchanged — used by
+    ``similarity.pq_train``, whose m sub-fits share one init collect
+    (slicing commutes with the id-ordered prefix, so each sliced init
+    equals the sub-frame's own init).
     """
-    init_df = df.orderBy(id_col).limit(k) if id_col else df.limit(k)
-    centroids = [
-        list(r.v) for r in init_df.select(as_double(vec_col).alias("v")).collect()
-    ]
+    if init_centroids is not None:
+        centroids = [list(c) for c in init_centroids]
+    else:
+        init_df = df.orderBy(id_col).limit(k) if id_col else df.limit(k)
+        centroids = [
+            list(r.v) for r in init_df.select(as_double(vec_col).alias("v")).collect()
+        ]
     if len(centroids) < k:
         raise ValueError(f"need at least k={k} rows, got {len(centroids)}")
     dim = len(centroids[0])

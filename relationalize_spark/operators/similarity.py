@@ -523,25 +523,48 @@ def pq_train(
 
     Scale shape: m independent Lloyd's fits, each one scan +
     ``k x dim/m``-row shuffle per iteration over the SLICED vectors
-    (never the full width); driver state is the m codebooks."""
+    (never the full width); driver state is the m codebooks.
+
+    The m fits are INDEPENDENT, so (r11, guide §2.6 "overlap
+    independent jobs") they are submitted from a driver thread pool —
+    each fit's own jobs stay sequential (data-dependent), but
+    subspace j+1's iteration tasks back-fill executors idled by
+    subspace j's collect tail. Each fit's math, inputs and iteration
+    count are untouched, so the codebooks are bit-identical to the
+    sequential ones (q137/q142 oracles pin this). The init collect is
+    also shared: ONE id-ordered prefix collect of the full vectors,
+    sliced per subspace on the driver — slicing commutes with the
+    row selection, so each sliced init equals the sub-frame's own
+    ``orderBy(id).limit(k)`` init (m jobs -> 1)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .clustering import kmeans_fit
 
     dim = vector_dim(df, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
+    init_rows = [
+        list(r.v)
+        for r in df.orderBy(id_col)
+        .limit(k)
+        .select(as_double(vec_col).alias("v"))
+        .collect()
+    ]
+
+    def fit(j: int) -> list[list[float]]:
         sub = df.select(
             F.col(id_col),
             F.slice(as_double(vec_col), j * d + 1, d).alias("__sub__"),
         )
-        books.append(
-            kmeans_fit(
-                sub, "__sub__", k=k, max_iter=iters, id_col=id_col,
-                replayable=True,
-            )
+        return kmeans_fit(
+            sub, "__sub__", k=k, max_iter=iters, id_col=id_col,
+            replayable=True,
+            init_centroids=[v[j * d : (j + 1) * d] for v in init_rows],
         )
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        books = list(pool.map(fit, range(m)))
     return books
 
 

@@ -48,7 +48,13 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate. One shuffle on the two
     low-cardinality group keys; partial aggregation makes the shuffle
     tiny regardless of input size."""
-    l = load_table(spark, sf, "lineitem")
+    # Spread the heavy DECIMAL arithmetic across cores when the scan
+    # under-parallelizes (single-row-group local files -> ONE task; a
+    # no-op at scale where the scan already has >= parallelism tasks).
+    # Hash-keyed on l_orderkey: no sort-before-repartition, retry-safe.
+    # All aggregates are exact DECIMAL/COUNT sums, so partial-agg
+    # order cannot perturb the result. r11 A/B: 1.28 -> 0.78 s warm.
+    l = ensure_parallelism(load_table(spark, sf, "lineitem"), key="l_orderkey")
     disc = _dec(F.lit(1) - F.col("l_discount"))
     tax = _dec(F.lit(1) + F.col("l_tax"))
     disc_price = (_dec("l_extendedprice") * disc).cast("decimal(18,4)")
@@ -154,7 +160,12 @@ def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
     cutoff = F.lit("1998-03-15").cast("timestamp")
     c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
-    l = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # Keyed scan-parallelism guard (see q01): the broadcast-join probe
+    # side otherwise runs on the lone single-row-group scan task.
+    # r11 A/B: 1.02 -> 0.85 s warm. No-op at scale.
+    l = ensure_parallelism(
+        load_table(spark, sf, "lineitem"), key="l_orderkey"
+    ).filter(F.col("l_shipdate") > cutoff)
     disc_price = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
