@@ -21,6 +21,7 @@ shuffle on their keys; AQE handles skew/coalescing at runtime.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1539,14 +1540,15 @@ def q54_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
         stream, ts_col="ts", window="1 hour", watermark="2 hours",
         group_cols=["event_type"],
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("q54_windowed")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q54_windowed")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q54_windowed")
 
 
@@ -1572,14 +1574,15 @@ def q55_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         stream, ts_col="ts", user_col="user_id", gap="30 minutes",
         watermark="2 hours",
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("q55_sessions")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q55_sessions")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q55_sessions")
 
 
@@ -2468,14 +2471,15 @@ def q74_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec("value")).cast("double").alias("total_value"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("q74_stream_static")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q74_stream_static")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q74_stream_static")
 
 
@@ -2506,6 +2510,35 @@ def _stream_parquet(spark: SparkSession, sf: str, table: str):
         .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf)
     )
+
+
+@_contextmanager
+def _stream_state_parallelism(spark: SparkSession):
+    """Scale streaming state-store parallelism to the cluster (r11).
+
+    A stateful streaming operator creates ONE state store per shuffle
+    partition per micro-batch (stream-stream joins: four), and the
+    partition count is frozen at query start from
+    ``spark.sql.shuffle.partitions``. Under an untuned session (200
+    default partitions) a single-batch AvailableNow gate query on a
+    32-core box pays 200 store init/commit cycles per stateful op
+    where ``defaultParallelism`` stores would saturate the machine —
+    measured on q75 (stream-stream interval join, sf0.01): ~37-91 s
+    at 200 partitions vs ~12-25 s at 32 on the same session. At real
+    scale ``defaultParallelism`` is the cluster's core count, which
+    is the standard state-partition sizing. Result-neutral: every
+    gate stream's aggregates are exact-typed (counts / BIGINT quanta
+    / HLL register max / distinct value sets), so partition count
+    cannot perturb values; each query's oracle pins this."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _events_stream(spark: SparkSession, sf: str):
@@ -2554,14 +2587,15 @@ def q75_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("purchase_ts") > F.col("signup_ts"))
         & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 2 HOURS")),
     ).select(F.col("s_user").alias("user_id"), "signup_ts", "purchase_ts")
-    q = (
-        j.writeStream.format("memory")
-        .queryName("q75_pairs")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            j.writeStream.format("memory")
+            .queryName("q75_pairs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q75_pairs")
 
 
@@ -2870,14 +2904,15 @@ def q83_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "ts", "event_type", "value")
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("q83_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("q83_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q83_dedup")
 
 
@@ -4077,14 +4112,15 @@ def q115_streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     kept = stream_segment_dedup(
         stream, "doc_id", "text", "__ts__", seg_words=10, watermark="1 hour"
     ).select("seg")
-    q = (
-        kept.writeStream.format("memory")
-        .queryName("q115_segments")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            kept.writeStream.format("memory")
+            .queryName("q115_segments")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q115_segments")
 
 
@@ -4997,15 +5033,16 @@ def q130_stream_demux_dynamic(spark: SparkSession, sf: str) -> DataFrame:
     demux = JsonStreamDemux(
         base, "dynstream", key_cols=["k"], exactly_once=False
     )
-    q = (
-        demux.attach(
-            spark.readStream.option("maxFilesPerTrigger", 1).text(src)
+    with _stream_state_parallelism(spark):
+        q = (
+            demux.attach(
+                spark.readStream.option("maxFilesPerTrigger", 1).text(src)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     replay = JsonStreamDemux(
         base, "dynstream", key_cols=["k"], exactly_once=False
     )  # restart
@@ -5070,14 +5107,15 @@ def q136_streaming_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
             "est",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("q136_sketch")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q136_sketch")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     streamed = spark.table("q136_sketch")
     # batch side normalized to the SAME instant encoding as the
     # stream (_events_stream): NTZ wall clock taken as UTC, so the
@@ -5774,14 +5812,15 @@ def q141_streaming_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("sq").alias("score_q_sum"),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("q141_scores")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q141_scores")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q141_scores").orderBy("source")
 
 
