@@ -789,8 +789,14 @@ def dedup_clusters(
     round, all JVM-side. Near-duplicate graphs are unions of
     near-cliques with tiny diameters, so 2-4 rounds converge; the
     ``max_iter`` bound guards pathological chains. Convergence is
-    detected exactly with a left-anti join against the previous
-    labels (type-generic; labels only ever decrease).
+    detected exactly INSIDE the propagation aggregate (type-generic;
+    labels only ever decrease): the union rows are tagged by origin,
+    so the same ``groupBy`` that computes the new minimum also
+    recovers the node's previous label, and a per-node ``chg`` flag
+    rides the checkpointed result — the convergence probe is then a
+    shuffle-free ``limit(1)`` scan of already-materialized partitions
+    instead of the extra left-anti-join job (its own join + two
+    exchanges per round) the previous shape paid.
 
     Two things make the loop safe at scale: the per-iteration
     ``localCheckpoint`` truncates the logical plan (iterative lineage
@@ -818,19 +824,35 @@ def dedup_clusters(
     try:
         for _ in range(max_iter):
             prop = sym.join(labels, F.col("src") == F.col("node")).select(
-                F.col("dst").alias("node"), F.col("lab")
+                F.col("dst").alias("node"), F.col("lab"), F.lit(False).alias("own")
             )
+            # ``prev`` (the node's label entering the round) is
+            # recovered from the own-tagged union row in the SAME
+            # aggregate that takes the minimum, so change detection
+            # costs no second join: a node changed iff its new min
+            # label differs from ``prev`` — including a node first
+            # seen via an edge this round (prev IS NULL), exactly the
+            # rows the old left-anti join counted.
             new_labels = (
-                labels.unionByName(prop)
+                labels.select("node", "lab", F.lit(True).alias("own"))
+                .unionByName(prop)
                 .groupBy("node")
-                .agg(F.min("lab").alias("lab"))
+                .agg(
+                    F.min("lab").alias("lab"),
+                    F.min(F.when(F.col("own"), F.col("lab"))).alias("prev"),
+                )
+                .select(
+                    "node",
+                    "lab",
+                    (
+                        F.col("prev").isNull() | (F.col("lab") != F.col("prev"))
+                    ).alias("chg"),
+                )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.join(labels, ["node", "lab"], "left_anti").limit(1).count()
-            )
+            changed = new_labels.where("chg").limit(1).count()
             old = labels
-            labels = new_labels
+            labels = new_labels.select("node", "lab")
             old.unpersist()
             if changed == 0:
                 break
