@@ -1540,7 +1540,13 @@ def q54_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
         stream, ts_col="ts", window="1 hour", watermark="2 hours",
         group_cols=["event_type"],
     )
-    with _stream_state_parallelism(spark):
+    # complete-mode sink: the watermark-advance-only batch re-emits an
+    # identical table -> skip it (see _stream_state_parallelism)
+    with _stream_state_parallelism(
+        spark,
+        source_bytes=_source_backlog_bytes(f"{sf}/events.parquet"),
+        skip_nodata_batch=True,
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName("q54_windowed")
@@ -1574,7 +1580,12 @@ def q55_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         stream, ts_col="ts", user_col="user_id", gap="30 minutes",
         watermark="2 hours",
     )
-    with _stream_state_parallelism(spark):
+    # complete-mode sink -> the no-data batch is a pure re-emit; skip
+    with _stream_state_parallelism(
+        spark,
+        source_bytes=_source_backlog_bytes(f"{sf}/events.parquet"),
+        skip_nodata_batch=True,
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName("q55_sessions")
@@ -2471,7 +2482,12 @@ def q74_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec("value")).cast("double").alias("total_value"),
         )
     )
-    with _stream_state_parallelism(spark):
+    # complete-mode sink -> the no-data batch is a pure re-emit; skip
+    with _stream_state_parallelism(
+        spark,
+        source_bytes=_source_backlog_bytes(f"{sf}/events.parquet"),
+        skip_nodata_batch=True,
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName("q74_stream_static")
@@ -2512,9 +2528,34 @@ def _stream_parquet(spark: SparkSession, sf: str, table: str):
     )
 
 
+def _source_backlog_bytes(*paths: str) -> int:
+    """Total on-disk bytes of a bounded stream's source files — the
+    backlog an AvailableNow drain will process. Accepts files or
+    directories (summed recursively); missing paths count 0."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        elif os.path.isfile(p):
+            total += os.path.getsize(p)
+    return total
+
+
 @_contextmanager
-def _stream_state_parallelism(spark: SparkSession):
-    """Scale streaming state-store parallelism to the cluster (r11).
+def _stream_state_parallelism(
+    spark: SparkSession,
+    source_bytes: int | None = None,
+    skip_nodata_batch: bool = False,
+):
+    """Scale streaming state-store parallelism to the data and the
+    cluster (r11 opt rounds).
 
     A stateful streaming operator creates ONE state store per shuffle
     partition per micro-batch (stream-stream joins: four), and the
@@ -2522,23 +2563,70 @@ def _stream_state_parallelism(spark: SparkSession):
     ``spark.sql.shuffle.partitions``. Under an untuned session (200
     default partitions) a single-batch AvailableNow gate query on a
     32-core box pays 200 store init/commit cycles per stateful op
-    where ``defaultParallelism`` stores would saturate the machine —
-    measured on q75 (stream-stream interval join, sf0.01): ~37-91 s
-    at 200 partitions vs ~12-25 s at 32 on the same session. At real
-    scale ``defaultParallelism`` is the cluster's core count, which
-    is the standard state-partition sizing. Result-neutral: every
-    gate stream's aggregates are exact-typed (counts / BIGINT quanta
-    / HLL register max / distinct value sets), so partition count
-    cannot perturb values; each query's oracle pins this."""
+    where far fewer would saturate the machine — measured on q75
+    (stream-stream interval join, sf0.01): ~37-91 s at 200
+    partitions vs ~12-25 s at 32 vs ~2.5-3.5 s at backlog-derived
+    sizing on the same session.
+
+    Sizing rule (the AQE coalescing heuristic, applied manually
+    because AQE cannot resize stateful-stream partitions): partitions
+    = clamp(source_bytes / advisoryPartitionSizeInBytes, 1,
+    defaultParallelism). For a bounded AvailableNow drain the whole
+    backlog is known up front, so sizing it like a batch shuffle is
+    exact: tiny gate corpora get a handful of stores, a 100 TB
+    backlog saturates every core (the standard state-partition
+    sizing). ``source_bytes=None`` keeps the defaultParallelism pin
+    (the right call for long-lived streams whose eventual volume is
+    unknown). Result-neutral: every gate stream's aggregates are
+    exact-typed (counts / BIGINT quanta / HLL register max / distinct
+    value sets), so partition count cannot perturb values; each
+    query's oracle pins this.
+
+    ``skip_nodata_batch=True`` disables
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` for the
+    stream's duration, dropping the watermark-advance-only batch an
+    AvailableNow drain appends after the last data batch (measured:
+    ~40% of q75's wall — a full state-store init/commit cycle per
+    partition per stateful op, emitting zero rows). ONLY legal when
+    that batch cannot emit: append-mode sinks that emit on arrival
+    (dropDuplicates*, inner stream-stream joins) or complete-mode
+    sinks (every batch re-emits the whole table; complete mode never
+    evicts aggregation state, so the extra batch re-emits an
+    identical table). An append-mode AGGREGATION emits finalized
+    groups only when the watermark passes them — for those this flag
+    would silently drop rows; every call site must re-check its sink
+    mode before passing True."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if source_bytes is not None:
+        advisory = _advisory_bytes(spark)
+        parallelism = max(1, min(parallelism, -(-source_bytes // advisory)))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
+    spark.conf.set("spark.sql.shuffle.partitions", str(parallelism))
+    if skip_nodata_batch:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
+
+
+def _advisory_bytes(spark: SparkSession) -> int:
+    """``spark.sql.adaptive.advisoryPartitionSizeInBytes`` as an int
+    (Spark returns it in whatever unit it was set with)."""
+    raw = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
+    )
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    s = str(raw).strip().lower().removesuffix("b")
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
 
 
 def _events_stream(spark: SparkSession, sf: str):
@@ -2587,7 +2675,14 @@ def q75_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("purchase_ts") > F.col("signup_ts"))
         & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 2 HOURS")),
     ).select(F.col("s_user").alias("user_id"), "signup_ts", "purchase_ts")
-    with _stream_state_parallelism(spark):
+    # append-mode INNER join emits each match in the data batch that
+    # completes it; the no-data batch only evicts state -> skip it.
+    # Both legs scan the same file, so the backlog is 2x its bytes.
+    with _stream_state_parallelism(
+        spark,
+        source_bytes=2 * _source_backlog_bytes(f"{sf}/events.parquet"),
+        skip_nodata_batch=True,
+    ):
         q = (
             j.writeStream.format("memory")
             .queryName("q75_pairs")
@@ -2904,7 +2999,14 @@ def q83_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "ts", "event_type", "value")
     )
-    with _stream_state_parallelism(spark):
+    # dropDuplicatesWithinWatermark emits survivors on ARRIVAL (append
+    # mode); the no-data batch only evicts state -> skip it. The
+    # stream doubles every row, so the backlog is 2x the file bytes.
+    with _stream_state_parallelism(
+        spark,
+        source_bytes=2 * _source_backlog_bytes(f"{sf}/events.parquet"),
+        skip_nodata_batch=True,
+    ):
         q = (
             deduped.writeStream.format("memory")
             .queryName("q83_dedup")
@@ -4112,7 +4214,13 @@ def q115_streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     kept = stream_segment_dedup(
         stream, "doc_id", "text", "__ts__", seg_words=10, watermark="1 hour"
     ).select("seg")
-    with _stream_state_parallelism(spark):
+    # dropDuplicatesWithinWatermark emits survivors on ARRIVAL (append
+    # mode); the no-data batch only evicts state -> skip it
+    with _stream_state_parallelism(
+        spark,
+        source_bytes=_source_backlog_bytes(f"{sf}/documents.parquet"),
+        skip_nodata_batch=True,
+    ):
         q = (
             kept.writeStream.format("memory")
             .queryName("q115_segments")
@@ -5033,7 +5141,12 @@ def q130_stream_demux_dynamic(spark: SparkSession, sf: str) -> DataFrame:
     demux = JsonStreamDemux(
         base, "dynstream", key_cols=["k"], exactly_once=False
     )
-    with _stream_state_parallelism(spark):
+    # foreachBatch demux: stateless (no watermark -> no no-data batch
+    # to skip); the backlog sizing still right-sizes each micro-batch's
+    # relationalize/write jobs
+    with _stream_state_parallelism(
+        spark, source_bytes=_source_backlog_bytes(src)
+    ):
         q = (
             demux.attach(
                 spark.readStream.option("maxFilesPerTrigger", 1).text(src)
@@ -5107,7 +5220,12 @@ def q136_streaming_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
             "est",
         )
     )
-    with _stream_state_parallelism(spark):
+    # complete-mode sink -> the no-data batch is a pure re-emit; skip
+    with _stream_state_parallelism(
+        spark,
+        source_bytes=_source_backlog_bytes(f"{sf}/events.parquet"),
+        skip_nodata_batch=True,
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName("q136_sketch")
@@ -5812,7 +5930,12 @@ def q141_streaming_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("sq").alias("score_q_sum"),
     )
-    with _stream_state_parallelism(spark):
+    # complete-mode sink -> the no-data batch is a pure re-emit; skip
+    with _stream_state_parallelism(
+        spark,
+        source_bytes=_source_backlog_bytes(f"{sf}/documents.parquet"),
+        skip_nodata_batch=True,
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName("q141_scores")
