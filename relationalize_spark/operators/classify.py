@@ -204,6 +204,15 @@ def logreg_fit(
     n = feats.count()
     if n == 0:
         raise ValueError("no non-empty documents to train on")
+    # right-size the iterated frame: feats leaves hashed_features'
+    # groupBy with a full shuffle.partitions fanout regardless of row
+    # count, and every GD iteration re-reads it (r11 opt — the
+    # kmeans_fit rationale; gradient sums are BIGINT quanta, so
+    # partitioning is result-neutral). coalesce reads THROUGH the
+    # cache, so the one-time feature build still fills it wide.
+    from ..plans.scale import right_size_partitions
+
+    feats = right_size_partitions(feats, n)
     w: dict[int, float] = {j: 0.0 for j in range(dim)}
     w[INTERCEPT] = 0.0
     for _ in range(iters):

@@ -49,41 +49,10 @@ from ..functions.vectors import as_double
 REPLAY_FP = 6
 REPLAY_SCORE = 9
 
-#: Iteration-fanout sizing for Lloyd's (r11 opt): one assignment task
-#: comfortably handles ~64k vectors (the per-task work is one numpy
-#: matmul plus a k*dim-bounded partial aggregate), so the persisted
-#: iteration frame is partitioned ceil(n / this), clamped to the
-#: cluster's defaultParallelism. Blindly fanning a tiny corpus out to
-#: defaultParallelism partitions made EVERY Lloyd's iteration pay
-#: 2 x defaultParallelism task launches + Arrow round trips for
-#: micro-batches of a few rows each (measured: 0.8-1.1 s/iteration on
-#: 500 vectors at local[32]; ~0.15 s right-sized). At real scale
-#: n/64k exceeds the core count and the fanout saturates the cluster
-#: exactly as before.
+#: Iteration-fanout sizing for Lloyd's (r11 opt): see
+#: plans.scale.right_size_partitions — kept as a module attribute so
+#: tests and A/Bs can dial it without touching the shared default.
 ROWS_PER_TASK = 65_536
-
-
-def _iteration_partitions(df: DataFrame, n_rows: int) -> DataFrame:
-    """Right-size ``df`` (the persisted Lloyd's iteration input) to
-    ``clamp(ceil(n_rows / ROWS_PER_TASK), 1, defaultParallelism)``
-    partitions: ``repartition`` up when the scan under-splits,
-    ``coalesce`` down (shuffle-free) when the source fans a tiny
-    corpus too wide. Result-neutral in replayable mode (all cross-row
-    sums are BIGINT quanta — order-free); non-replayable double sums
-    were never partition-stable to begin with."""
-    target = max(
-        1,
-        min(
-            df.sparkSession.sparkContext.defaultParallelism,
-            -(-n_rows // ROWS_PER_TASK),
-        ),
-    )
-    current = df.rdd.getNumPartitions()
-    if current < target:
-        return df.repartition(target)
-    if current > target:
-        return df.coalesce(target)
-    return df
 
 
 def assign_clusters(
@@ -180,11 +149,17 @@ def kmeans_fit(
     dim = len(centroids[0])
 
     fp = float(10 ** REPLAY_FP)
+    from ..plans.scale import right_size_partitions
+
     sel = df.select(as_double(vec_col).alias("v"))
     # one cheap column-pruned count sizes the iteration fanout; it is
     # repaid many times over by max_iter iterations x 2 stages of
-    # right-sized task counts (see ROWS_PER_TASK)
-    base = _iteration_partitions(sel, sel.count()).persist()
+    # right-sized task counts (see ROWS_PER_TASK). Result-neutral in
+    # replayable mode (BIGINT quanta sums are order-free);
+    # non-replayable double sums were never partition-stable anyway.
+    base = right_size_partitions(
+        sel, sel.count(), rows_per_task=ROWS_PER_TASK
+    ).persist()
     try:
         for _ in range(max_iter):
             assigned = assign_clusters(
