@@ -1048,7 +1048,18 @@ def ivfpq_recall_eval(
         corpus, cells=cells, coarse_iters=coarse_iters, m=m, k=pq_k,
         pq_iters=pq_iters, id_col=id_col, vec_col=vec_col,
     )
-    panel = corpus.orderBy(id_col).limit(n_queries)
+    # ONE TakeOrdered job collects the panel; each per-nprobe
+    # production search then collects its queries from this local
+    # relation instead of re-running the corpus scan (r11 opt:
+    # len(nprobes) corpus jobs -> 1). Rows are identical by
+    # construction — ivfpq_topk still runs verbatim on a queries
+    # frame with the same (id, as_double vector) values.
+    panel_sel = corpus.orderBy(id_col).limit(n_queries).select(
+        F.col(id_col), as_double(vec_col).alias(vec_col)
+    )
+    panel = corpus.sparkSession.createDataFrame(
+        panel_sel.collect(), panel_sel.schema
+    )
 
     # exact ground truth: lattice-quantized squared L2, top-k per
     # query — the shared _panel_topk discipline (one copy, r10 review)
