@@ -9,7 +9,17 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: round 11 FINAL HEAD at commit c5e9fc9 (everything in
+Last full run: r11 OPTIMIZATION round close-out (session 5) at
+commit 0ccce2f — the final optimization HEAD's code (subsequent
+commits are docs/log-only): BARE-SESSION GATE: ALL 152 OK, with
+every r11-opt change in (q01/q03 keyed scan parallelization, PQ
+sub-fit overlap + shared init, streaming backlog-sized state
+partitions + no-data-batch skip, q59 convergence fold, kmeans/logreg
+iteration right-sizing, q150 panel collect-once). Full suite at the
+same HEAD: 877 passed / 1 env-skip / 0 failed in 32:37.
+(Earlier r11-opt attested runs: ALL 152 at f904ef2 — session-2
+start — and at 29b471d — session-4 start.)
+Prior full run: round 11 BUILD final HEAD at commit c5e9fc9 (everything in
 the runs below, plus the post-attestation additions — JPEG
 4:2:2/4:4:4 chroma tests, video_dup_pairs keyframe-evidence video
 near-dup, audio_dup_pairs energy-gradient audio near-dup, the media
