@@ -118,6 +118,7 @@ def _obj_prefix(c: str) -> str:
 
 def _expand_variants(
     tdf: DataFrame,
+    precomputed: dict[str, tuple[set, str | None]] | None = None,
 ) -> tuple[DataFrame, dict[str, bool], dict[str, set]]:
     """Per-row dynamic typing for VARIANT columns — the reference's
     row-walk semantics (reference relationalize.py:48-119) recovered
@@ -164,6 +165,16 @@ def _expand_variants(
     object branch) and runs only when conflicted leaves exist at this
     level. The pipeline's persisted parsed input (sources/jsonl.py)
     keeps these passes from re-parsing JSON.
+
+    ``precomputed`` (r12) maps first-level column names to an already
+    observed ``(class set, object-branch schema string)`` pair — the
+    dynamic JSON pipeline's fused top-level analysis job collects the
+    identical quantities per top-level key (sources/jsonl.py:
+    _analyze_top_level), so columns named by it skip this function's
+    aggregate. It applies to the FIRST loop iteration only (deeper
+    iterations see flatten-generated names the top-level pass cannot
+    observe); a first-iteration column missing from it still goes
+    through the aggregate.
     """
     from ..sources.jsonl import _cast_ddl, parse_variant_schema
     from .infer import ref_tag_from_schema_str
@@ -182,29 +193,41 @@ def _expand_variants(
         ]
         if not vcols:
             return tdf, arr_flags, tag_sets
-        # one projected class per column (schema_of_variant computed
-        # once per row), then one combined aggregate
-        cls_cols = {}
-        proj = [F.col(_q(f.name)) for f in tdf.schema.fields]
-        for i, c in enumerate(vcols):
-            sov = F.schema_of_variant(F.col(_q(c)))
-            cls = (
-                F.when(sov.startswith("ARRAY"), F.lit("arr"))
-                .when(sov.startswith("OBJECT"), F.lit("obj"))
-                .otherwise(ref_tag_from_schema_str(sov))
-            )
-            cls_cols[c] = f"__cls{DELIM}{i}__"
-            proj.append(cls.alias(cls_cols[c]))
-        classed = tdf.select(*proj)
-        aggs = []
-        for i, c in enumerate(vcols):
-            aggs.append(F.collect_set(cls_cols[c]).alias(f"__set{i}__"))
-            aggs.append(
-                F.schema_of_variant_agg(
-                    F.when(F.col(cls_cols[c]) == "obj", F.col(_q(c)))
-                ).alias(f"__os{i}__")
-            )
-        stats = classed.agg(*aggs).first()
+        # class-set + object-branch schema per column: from the fused
+        # top-level analysis when available (first iteration), else
+        # one combined aggregate job over the remaining columns.
+        per_col: dict[str, tuple[set, str | None]] = {}
+        need = list(vcols)
+        if precomputed:
+            per_col = {c: precomputed[c] for c in vcols if c in precomputed}
+            need = [c for c in vcols if c not in per_col]
+            precomputed = None  # first iteration only
+        if need:
+            # one projected class per column (schema_of_variant computed
+            # once per row), then one combined aggregate
+            cls_cols = {}
+            proj = [F.col(_q(f.name)) for f in tdf.schema.fields]
+            for i, c in enumerate(need):
+                sov = F.schema_of_variant(F.col(_q(c)))
+                cls = (
+                    F.when(sov.startswith("ARRAY"), F.lit("arr"))
+                    .when(sov.startswith("OBJECT"), F.lit("obj"))
+                    .otherwise(ref_tag_from_schema_str(sov))
+                )
+                cls_cols[c] = f"__cls{DELIM}{i}__"
+                proj.append(cls.alias(cls_cols[c]))
+            classed = tdf.select(*proj)
+            aggs = []
+            for i, c in enumerate(need):
+                aggs.append(F.collect_set(cls_cols[c]).alias(f"__set{i}__"))
+                aggs.append(
+                    F.schema_of_variant_agg(
+                        F.when(F.col(cls_cols[c]) == "obj", F.col(_q(c)))
+                    ).alias(f"__os{i}__")
+                )
+            stats = classed.agg(*aggs).first()
+            for i, c in enumerate(need):
+                per_col[c] = (set(stats[f"__set{i}__"] or []), stats[f"__os{i}__"])
 
         keep: dict[str, Column] = {}
         obj_tmp: dict[str, str] = {}  # tmp struct col -> flatten prefix
@@ -215,7 +238,7 @@ def _expand_variants(
                 keep[c] = F.col(_q(c))
                 continue
             i = idx[c]
-            observed = set(stats[f"__set{i}__"] or [])
+            observed = set(per_col[c][0])
             any_arr = "arr" in observed
             any_obj = "obj" in observed
             scalars = observed - {"arr", "obj"}
@@ -227,7 +250,7 @@ def _expand_variants(
                 keep[c] = F.when(~_is_obj(c), F.col(_q(c)))
                 arr_flags[c] = any_arr
             if any_obj:
-                node = parse_variant_schema(stats[f"__os{i}__"])
+                node = parse_variant_schema(per_col[c][1])
                 if node.kind == "object" and node.fields:
                     tmp = f"__vobj{DELIM}{i}__"
                     keep[tmp] = F.try_variant_get(
@@ -258,6 +281,7 @@ def relationalize(
     rid_mode: Literal["hash", "uuid"] = "hash",
     max_depth: int = 24,
     infer_hints: dict | None = None,
+    variant_stats: dict[str, tuple[set, str | None]] | None = None,
 ) -> dict[str, DataFrame]:
     """Flatten ``df`` into a dict of flat DataFrames keyed by table name.
 
@@ -288,7 +312,7 @@ def relationalize(
     hint_sets: dict[str, dict[str, set] | None] = {}
     _process(
         df.withColumn(_ROW_KEY, row_key), name, name, rid_mode, out, max_depth,
-        hint_sets,
+        hint_sets, variant_stats,
     )
     if infer_hints is not None:
         from .. import types as T
@@ -331,10 +355,11 @@ def _process(
     out: dict[str, DataFrame],
     depth_left: int,
     hint_sets: dict[str, dict[str, set] | None],
+    variant_stats: dict[str, tuple[set, str | None]] | None = None,
 ) -> None:
     if depth_left <= 0:
         raise ValueError(f"nesting exceeds max_depth while planning table {table!r}")
-    tdf, var_arr, var_tags = _expand_variants(tdf)
+    tdf, var_arr, var_tags = _expand_variants(tdf, variant_stats)
 
     array_paths = [
         f.name

@@ -149,6 +149,87 @@ def merged_variant_schema(df: DataFrame, column: str = "v") -> VNode:
     return parse_variant_schema(merged)
 
 
+#: sentinel key injected for rows whose top level is not an object (and
+#: not VOID / SQL NULL, which the global schema merge absorbs): its
+#: presence in the grouped analysis routes the corpus to the legacy
+#: whole-object merge for the exact error. The leading NUL cannot come
+#: out of ordinary data without colliding ONLY into that fallback.
+_NONOBJECT_KEY = "\x00__nonobject__"
+_NONOBJECT_JSON = '{"\\u0000__nonobject__": null}'
+
+
+def _analyze_top_level(
+    df: DataFrame, column: str = "v"
+) -> tuple[VNode, dict[str, tuple[set, str | None]] | None]:
+    """ONE eager job for the dynamic pipeline's whole top-level
+    analysis (r12; guide §2.4 — don't run two jobs where one
+    suffices): ``variant_explode`` enumerates every row's top-level
+    fields and a single grouped aggregation computes, per key,
+
+    - the merged value schema (``schema_of_variant_agg`` over exactly
+      the values the whole-object merge folds for that field — absent
+      fields contribute nothing in both formulations, so the per-key
+      merge IS the global merge's field type),
+    - the observed class set (arr / obj / scalar reference tags) and
+      the object-branch merged schema — precisely what
+      ``_expand_variants`` would re-scan for at nesting level 1.
+
+    This replaces the two sequential driver-blocking jobs the pipeline
+    used to run (whole-object ``schema_of_variant_agg``, then the
+    level-1 branch analysis over the cast frame): one pass over the
+    parse instead of two, at any scale.
+
+    The reassembled tree lists fields in UTF-16 code-unit order —
+    ``schema_of_variant_agg``'s own field ordering (Java string sort;
+    verified against OBJECT merges containing non-BMP keys) — so the
+    cast DDL, and therefore every downstream column order, is
+    bit-identical to the legacy path's.
+
+    Degenerate corpora (any non-object top level, or zero observed
+    fields: empty/all-null/all-empty-object inputs) fall back to the
+    legacy whole-object merge so error behavior is exactly unchanged.
+    """
+    from ..operators.infer import ref_tag_from_schema_str
+
+    spark = df.sparkSession
+    col = F.col("`" + column.replace("`", "``") + "`")
+    sov = F.schema_of_variant(col)
+    # objects explode to their fields; VOID / SQL-NULL rows explode to
+    # nothing (the global merge absorbs both); anything else injects
+    # the sentinel field so the fallback (and its exact error) fires.
+    keep = sov.isNull() | sov.startswith("OBJECT") | (sov == "VOID")
+    w = F.when(keep, col).otherwise(F.parse_json(F.lit(_NONOBJECT_JSON)))
+    kv = (
+        df.select(w.alias("__w__"))
+        .lateralJoin(spark.tvf.variant_explode(F.col("__w__").outer()))
+        .select("key", "value")
+    )
+    sval = F.schema_of_variant("value")
+    cls = (
+        F.when(sval.startswith("ARRAY"), F.lit("arr"))
+        .when(sval.startswith("OBJECT"), F.lit("obj"))
+        .otherwise(ref_tag_from_schema_str(sval))
+    )
+    rows = (
+        kv.groupBy("key")
+        .agg(
+            F.schema_of_variant_agg("value").alias("vs"),
+            F.collect_set(cls).alias("cset"),
+            F.schema_of_variant_agg(F.when(cls == "obj", F.col("value"))).alias(
+                "os"
+            ),
+        )
+        .collect()
+    )
+    if not rows or any(r["key"] == _NONOBJECT_KEY for r in rows):
+        return merged_variant_schema(df, column), None
+    tree = VNode("object")
+    for r in sorted(rows, key=lambda r: r["key"].encode("utf-16-be")):
+        tree.fields[r["key"]] = parse_variant_schema(r["vs"])
+    stats = {r["key"]: (set(r["cset"] or []), r["os"]) for r in rows}
+    return tree, stats
+
+
 @dataclass
 class RelationalizedJson:
     """Output of the end-to-end dynamic pipeline: one flat, converted
@@ -185,10 +266,12 @@ def relationalize_json(
     """Full dynamic pipeline: JSONL path (or variant DataFrame) ->
     rid-linked flat tables with choice columns resolved.
 
-    Jobs: 1 scan for the merged schema, then per-table 1 scan for the
-    observed choice tags (skipped when a table has no conflicted
-    leaves and ``convert`` handling is trivial). All per-row work is
-    JVM-side variant casts and projections.
+    Jobs: ONE scan computes the merged schema AND the top-level
+    choice/branch tags together (``_analyze_top_level``, r12); deeper
+    nesting levels and child tables pay one further scan per level
+    (skipped when a table has no conflicted leaves and ``convert``
+    handling is trivial). All per-row work is JVM-side variant casts
+    and projections.
 
     The pipeline is inherently multi-pass (schema union needs every
     row before the typed cast exists — same reason the reference
@@ -216,7 +299,7 @@ def relationalize_json(
         cached = vdf
 
     [vcol] = vdf.columns
-    tree = merged_variant_schema(vdf, vcol)
+    tree, level1_stats = _analyze_top_level(vdf, vcol)
     if tree.kind != "object":
         raise ValueError(
             f"top-level JSON must be objects, got {tree.kind} ({tree.leaf_type})"
@@ -238,7 +321,8 @@ def relationalize_json(
 
         hints: dict[str, dict[str, str]] = {}
         raw_tables = relationalize(
-            typed, name, key_cols=key_cols, rid_mode=rid_mode, infer_hints=hints
+            typed, name, key_cols=key_cols, rid_mode=rid_mode, infer_hints=hints,
+            variant_stats=level1_stats,
         )
         tables: dict[str, DataFrame] = {}
         schemas: dict[str, Schema] = {}
