@@ -256,6 +256,23 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
     return mins(h1, h2)
 
 
+def _band_buckets(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of ``bands`` bucket keys: the signature sliced into
+    groups of ``rows_per_band`` values, each group hashed to one
+    64-bit key."""
+    return F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.element_at(sig, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def _band_entries(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(id, band, bucket) rows: each signature sliced into ``bands``
     groups of ``rows_per_band`` values, each group hashed to one
@@ -263,19 +280,9 @@ def _band_entries(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFram
     candidates."""
     return sig_df.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(_band_buckets(F.col("sig"), bands, rows_per_band)).alias(
+            "band", "bucket"
+        ),
     )
 
 
@@ -306,11 +313,24 @@ def minhash_lsh_pairs(
     )
     # The signature frame feeds both sides of the band self-join AND
     # the exact-verification joins; persist it once instead of
-    # recomputing shingles + signatures four times.
+    # recomputing shingles + signatures four times. Band buckets and
+    # the set size are precomputed INTO the cache (r12): the raw
+    # signature is consumed only by the bucket hashing, so storing
+    # buckets instead of sig halves the banding xxhash64 work (each
+    # self-join side used to re-hash 16 bands from the cached sig)
+    # and shrinks both Generate-side codegen spans to a plain
+    # posexplode of a stored column — less per-plan JIT, same values.
     sig = docs.select(
-        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+        "id",
+        "sh",
+        F.size("sh").alias("n_sh"),
+        _band_buckets(
+            minhash_signature(F.col("sh"), num_hashes), bands, rows_per_band
+        ).alias("buckets"),
     ).persist()
-    band_entries = _band_entries(sig, bands, rows_per_band)
+    band_entries = sig.select(
+        "id", F.posexplode("buckets").alias("band", "bucket")
+    )
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
@@ -331,9 +351,7 @@ def minhash_lsh_pairs(
     # pair. Each posting row carries its document's set size (2 ints
     # wider), so the Jaccard denominator falls out of the same
     # groupBy — no extra corpus-frame joins to re-attach sizes.
-    sh_tab = sig.select(
-        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
+    sh_tab = sig.select("id", "n_sh", F.explode("sh").alias("shingle"))
     common = (
         candidates.join(
             sh_tab.select(F.col("id").alias("i"), F.col("n_sh").alias("na"), "shingle"),
