@@ -282,6 +282,7 @@ def relationalize(
     max_depth: int = 24,
     infer_hints: dict | None = None,
     variant_stats: dict[str, tuple[set, str | None]] | None = None,
+    variant_elem_stats: dict[str, tuple[set, str | None]] | None = None,
 ) -> dict[str, DataFrame]:
     """Flatten ``df`` into a dict of flat DataFrames keyed by table name.
 
@@ -312,7 +313,7 @@ def relationalize(
     hint_sets: dict[str, dict[str, set] | None] = {}
     _process(
         df.withColumn(_ROW_KEY, row_key), name, name, rid_mode, out, max_depth,
-        hint_sets, variant_stats,
+        hint_sets, variant_stats, variant_elem_stats,
     )
     if infer_hints is not None:
         from .. import types as T
@@ -356,10 +357,23 @@ def _process(
     depth_left: int,
     hint_sets: dict[str, dict[str, set] | None],
     variant_stats: dict[str, tuple[set, str | None]] | None = None,
+    variant_elem_stats: dict[str, tuple[set, str | None]] | None = None,
 ) -> None:
     if depth_left <= 0:
         raise ValueError(f"nesting exceeds max_depth while planning table {table!r}")
     tdf, var_arr, var_tags = _expand_variants(tdf, variant_stats)
+
+    def _child_stats(p: str) -> dict[str, tuple[set, str | None]] | None:
+        """Precomputed first-iteration stats for the child table of
+        array path ``p``: the fused top-level analysis already
+        aggregated the class set / object-branch schema of ``p``'s
+        elements (its ``lvl=1`` rows), which is exactly what the
+        child's ``{p}__val_`` variant column would re-scan for. Only
+        top-level paths carry entries (the dict is consumed here and
+        not forwarded); deeper levels take the aggregate path."""
+        if variant_elem_stats is None or p not in variant_elem_stats:
+            return None
+        return {f"{p}{DELIM}{VAL}": variant_elem_stats[p]}
 
     array_paths = [
         f.name
@@ -487,7 +501,10 @@ def _process(
             F.col(_q(index_name)),
             child_key.alias(_ROW_KEY),
         )
-        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1, hint_sets)
+        _process(
+            child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1,
+            hint_sets, _child_stats(p),
+        )
 
     for p in variant_array_paths:
         rid_name = f"{p}{DELIM}{RID}"
@@ -511,7 +528,10 @@ def _process(
             F.col(_q(index_name)),
             child_key.alias(_ROW_KEY),
         )
-        _process(child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1, hint_sets)
+        _process(
+            child, f"{root}{DELIM}{p}", root, rid_mode, out, depth_left - 1,
+            hint_sets, _child_stats(p),
+        )
 
     for p in map_paths:
         rid_name = f"{p}{DELIM}{RID}"

@@ -160,7 +160,11 @@ _NONOBJECT_JSON = '{"\\u0000__nonobject__": null}'
 
 def _analyze_top_level(
     df: DataFrame, column: str = "v"
-) -> tuple[VNode, dict[str, tuple[set, str | None]] | None]:
+) -> tuple[
+    VNode,
+    dict[str, tuple[set, str | None]] | None,
+    dict[str, tuple[set, str | None]] | None,
+]:
     """ONE eager job for the dynamic pipeline's whole top-level
     analysis (r12; guide §2.4 — don't run two jobs where one
     suffices): ``variant_explode`` enumerates every row's top-level
@@ -172,18 +176,36 @@ def _analyze_top_level(
       merge IS the global merge's field type),
     - the observed class set (arr / obj / scalar reference tags) and
       the object-branch merged schema — precisely what
-      ``_expand_variants`` would re-scan for at nesting level 1.
+      ``_expand_variants`` would re-scan for at nesting level 1,
+    - (level 2, same job) the identical class-set/object-schema pair
+      for the ELEMENTS of array-classed values, grouped under
+      ``lvl=1`` — what each first-level array child table's
+      ``{key}__val_`` variant column would otherwise re-scan for.
+      The ``(lvl, key)`` grouping key keeps the two levels apart
+      structurally (no name mangling, no collision risk).
 
-    This replaces the two sequential driver-blocking jobs the pipeline
-    used to run (whole-object ``schema_of_variant_agg``, then the
-    level-1 branch analysis over the cast frame): one pass over the
-    parse instead of two, at any scale.
+    This replaces the sequential driver-blocking jobs the pipeline
+    used to run (whole-object ``schema_of_variant_agg``, the level-1
+    branch analysis over the cast frame, and one branch analysis per
+    first-level array child table): one pass over the parse, at any
+    scale.
 
     The reassembled tree lists fields in UTF-16 code-unit order —
     ``schema_of_variant_agg``'s own field ordering (Java string sort;
     verified against OBJECT merges containing non-BMP keys) — so the
     cast DDL, and therefore every downstream column order, is
     bit-identical to the legacy path's.
+
+    Name-lookup soundness (both returned dicts are consulted by
+    COLUMN name downstream): a flattened struct-derived column can
+    collide with a plain top-level key of the same name, but every
+    struct parent generating that name is a strict PREFIX of it, and
+    prefixes sort first in the UTF-16 field order the cast DDL fixes
+    — so the plain key appears later in schema order and
+    ``_flatten_structs``' last-write-wins always keeps the PLAIN
+    key's column, which is exactly the entry these dicts hold. A
+    struct-derived name with no plain twin is simply absent from the
+    dicts and takes the aggregate path.
 
     Degenerate corpora (any non-object top level, or zero observed
     fields: empty/all-null/all-empty-object inputs) fall back to the
@@ -205,13 +227,21 @@ def _analyze_top_level(
         .select("key", "value")
     )
     sval = F.schema_of_variant("value")
+    lvl0 = kv.select(F.lit(0).alias("lvl"), "key", "value")
+    elems = (
+        kv.where(sval.startswith("ARRAY"))
+        .select(F.col("key").alias("__k__"), F.col("value").alias("__a__"))
+        .lateralJoin(spark.tvf.variant_explode(F.col("__a__").outer()))
+        .select(F.lit(1).alias("lvl"), F.col("__k__").alias("key"), "value")
+    )
     cls = (
-        F.when(sval.startswith("ARRAY"), F.lit("arr"))
-        .when(sval.startswith("OBJECT"), F.lit("obj"))
-        .otherwise(ref_tag_from_schema_str(sval))
+        F.when(F.schema_of_variant("value").startswith("ARRAY"), F.lit("arr"))
+        .when(F.schema_of_variant("value").startswith("OBJECT"), F.lit("obj"))
+        .otherwise(ref_tag_from_schema_str(F.schema_of_variant("value")))
     )
     rows = (
-        kv.groupBy("key")
+        lvl0.unionByName(elems)
+        .groupBy("lvl", "key")
         .agg(
             F.schema_of_variant_agg("value").alias("vs"),
             F.collect_set(cls).alias("cset"),
@@ -221,13 +251,17 @@ def _analyze_top_level(
         )
         .collect()
     )
-    if not rows or any(r["key"] == _NONOBJECT_KEY for r in rows):
-        return merged_variant_schema(df, column), None
+    fields = [r for r in rows if r["lvl"] == 0]
+    if not fields or any(r["key"] == _NONOBJECT_KEY for r in fields):
+        return merged_variant_schema(df, column), None, None
     tree = VNode("object")
-    for r in sorted(rows, key=lambda r: r["key"].encode("utf-16-be")):
+    for r in sorted(fields, key=lambda r: r["key"].encode("utf-16-be")):
         tree.fields[r["key"]] = parse_variant_schema(r["vs"])
-    stats = {r["key"]: (set(r["cset"] or []), r["os"]) for r in rows}
-    return tree, stats
+    stats = {r["key"]: (set(r["cset"] or []), r["os"]) for r in fields}
+    elem_stats = {
+        r["key"]: (set(r["cset"] or []), r["os"]) for r in rows if r["lvl"] == 1
+    }
+    return tree, stats, elem_stats
 
 
 @dataclass
@@ -266,9 +300,10 @@ def relationalize_json(
     """Full dynamic pipeline: JSONL path (or variant DataFrame) ->
     rid-linked flat tables with choice columns resolved.
 
-    Jobs: ONE scan computes the merged schema AND the top-level
-    choice/branch tags together (``_analyze_top_level``, r12); deeper
-    nesting levels and child tables pay one further scan per level
+    Jobs: ONE scan computes the merged schema, the top-level
+    choice/branch tags AND the first-level array children's element
+    tags together (``_analyze_top_level``, r12); deeper nesting
+    levels and deeper child tables pay one further scan per level
     (skipped when a table has no conflicted leaves and ``convert``
     handling is trivial). All per-row work is JVM-side variant casts
     and projections.
@@ -299,7 +334,7 @@ def relationalize_json(
         cached = vdf
 
     [vcol] = vdf.columns
-    tree, level1_stats = _analyze_top_level(vdf, vcol)
+    tree, level1_stats, elem_stats = _analyze_top_level(vdf, vcol)
     if tree.kind != "object":
         raise ValueError(
             f"top-level JSON must be objects, got {tree.kind} ({tree.leaf_type})"
@@ -322,7 +357,7 @@ def relationalize_json(
         hints: dict[str, dict[str, str]] = {}
         raw_tables = relationalize(
             typed, name, key_cols=key_cols, rid_mode=rid_mode, infer_hints=hints,
-            variant_stats=level1_stats,
+            variant_stats=level1_stats, variant_elem_stats=elem_stats,
         )
         tables: dict[str, DataFrame] = {}
         schemas: dict[str, Schema] = {}

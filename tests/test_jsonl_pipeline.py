@@ -127,6 +127,78 @@ def test_inferred_choice_schema_tags(spark):
     assert schema.columns["4"] == "float"
 
 
+def test_mixed_array_elements_choice_via_fused_analysis(spark):
+    """r12: the fused top-level analysis also carries the ELEMENT
+    class sets of first-level arrays (lvl=1 rows of the one grouped
+    job), so the child table's ``{key}__val_`` branch analysis runs
+    scan-free. Mixed int/str/object elements must still produce the
+    child's choice columns and grandchild table exactly as the
+    per-level aggregate did."""
+    out = relationalize_json(
+        vdf(
+            spark,
+            [
+                {"k": 1, "v": [1, "two", {"a": 7}]},
+                {"k": 2, "v": 5},
+                {"k": 3, "v": [3.5]},
+            ],
+        ),
+        "root",
+    )
+    # child table: elements split per-row — ints/strings/floats into
+    # choice lanes, object elements spread into v_a
+    child = sorted(rows(out["root_v"]), key=lambda r: (r["v__rid_"], r["v__index_"]))
+    assert out.schemas["root_v"].columns["v__val_"] == "c-float-int-str"
+    got = [
+        (r["v__index_"], r.get("v__val__int"), r.get("v__val__str"),
+         r.get("v__val__float"), r.get("v_a"))
+        for r in child
+    ]
+    # row 1's three elements then row 3's single float element
+    assert (0, 1, None, None, None) in got
+    assert (1, None, "two", None, None) in got
+    assert (2, None, None, None, 7) in got
+    assert (0, None, None, 3.5, None) in got
+    # parent: scalar rows keep their value in the int lane, array rows
+    # hold the rid string
+    parent = {r["k"]: r for r in rows(out["root"])}
+    assert parent[2]["v_int"] == 5
+    assert parent[1]["v_str"] and parent[1]["v_str"].startswith("R_")
+
+
+def test_fused_analysis_job_count(spark):
+    """r12 (guide §2.4): the dynamic pipeline's analysis for a
+    two-level corpus (conflicted top-level key + array child with
+    uniform elements) is ONE eager action — the fused
+    variant_explode + groupBy(lvl, key) pass. Pin the action count by
+    callsite so a regression back to per-level scans is loud. (AQE
+    splits one action into several jobs, so jobs are grouped by their
+    stage callsites here.)"""
+    df = vdf(
+        spark,
+        [
+            {"k": 1, "v": 10},
+            {"k": 2, "v": [1, 2]},
+            {"k": 3, "v": {"a": 1, "b": "p"}},
+        ],
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    relationalize_json(df, "root", convert=False)
+    after = set(tracker.getJobIdsForGroup(None))
+    sites = set()
+    for jid in after - before:
+        info = tracker.getJobInfo(jid)
+        for sid in info.stageIds:
+            si = tracker.getStageInfo(sid)
+            if si:
+                sites.add(si.name.split("\n")[0])
+    # every job of the build belongs to the single fused collect in
+    # sources/jsonl.py — no relationalize.py aggregate ran
+    assert sites, "expected at least one analysis job"
+    assert all("jsonl.py" in s for s in sites), sites
+
+
 def test_none_lattice_through_pipeline(spark):
     out = relationalize_json(
         vdf(spark, [{"a": None, "b": None}, {"a": 1, "b": None}]), "root"
