@@ -862,8 +862,14 @@ def dedup_clusters(
                 .select(
                     "node",
                     "lab",
+                    # null-safe (ADVICE r11): a NULL label (null node
+                    # ids) must read as changed — the old left-anti
+                    # join counted such rows — not as NULL-falsy; and
+                    # a first-reached node (prev IS NULL) is always
+                    # changed, even when its min label is also NULL.
                     (
-                        F.col("prev").isNull() | (F.col("lab") != F.col("prev"))
+                        F.col("prev").isNull()
+                        | ~F.col("lab").eqNullSafe(F.col("prev"))
                     ).alias("chg"),
                 )
                 .localCheckpoint(eager=True)
@@ -1045,11 +1051,13 @@ def tfidf_pairs(
     topical overlap detected from term statistics alone, no
     embeddings needed.
 
-    ``prefix_filter`` (r11, OPT-IN) prunes candidate GENERATION by
-    Bayardo's prefix principle with an exact-integer L2-suffix bound
-    — result-identical output (the decision arithmetic is all BIGINT
-    on the same lattice as the dot products; see the inline proof),
-    with the ``max_df``² fanout cap still the backstop. MEASURED
+    ``prefix_filter`` (r11, OPT-IN; r12 adds the per-term maxweight
+    bound) prunes candidate GENERATION by Bayardo's prefix principle
+    with exact-integer suffix bounds (Cauchy-Schwarz on the corpus-max
+    squared norm AND the AllPairs per-term maxweight "remscore") —
+    result-identical output (the decision arithmetic is all
+    BIGINT/DECIMAL on the same lattice as the dot products; see the
+    inline proof), with the ``max_df``² fanout cap still the backstop. MEASURED
     NEGATIVE on the driver corpus and shipped opt-in, the single_job
     precedent: this corpus's df distribution is cap-dominated (at
     sf0.1 only 250 postings survive 2 <= df <= 1000 — the token
@@ -1179,25 +1187,41 @@ def tfidf_pairs(
             )
         )
     # Bayardo-style prefix filtering (r11 — VERDICT r10 item 6),
-    # result-identical by the L2-suffix bound: order each document's
-    # joinable terms in ONE global order (df ASC, term ASC — rarest
-    # first, so prefixes join on the smallest posting lists) and keep
-    # term k in the PREFIX iff the suffix-inclusive squared norm from
-    # k still permits a qualifying pair. Exactly: for any pair whose
-    # shared terms all sit in x's suffix, Cauchy-Schwarz gives
-    #   dot_q^2 <= ssq_suffix(x) * ssq(y) <= ssq_suffix(x) * MAX_SSQ,
-    # where MAX_SSQ is the corpus maximum of sum(nwq^2) — computed,
-    # not assumed (the r11 review showed the tempting "<= 1e12"
-    # premise can be overshot by floor-of-IEEE rounding in nwq), and
-    # carried as a 1-row broadcast. Pruning the suffix is safe once
-    # ssq_suffix * MAX_SSQ < thr_q^2, compared in DECIMAL(38,0) —
-    # exact integers end to end, so the output set is bit-identical
-    # to the unfiltered lane (pinned by tests + the q144 oracle).
+    # result-identical by TWO complementary suffix bounds: order each
+    # document's joinable terms in ONE global order (df ASC, term ASC
+    # — rarest first, so prefixes join on the smallest posting lists)
+    # and keep term k in the PREFIX iff the suffix from k still
+    # permits a qualifying pair under BOTH bounds. For any pair whose
+    # shared terms all sit in x's suffix:
+    #
+    # 1. Cauchy-Schwarz:
+    #    dot_q^2 <= ssq_suffix(x) * ssq(y) <= ssq_suffix(x) * MAX_SSQ,
+    #    where MAX_SSQ is the corpus maximum of sum(nwq^2) — computed,
+    #    not assumed (the r11 review showed the tempting "<= 1e12"
+    #    premise can be overshot by floor-of-IEEE rounding in nwq),
+    #    and carried as a 1-row broadcast. Tighter when the suffix is
+    #    many small weights.
+    # 2. Per-term maxweight (r12 — VERDICT r11 item 5, the AllPairs
+    #    "remscore" bound): dot_q <= sum_{t in suffix} nwq_x[t] *
+    #    maxw(t) with maxw(t) = corpus max of nwq over term t's
+    #    postings (weights are non-negative: idf >= 1 by
+    #    construction, so every unshared term contributes >= 0 to the
+    #    bound). Tighter when the suffix holds few, heavy,
+    #    low-maxweight terms — the regime where a near-unique term's
+    #    posting list would otherwise stay in every prefix. maxw is
+    #    corpus-derived (vocabulary-sized), so it attaches by a
+    #    merge-hinted term-keyed join, never a broadcast — the
+    #    jaccard_pairs invariant.
+    #
+    # Pruning the suffix is safe once EITHER bound drops below the
+    # threshold; both comparisons run in DECIMAL(38,0) on the exact
+    # integer lattice, so the output set is bit-identical to the
+    # unfiltered lane (pinned by tests + the q144 oracle).
     # A qualifying pair must therefore share at least one PREFIX
     # term of each member, so candidates = (prefix postings) x
     # (full postings) on the term key — per-term fanout drops from
     # df^2 to prefix_df * df, with the max_df cap still the
-    # backstop. Docs whose whole vector falls under the bound
+    # backstop. Docs whose whole vector falls under either bound
     # generate an empty prefix AND can never qualify, consistently.
     # Verification gathers ALL shared terms back from the full
     # posting table (two keyed joins), so shared_terms/dot_q are
@@ -1207,6 +1231,7 @@ def tfidf_pairs(
         .agg(F.sum(F.col("nwq") * F.col("nwq")).alias("__ssq__"))
         .agg(F.max("__ssq__").alias("__max_ssq__"))
     )
+    maxw = joinable.groupBy("term").agg(F.max("nwq").alias("__maxw__"))
     wnd = (
         Window.partitionBy("id")
         .orderBy(F.col("dft").asc(), F.col("term").asc())
@@ -1216,14 +1241,24 @@ def tfidf_pairs(
         "decimal(38,0)"
     )
     prefix = (
-        joinable.withColumn(
+        joinable.join(maxw.hint("merge"), "term")
+        .withColumn(
             "__ssq_from__", F.sum(F.col("nwq") * F.col("nwq")).over(wnd)
+        )
+        .withColumn(
+            "__mw_from__",
+            F.sum(
+                (F.col("nwq") * F.col("__maxw__")).cast("decimal(38,0)")
+            ).over(wnd),
         )
         .crossJoin(F.broadcast(max_ssq))
         .where(
-            F.col("__ssq_from__").cast("decimal(38,0)")
-            * F.col("__max_ssq__").cast("decimal(38,0)")
-            >= thr_sq
+            (
+                F.col("__ssq_from__").cast("decimal(38,0)")
+                * F.col("__max_ssq__").cast("decimal(38,0)")
+                >= thr_sq
+            )
+            & (F.col("__mw_from__") >= F.lit(thr_q).cast("decimal(38,0)"))
         )
         .select("id", "term")
     )

@@ -1251,6 +1251,80 @@ def test_tfidf_prefix_filter_prunes_in_its_regime(spark):
     assert set(on) == {(0, 1)}  # the duplicates; 'common' alone can't reach 0.8
 
 
+def test_tfidf_maxweight_bound_prunes_beyond_cauchy_schwarz(spark):
+    """r12 (VERDICT r11 item 5): the per-term maxweight suffix bound
+    prunes prefix terms the Cauchy-Schwarz bound keeps. Regime: a
+    suffix holding ~69% of a document's squared mass — CS keeps it
+    (sqrt(0.69) = 0.83 >= tau = 0.8) but the maxweight sum is 0.69 <
+    0.8 when every term's corpus maxweight equals the document's own
+    weight. Python-mirrors both bounds on the exact integer lattice,
+    then pins the Spark lanes result-identical."""
+    import math
+    from collections import Counter
+
+    from relationalize_spark.operators.dedup import tfidf_pairs
+
+    # docs 0/1: tf(a)=2, tf(b)=3 -> normalized squared masses 4/13 and
+    # 9/13; suffix from b = 0.692. noise docs keep a,b's df at 2.
+    rows = [(0, "a a b b b"), (1, "a a b b b")]
+    rows += [(i, f"x{i} x{i} y{i}") for i in range(2, 8)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    thr, max_df = 0.8, 1000
+    thr_q = math.floor(thr * 1e12)
+
+    docs = {i: Counter(t.lower().split()) for i, t in rows}
+    dft = Counter(t for c in docs.values() for t in c)
+    n = len(rows)
+    nw_by_doc = {}
+    for i, c in docs.items():
+        wq = {
+            t: tf * math.floor((math.log((1 + n) / (1 + dft[t])) + 1) * 1e6)
+            for t, tf in c.items()
+            if dft[t] <= max_df
+        }
+        n2 = sum(v * v for v in wq.values())
+        nw_by_doc[i] = {
+            t: math.floor(v * 1e6 / math.sqrt(float(n2)))
+            for t, v in wq.items()
+            if dft[t] >= 2
+        }
+    maxw = Counter()
+    for nw in nw_by_doc.values():
+        for t, v in nw.items():
+            maxw[t] = max(maxw[t], v)
+    max_ssq = max(sum(v * v for v in nw.values()) for nw in nw_by_doc.values())
+    n_cs = n_both = 0
+    for i, nw in nw_by_doc.items():
+        order = sorted(nw, key=lambda t: (dft[t], t))
+        for k in range(len(order)):
+            suf = order[k:]
+            ssq_from = sum(nw[t] * nw[t] for t in suf)
+            mw_from = sum(nw[t] * maxw[t] for t in suf)
+            cs_ok = ssq_from * max_ssq >= thr_q * thr_q
+            if cs_ok:
+                n_cs += 1
+                if mw_from >= thr_q:
+                    n_both += 1
+    # docs 0/1 each: CS keeps both a and b; maxweight evicts b.
+    # noise docs: only their own x/y terms, all df=1 -> not joinable.
+    assert n_cs == 4 and n_both == 2
+
+    on = {
+        (r.i, r.j): (r.shared_terms, r.cos_sim)
+        for r in tfidf_pairs(
+            df, threshold=thr, max_df=max_df, prefix_filter=True
+        ).collect()
+    }
+    off = {
+        (r.i, r.j): (r.shared_terms, r.cos_sim)
+        for r in tfidf_pairs(
+            df, threshold=thr, max_df=max_df, prefix_filter=False
+        ).collect()
+    }
+    assert on == off
+    assert set(on) == {(0, 1)}  # the duplicates, found via prefix term a
+
+
 def test_canonical_dedup_collapses_normalization_variants(spark):
     from relationalize_spark.operators.text import (
         canonical_dedup,
