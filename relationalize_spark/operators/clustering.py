@@ -50,9 +50,11 @@ REPLAY_FP = 6
 REPLAY_SCORE = 9
 
 #: Iteration-fanout sizing for Lloyd's (r11 opt): see
-#: plans.scale.right_size_partitions — kept as a module attribute so
-#: tests and A/Bs can dial it without touching the shared default.
-ROWS_PER_TASK = 65_536
+#: plans.scale.right_size_partitions — re-exported from the single
+#: source of truth (ADVICE r11: the duplicated literal could drift);
+#: kept as a module attribute so tests and A/Bs can dial it without
+#: touching the shared default.
+from ..plans.scale import ROWS_PER_TASK  # noqa: E402
 
 
 def assign_clusters(

@@ -20,6 +20,7 @@ shuffle on their keys; AQE handles skew/coalescing at runtime.
 
 from __future__ import annotations
 
+import threading as _threading
 from collections.abc import Callable
 from contextlib import contextmanager as _contextmanager
 
@@ -1546,6 +1547,7 @@ def q54_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         source_bytes=_source_backlog_bytes(f"{sf}/events.parquet"),
         skip_nodata_batch=True,
+        output_mode="complete",
     ):
         q = (
             agg.writeStream.format("memory")
@@ -1585,6 +1587,7 @@ def q55_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         source_bytes=_source_backlog_bytes(f"{sf}/events.parquet"),
         skip_nodata_batch=True,
+        output_mode="complete",
     ):
         q = (
             agg.writeStream.format("memory")
@@ -2487,6 +2490,7 @@ def q74_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         source_bytes=_source_backlog_bytes(f"{sf}/events.parquet"),
         skip_nodata_batch=True,
+        output_mode="complete",
     ):
         q = (
             agg.writeStream.format("memory")
@@ -2548,11 +2552,20 @@ def _source_backlog_bytes(*paths: str) -> int:
     return total
 
 
+#: _stream_state_parallelism mutates session-global conf; overlapping
+#: uses (driver threads) would cross-contaminate or mis-restore. The
+#: helper fails loudly on overlap instead of silently corrupting
+#: (ADVICE r11): stateful gate streams never legitimately nest.
+_STREAM_CONF_LOCK = _threading.Lock()
+
+
 @_contextmanager
 def _stream_state_parallelism(
     spark: SparkSession,
     source_bytes: int | None = None,
     skip_nodata_batch: bool = False,
+    output_mode: str | None = None,
+    emits_on_arrival: bool = False,
 ):
     """Scale streaming state-store parallelism to the data and the
     cluster (r11 opt rounds).
@@ -2595,25 +2608,73 @@ def _stream_state_parallelism(
     identical table). An append-mode AGGREGATION emits finalized
     groups only when the watermark passes them — for those this flag
     would silently drop rows; every call site must re-check its sink
-    mode before passing True."""
+    mode before passing True — and MUST declare it here: the helper
+    asserts the legal (``output_mode``, ``emits_on_arrival``)
+    combinations instead of trusting call-site comments (ADVICE r11):
+    ``output_mode="complete"`` (pure re-emit) or
+    ``output_mode="append"`` with ``emits_on_arrival=True``
+    (dropDuplicates*/inner stream-stream join). An append-mode
+    watermark-gated aggregation has ``emits_on_arrival=False`` and is
+    rejected.
+
+    Not reentrant (session-global conf save/restore): overlapping
+    uses raise rather than cross-contaminate; see _STREAM_CONF_LOCK."""
+    if skip_nodata_batch and not (
+        output_mode == "complete"
+        or (output_mode == "append" and emits_on_arrival)
+    ):
+        raise ValueError(
+            "skip_nodata_batch=True requires output_mode='complete' or "
+            "output_mode='append' with emits_on_arrival=True; an "
+            "append-mode watermark-gated aggregation would silently drop "
+            f"its finalized rows (got output_mode={output_mode!r}, "
+            f"emits_on_arrival={emits_on_arrival})"
+        )
     parallelism = spark.sparkContext.defaultParallelism
     if source_bytes is not None:
-        advisory = _advisory_bytes(spark)
-        parallelism = max(1, min(parallelism, -(-source_bytes // advisory)))
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_nodata = spark.conf.get(
-        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", str(parallelism))
-    if skip_nodata_batch:
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        if source_bytes <= 0:
+            # a path typo or a non-local source would otherwise
+            # serialize the whole drain onto one state store (ADVICE
+            # r11): warn and keep the defaultParallelism pin.
+            import warnings
+
+            warnings.warn(
+                "_stream_state_parallelism: computed source backlog is 0 "
+                "bytes (missing path, empty source, or non-local "
+                "storage); falling back to defaultParallelism "
+                f"({parallelism}) instead of clamping to 1",
+                stacklevel=3,
+            )
+        else:
+            advisory = _advisory_bytes(spark)
+            parallelism = max(
+                1, min(parallelism, -(-source_bytes // advisory))
+            )
+    if not _STREAM_CONF_LOCK.acquire(blocking=False):
+        raise RuntimeError(
+            "_stream_state_parallelism is not reentrant: another stream "
+            "is already running under it in this session (session-global "
+            "conf save/restore would cross-contaminate)"
         )
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_nodata = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(parallelism))
+        if skip_nodata_batch:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+            )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+            )
+    finally:
+        _STREAM_CONF_LOCK.release()
 
 
 def _advisory_bytes(spark: SparkSession) -> int:
@@ -2682,6 +2743,8 @@ def q75_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         source_bytes=2 * _source_backlog_bytes(f"{sf}/events.parquet"),
         skip_nodata_batch=True,
+        output_mode="append",
+        emits_on_arrival=True,
     ):
         q = (
             j.writeStream.format("memory")
@@ -3006,6 +3069,8 @@ def q83_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         source_bytes=2 * _source_backlog_bytes(f"{sf}/events.parquet"),
         skip_nodata_batch=True,
+        output_mode="append",
+        emits_on_arrival=True,
     ):
         q = (
             deduped.writeStream.format("memory")
@@ -4220,6 +4285,8 @@ def q115_streaming_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         source_bytes=_source_backlog_bytes(f"{sf}/documents.parquet"),
         skip_nodata_batch=True,
+        output_mode="append",
+        emits_on_arrival=True,
     ):
         q = (
             kept.writeStream.format("memory")
@@ -5225,6 +5292,7 @@ def q136_streaming_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         source_bytes=_source_backlog_bytes(f"{sf}/events.parquet"),
         skip_nodata_batch=True,
+        output_mode="complete",
     ):
         q = (
             agg.writeStream.format("memory")
@@ -5935,6 +6003,7 @@ def q141_streaming_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         source_bytes=_source_backlog_bytes(f"{sf}/documents.parquet"),
         skip_nodata_batch=True,
+        output_mode="complete",
     ):
         q = (
             agg.writeStream.format("memory")

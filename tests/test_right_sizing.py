@@ -83,6 +83,7 @@ def test_stream_state_parallelism_clamps_and_restores(spark):
         spark,
         source_bytes=adv * spark.sparkContext.defaultParallelism * 10,
         skip_nodata_batch=True,
+        output_mode="complete",
     ):
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(
             spark.sparkContext.defaultParallelism
@@ -97,6 +98,43 @@ def test_stream_state_parallelism_clamps_and_restores(spark):
         spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
         == prev_nodata
     )
+
+
+def test_stream_state_parallelism_guardrails(spark):
+    """r12 (ADVICE r11): the skip-no-data-batch legality is asserted
+    from declared sink semantics instead of call-site comments; a
+    zero backlog warns and keeps defaultParallelism instead of
+    silently serializing onto one state store; overlapping use fails
+    loudly instead of cross-contaminating session conf."""
+    import warnings
+
+    import pytest
+
+    # illegal: skip without declaration / append without on-arrival
+    with pytest.raises(ValueError, match="skip_nodata_batch"):
+        with _stream_state_parallelism(spark, skip_nodata_batch=True):
+            pass
+    with pytest.raises(ValueError, match="skip_nodata_batch"):
+        with _stream_state_parallelism(
+            spark, skip_nodata_batch=True, output_mode="append"
+        ):
+            pass
+    # zero backlog (path typo / non-local source): warn, keep default
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        with _stream_state_parallelism(spark, source_bytes=0):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                spark.sparkContext.defaultParallelism
+            )
+    assert any("backlog is 0" in str(w.message) for w in caught)
+    # non-reentrant: overlapping use raises rather than mis-restores
+    with _stream_state_parallelism(spark, source_bytes=10):
+        with pytest.raises(RuntimeError, match="not reentrant"):
+            with _stream_state_parallelism(spark, source_bytes=10):
+                pass
+    # and the lock is released after a clean exit
+    with _stream_state_parallelism(spark, source_bytes=10):
+        pass
 
 
 def test_stream_state_parallelism_none_keeps_default(spark):
