@@ -87,3 +87,54 @@ def test_kmeans_on_real_embeddings(spark, sf_dir):
     assert sum(sizes.values()) == n
     assert len(sizes) == 10 and all(v > 0 for v in sizes.values())
     e.unpersist()
+
+
+def test_replayable_fused_kernel_matches_explode_path(spark, sf_dir):
+    """r12 (VERDICT r11 item 8): the fused mapInArrow update kernel
+    must be BIT-identical to the legacy posexplode aggregation in
+    replayable mode — integer quantum sums are order-free, so
+    task-local pre-aggregation cannot perturb a single bit. Runs the
+    legacy formulation inline (it no longer exists as a code path for
+    replayable fits) and compares full float equality."""
+    from relationalize_spark.functions.vectors import as_double
+    from relationalize_spark.operators.clustering import (
+        REPLAY_FP,
+        assign_clusters,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k, iters = 7, 3
+    fitted = kmeans_fit(
+        e, "embedding", k=k, max_iter=iters, id_col="vec_id", replayable=True
+    )
+
+    fp = float(10**REPLAY_FP)
+    init = [
+        list(r.v)
+        for r in e.orderBy("vec_id")
+        .limit(k)
+        .select(as_double("embedding").alias("v"))
+        .collect()
+    ]
+    base = e.select(as_double("embedding").alias("v"))
+    centroids = [list(c) for c in init]
+    for _ in range(iters):
+        assigned = assign_clusters(
+            base, centroids, "v", "cluster", replayable=True
+        )
+        stats = (
+            assigned.select(
+                "cluster",
+                F.posexplode(
+                    F.transform("v", lambda x: F.floor(x * F.lit(fp)))
+                ).alias("dim", "x"),
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in stats:
+            new[r.cluster][r.dim] = r.s / (r.n * fp)
+        centroids = new
+    assert fitted == centroids
