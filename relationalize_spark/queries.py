@@ -6923,25 +6923,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: ORDER IS LOAD-BEARING: the driver's correctness gate checks only
 #: the FIRST 50 entries (each CORRECTNESS_r0N contains exactly 50
-#: rows, cut in registry order). The registry therefore rotates each
-#: round; at 151 entries under a 50-row cap the steady-state
-#: staleness bound is ~3 rounds, so each round fronts the whole block
-#: whose rows are about to turn 3 rounds old. Round 11 fronts: the 50
-#: r8-attested entries (VERDICT r10 item 1; derived by joining
-#: CORRECTNESS_r01..r10 against the registry — the q130–q142 family
-#: plus the r5-aged block fronted in r8). The block is exactly
-#: window-sized: ZERO free slots, so r11 registers any new query
-#: BEHIND the cap (driver rows for it come in r12, when the 48-entry
-#: r9 block fronts and ~2 slots free up). q30/q33/q94 stay behind the
-#: cap: their rows are permanently rows-only by declared design
+#: rows, cut in registry order), and the registry rotates each round.
+#: The LITERAL below still lists the r11 window first; the EFFECTIVE
+#: r12 order is applied by the ``_R12_WINDOW`` reorder after the
+#: generated-oracle reassignments (see its comment for the window's
+#: composition: the six VERDICT-named entries, every r11/r12-touched
+#: path, q152, then r9-attested fills). Verify the cut by IMPORTING
+#: REGISTRY — not by reading this literal. q30/q33/q94 stay behind
+#: the cap: their rows are permanently rows-only by declared design
 #: (engine-hash values; md5 twins q123/q124/q129 carry the
 #: value-level record) and fronting them would spend window slots
-#: re-recording a weaker check. Verify the cut by IMPORTING REGISTRY
-#: — not by regex: entry 50 = q77_chunk_and_pack, entry 51 =
-#: q143_bigram_nll. Behind the cap: the r9/r10-attested blocks, all
-#: full hash-green. r12 must front the 48 r9-attested entries.
-#: Every entry, either side of the cap, runs against its oracle in
-#: tests/test_entry_oracle.py on every pytest run.
+#: re-recording a weaker check. Every entry, either side of the cap,
+#: runs against its oracle in tests/test_entry_oracle.py on every
+#: pytest run.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- r11 window (first 50 = the driver's correctness gate) -------
     # the 50 r8-attested entries whose newest driver rows turn 3
@@ -7141,6 +7135,82 @@ REGISTRY["q147_jl_recall"] = (q147_jl_recall, _q147_sql())
 REGISTRY["q150_ivfpq_recall"] = (q150_ivfpq_recall, _q150_sql())
 REGISTRY["q151_ivfpq_append"] = (q151_ivfpq_append, _q151_sql())
 REGISTRY["q60_bm25_rank"] = (q60_bm25_rank, _q60_sql())
+
+#: r12 window rotation (VERDICT r11 item 3; applied AFTER the
+#: generated-oracle reassignments, which do not move dict positions).
+#: The first 50 = the driver's correctness gate, composed of:
+#: 1. the six entries VERDICT r11 names (q01/q03/q83/q115/q150/q151 —
+#:    r11-optimized paths that missed both the r10 and r11 windows),
+#: 2. every r11/r12-TOUCHED query path so the driver ground-truths
+#:    this round's optimizations: the dynamic-relationalize fused
+#:    analysis (q34/q125/q130), the minhash bucket precompute (q29),
+#:    the tfidf maxweight prefix bound (q144), the fused replayable
+#:    Lloyd's kernel and its consumers (q67/q108/q137/q142, plus
+#:    q150/q151 above), the q59 convergence null-safety, and the
+#:    streaming-conf declaration sites (q54/q55/q74/q75/q136/q141,
+#:    plus q83/q115 above),
+#: 3. q152 (new in r11, never driver-checked),
+#: 4. the remaining slots filled from the r9-attested block — the
+#:    oldest driver rows in the registry.
+#: Everything else keeps its relative order behind the cap; all 152
+#: still run value-level in tests/test_entry_oracle.py every run.
+_R12_WINDOW = [
+    "q01_pricing_summary",
+    "q03_top_unshipped_orders",
+    "q83_streaming_dedup",
+    "q115_streaming_segment_dedup",
+    "q150_ivfpq_recall",
+    "q151_ivfpq_append",
+    "q34_relationalize_json_choice",
+    "q125_relationalize_dynamic",
+    "q130_stream_demux_dynamic",
+    "q29_minhash_lsh_pairs",
+    "q144_tfidf_allpairs",
+    "q67_kmeans_profile",
+    "q108_semdedup",
+    "q137_pq_ann",
+    "q142_ivfpq_ann",
+    "q59_dedup_clusters",
+    "q54_streaming_windowed_counts",
+    "q55_streaming_sessionize",
+    "q74_stream_static_join",
+    "q75_stream_stream_join",
+    "q136_streaming_distinct_sketch",
+    "q141_streaming_quality_scores",
+    "q152_image_dup_pairs",
+    "q145_relative_quality_filter",
+    "q146_canonical_dedup",
+    "q147_jl_recall",
+    "q148_gapfill_interpolate",
+    "q149_class_tfidf",
+    "q105_duplicate_spans",
+    "q104_segment_dedup",
+    "q78_window_functions",
+    "q79_array_functions",
+    "q80_repetition_filters",
+    "q84_unpivot",
+    "q85_rolling_time_window",
+    "q86_argmax_groups",
+    "q87_source_mixing",
+    "q88_nullsafe_join",
+    "q89_date_battery",
+    "q90_volume_shipping",
+    "q91_market_share",
+    "q92_product_profit",
+    "q93_top_supplier",
+    "q95_lateral_topn",
+    "q96_string_agg",
+    "q97_global_index",
+    "q98_regression_stats",
+    "q99_recursive_cte",
+    "q100_column_profile",
+    "q102_session_window_batch",
+]
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+assert all(n in REGISTRY for n in _R12_WINDOW)
+REGISTRY = {n: REGISTRY[n] for n in _R12_WINDOW} | {
+    n: v for n, v in REGISTRY.items() if n not in set(_R12_WINDOW)
+}
 
 
 def queries() -> dict[str, QueryFn]:
