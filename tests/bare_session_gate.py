@@ -9,7 +9,15 @@ Not named test_* on purpose: it duplicates tests/test_entry_oracle.py
 
     python tests/bare_session_gate.py
 
-Last full run: r11 OPTIMIZATION round close-out (session 5) at
+Last full run: r12 OPTIMIZATION round (session 2) at commit 3ed48ab
+— the final r12 optimization code: dynamic-relationalize fused
+analysis (one grouped job for schema + level-1 tags + array-element
+tags), minhash band-bucket precompute, tfidf maxweight prefix bound,
+the fused replayable Lloyd's mapInArrow kernel, the hardened
+streaming-conf helper, and the r12 oracle-window rotation —
+BARE-SESSION GATE: ALL 152 OK. Default pytest lane at the same HEAD:
+682 passed / 201 deselected in 15:44.
+Prior full run: r11 OPTIMIZATION round close-out (session 5) at
 commit 0ccce2f — the final optimization HEAD's code (subsequent
 commits are docs/log-only): BARE-SESSION GATE: ALL 152 OK, with
 every r11-opt change in (q01/q03 keyed scan parallelization, PQ
