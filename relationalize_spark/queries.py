@@ -5190,14 +5190,18 @@ def q130_stream_demux_dynamic(spark: SparkSession, sf: str) -> DataFrame:
     os.makedirs(src)
     ldf = o.select((F.col("o_orderkey") % 4).alias("b"), line.alias("value"))
     # batch split (mod 4) is independent of the branch split (mod 3),
-    # so every micro-batch carries all three shapes of ``v``
+    # so every micro-batch carries all three shapes of ``v``. ONE
+    # partitioned write lands all four batch files (r12, guide §2.4:
+    # this used to be four scan+render+coalesce(1) jobs, one per
+    # file); repartition by the batch key keeps exactly one part file
+    # per b= directory, and within-file line order is free to vary —
+    # every consumer (parse + keyed join, replay dedup on
+    # byte-identical lines) is order-insensitive.
+    part = os.path.join(work, "w")
+    ldf.repartition(4, "b").write.mode("overwrite").partitionBy("b").text(part)
     for i in range(4):
-        part = os.path.join(work, f"w{i}")
-        ldf.where(F.col("b") == i).select("value").coalesce(1).write.mode(
-            "overwrite"
-        ).text(part)
         shutil.move(
-            glob.glob(os.path.join(part, "part-*"))[0],
+            glob.glob(os.path.join(part, f"b={i}", "part-*"))[0],
             os.path.join(src, f"b{i}.txt"),
         )
 
