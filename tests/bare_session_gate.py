@@ -16,7 +16,9 @@ tags), minhash band-bucket precompute, tfidf maxweight prefix bound,
 the fused replayable Lloyd's mapInArrow kernel, the hardened
 streaming-conf helper, and the r12 oracle-window rotation —
 BARE-SESSION GATE: ALL 152 OK. Default pytest lane at the same HEAD:
-682 passed / 201 deselected in 15:44.
+682 passed / 201 deselected in 15:44; FULL suite (slow lanes
+included) at the final r12 HEAD: 882 passed / 1 env-skip / 0 failed
+in 30:08.
 Prior full run: r11 OPTIMIZATION round close-out (session 5) at
 commit 0ccce2f — the final optimization HEAD's code (subsequent
 commits are docs/log-only): BARE-SESSION GATE: ALL 152 OK, with
